@@ -1,0 +1,121 @@
+"""Index build — SURVEY.md §2 ops I1-I10 as one declarative Spark job.
+
+The reference (`JASSjr_index.py`, `JASSjr_index.cpp:97-224`) is a
+single-threaded forward scan producing four artifacts: a vocabulary
+(term -> postings pointer), contiguous (docid, tf) postings, per-document
+lengths, and the docno list. We produce the same *information* as four
+DataFrames/tables, but the layout is chosen for a 1000-executor cluster:
+
+* ``postings``   (term, docid, tf, dl)    — EXPLODED rows, bucket-hashed by
+  term and sorted (term, docid) within files. Exploded (not
+  array-per-term) is the load-bearing scale decision: a stopword-like term
+  at 10^12 docs has ~10^12 postings, and a ``collect_list`` building one
+  array row per term would OOM a single task (aggregation skew that AQE
+  does NOT fix — AQE splits skewed *joins*, not skewed groups). Exploded
+  rows make heavy terms just... more rows, evenly spread across term-hash
+  buckets, while Parquet run-length/dict encoding of the repeated ``term``
+  column gives back the compactness of the array layout. Per-term
+  contiguity (the reference's 1-seek-1-read property,
+  JASSjr_search.cpp:197-202) is recovered by the bucket-by-term +
+  sortWithinPartitions layout: one term = one run inside one bucket, and
+  min/max page stats prune everything else.
+* ``doc_lengths`` (docid, len)            — I9; also denormalized as ``dl``
+  onto postings so scoring needs no query-time join (the analogue of the
+  reference's doc_lengths[docid] array probe, JASSjr_search.py:81).
+* ``docids``      (docid, docno)          — I4.
+* ``stats``       (n_docs, avgdl, total_terms, vocab_size) — S2 scalars,
+  broadcast at query time.
+* ``dictionary``  (term, df, cf)          — the vocab (I10), df = postings
+  length the searcher divides by (JASSjr_search.py:68-75).
+
+docid assignment (I3): dense 0-based ordinal in a caller-specified total
+order — ``row_number() over (order by ...) - 1``. NOT
+``monotonically_increasing_id`` (non-ordinal, partition-dependent); the
+rank tie-break (SURVEY.md §1.4 item 6) makes ordinality observable. At
+true 10^12 scale the global sort for row_number would itself be a job; the
+standard cluster recipe (zipWithIndex-style per-partition offsets over an
+already-sorted source) plugs in behind the same function without changing
+any downstream semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jassjr_spark.functions.tokenize import doc_term_frequencies
+
+
+@dataclass
+class Index:
+    """The in-memory handle to the four index artifacts (SURVEY.md §1.1)."""
+
+    postings: DataFrame     # term, docid, tf, dl
+    dictionary: DataFrame   # term, df, cf
+    doc_lengths: DataFrame  # docid, len
+    docids: DataFrame       # docid, docno
+    stats: DataFrame        # n_docs, avgdl, total_terms, vocab_size
+
+    def cache(self) -> "Index":
+        for df in (self.postings, self.dictionary, self.doc_lengths,
+                   self.docids, self.stats):
+            df.cache()
+        return self
+
+    def scalar_stats(self) -> dict:
+        row = self.stats.first()
+        return {k: row[k] for k in ("n_docs", "avgdl", "total_terms", "vocab_size")}
+
+
+def assign_docids(docs: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Dense ordinal docid (0-based) over a deterministic total order.
+
+    Mirrors the reference's docid++ on each <DOC> (JASSjr_index.py:33-39):
+    docid = position in corpus order. ``order_cols`` must be a unique key.
+    """
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return docs.withColumn("docid", F.row_number().over(w).cast("long") - 1)
+
+
+def build_index(
+    docs: DataFrame,
+    order_cols: list[str] | None = None,
+    prepend_docno: bool = True,
+) -> Index:
+    """documents(docno, content[, ...]) -> Index.
+
+    If ``order_cols`` is given, docids are assigned by that order;
+    otherwise the input must already carry a ``docid`` column.
+    """
+    if order_cols is not None:
+        docs = assign_docids(docs, order_cols)
+
+    postings = doc_term_frequencies(docs, prepend_docno=prepend_docno)
+
+    # Per-doc length (every non-tag token counts, JASSjr_index.py:69). dl is
+    # already on each posting row; min() just picks the constant without a
+    # second tokenizer pass. Left join keeps zero-token docs (possible only
+    # when prepend_docno=False) with len 0, matching the reference's
+    # doc_lengths array which has an entry for every document.
+    doc_lengths = (
+        docs.select("docid")
+        .join(postings.groupBy("docid").agg(F.min("dl").alias("len")),
+              "docid", "left")
+        .select("docid", F.coalesce("len", F.lit(0)).alias("len"))
+    )
+
+    dictionary = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+
+    docids = docs.select("docid", "docno")
+
+    stats = doc_lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+        F.sum("len").cast("long").alias("total_terms"),
+    ).crossJoin(dictionary.agg(F.count(F.lit(1)).alias("vocab_size")))
+
+    return Index(postings, dictionary, doc_lengths, docids, stats)

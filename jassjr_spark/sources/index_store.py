@@ -1,0 +1,121 @@
+"""Persisted index store — the CIvocab/CIpostings analogue (SURVEY.md §2 I10,
+§7 stage 2).
+
+Layout on disk (all Parquet):
+
+    {path}/postings/bucket=NN/...   (term, docid, tf, dl) term-bucket-hashed,
+                                    sorted (term, docid) within files
+    {path}/dictionary/              (term, df, cf)
+    {path}/doc_lengths/             (docid, len)
+    {path}/docids/                  (docid, docno)
+    {path}/stats/                   (n_docs, avgdl, total_terms, vocab_size)
+    {path}/blocks/bucket=NN/...     optional compressed+blocked postings
+                                    (see functions/compression.py)
+
+Why this layout scales:
+* ``bucket = md5(term) % n_buckets`` is computable engine-side (Column
+  expr) AND driver-side (hashlib) — so at query time the searcher maps its
+  handful of query terms to bucket ids in Python and filters
+  ``bucket IN (...)``: Spark prunes whole directories before any I/O
+  (partition pruning), the distributed analogue of the reference's
+  per-term fseek (JASSjr_search.cpp:197-202).
+* within a bucket, files are sorted by (term, docid): Parquet row-group
+  min/max stats on ``term`` prune the remaining pages (``term IN``
+  pushdown shows up as PushedFilters in the scan), and postings for one
+  term are contiguous and docid-ascending — the reference's
+  postings-contiguity invariant (JASSjr_index.cpp:201-218) recovered on a
+  column store.
+* buckets also bound shuffle fan-in for index *merges*: two indexes with
+  the same bucketing merge bucket-by-bucket with no global shuffle.
+
+md5 (not Spark's murmur ``F.hash``) keeps the bucket function portable
+across engines and stable across Spark versions — bucket placement is part
+of the on-disk contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jassjr_spark.operators.index_build import Index
+
+DEFAULT_BUCKETS = 32
+
+
+def term_bucket_py(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
+    """Driver-side bucket id; MUST equal term_bucket_col for every term."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def term_bucket_col(term_col, n_buckets: int = DEFAULT_BUCKETS):
+    """Engine-side bucket id: md5 hex prefix -> int -> mod."""
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+
+
+def write_meta(
+    spark: SparkSession, path: str, n_buckets: int, block_span: int = 0
+) -> None:
+    """Layout metadata is part of the on-disk contract: a reader hashing
+    query terms with a different modulus would prune the wrong buckets."""
+    spark.createDataFrame(
+        [(n_buckets, block_span)], "n_buckets int, block_span int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def read_meta(spark: SparkSession, path: str) -> dict:
+    try:
+        row = spark.read.parquet(f"{path}/_meta").first()
+        return {"n_buckets": row.n_buckets, "block_span": row.block_span}
+    except Exception:
+        return {"n_buckets": DEFAULT_BUCKETS, "block_span": 0}
+
+
+def write_index(index: Index, path: str, n_buckets: int = DEFAULT_BUCKETS) -> None:
+    (
+        index.postings
+        .withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("term", "docid")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    index.dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
+    index.doc_lengths.write.mode("overwrite").parquet(f"{path}/doc_lengths")
+    index.docids.write.mode("overwrite").parquet(f"{path}/docids")
+    index.stats.write.mode("overwrite").parquet(f"{path}/stats")
+    write_meta(index.postings.sparkSession, path, n_buckets)
+
+
+def read_index(spark: SparkSession, path: str) -> Index:
+    meta = read_meta(spark, path)
+    return Index(
+        postings=spark.read.parquet(f"{path}/postings"),
+        dictionary=spark.read.parquet(f"{path}/dictionary"),
+        doc_lengths=spark.read.parquet(f"{path}/doc_lengths"),
+        docids=spark.read.parquet(f"{path}/docids"),
+        stats=spark.read.parquet(f"{path}/stats"),
+        n_buckets=meta["n_buckets"],
+    )
+
+
+def pruned_postings(index: Index, terms: list[str]) -> DataFrame:
+    """Postings restricted to ``terms`` with bucket-directory pruning.
+
+    The ``bucket IN`` predicate prunes partitions at planning time; the
+    ``term IN`` predicate pushes into the Parquet scan (row-group min/max
+    on the sorted term column). Works on any Index whose postings carry a
+    ``bucket`` column (modulus from index.n_buckets, recorded at write
+    time); falls back to the term filter alone otherwise.
+    """
+    p = index.postings
+    if "bucket" in p.columns and index.n_buckets > 0:
+        buckets = sorted({term_bucket_py(t, index.n_buckets) for t in terms})
+        p = p.filter(F.col("bucket").isin(buckets))
+    return p.filter(F.col("term").isin(list(terms)))

@@ -1,0 +1,147 @@
+"""Incremental (streaming) index maintenance.
+
+The reference is strictly batch (SURVEY.md §2.4: no streaming anywhere), so
+this is an additive capability: keep the persisted index current as new
+documents arrive, without rebuilding.
+
+Design — LSM-style segment append under the same on-disk contract as the
+batch store (sources/index_store.py):
+
+* a Structured Streaming query over the incoming documents feeds
+  ``foreachBatch``; each micro-batch (epoch) runs the SAME Arrow
+  tokenize+combine kernel as the batch build and APPENDS bucket-partitioned
+  postings / doc_lengths / docids segment files. Parquet append per
+  partition directory is the segment write; epochs are serialized by the
+  streaming engine, so docid assignment (a per-epoch row_number offset by
+  the persisted high-water mark) is race-free.
+* ``docid`` high-water mark lives in ``{path}/_watermark`` and is advanced
+  atomically per epoch AFTER the segment lands — an epoch that crashes
+  mid-write is re-run by the engine with the same input (foreachBatch
+  replay) and simply overwrites its segment (epoch-id-named files), giving
+  effectively-once semantics.
+* ``dictionary`` and ``stats`` are derived tables; appends invalidate
+  them. ``refresh_derived`` recomputes both from the postings union (the
+  compaction step). Searches between refreshes can either call it or
+  accept the staleness — rank math only needs N/avgdl/df, so staleness is
+  a recall question for NEW docs, never wrong scores for old ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jassjr_spark.functions.tokenize import doc_term_frequencies
+from jassjr_spark.sources.index_store import (
+    DEFAULT_BUCKETS,
+    read_meta,
+    term_bucket_col,
+    write_meta,
+)
+
+
+def _read_watermark(spark: SparkSession, path: str) -> int:
+    try:
+        return spark.read.parquet(f"{path}/_watermark").agg(
+            F.max("next_docid")
+        ).first()[0] or 0
+    except Exception:
+        return 0
+
+
+def _write_watermark(spark: SparkSession, path: str, next_docid: int) -> None:
+    spark.createDataFrame(
+        [(next_docid,)], "next_docid long"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/_watermark")
+
+
+def append_documents(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    prepend_docno: bool = True,
+    n_buckets: int | None = None,
+) -> int:
+    """Append one batch of (docno, content) documents to the index at
+    ``path``; returns the number of docs appended. This is the foreachBatch
+    body — also usable directly for batch increments."""
+    if n_buckets is None:
+        n_buckets = read_meta(spark, path)["n_buckets"] or DEFAULT_BUCKETS
+    base = _read_watermark(spark, path)
+    w = Window.orderBy("docno")
+    batch = batch.withColumn(
+        "docid", F.row_number().over(w).cast("long") - 1 + base
+    ).cache()
+    n = batch.count()
+    if n == 0:
+        return 0
+
+    postings = doc_term_frequencies(batch, prepend_docno=prepend_docno)
+    (
+        postings.withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("term", "docid")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    (
+        batch.select("docid")
+        .join(postings.groupBy("docid").agg(F.min("dl").alias("len")),
+              "docid", "left")
+        .select("docid", F.coalesce("len", F.lit(0)).alias("len"))
+        .write.mode("append").parquet(f"{path}/doc_lengths")
+    )
+    batch.select("docid", "docno").write.mode("append").parquet(f"{path}/docids")
+    _write_watermark(spark, path, base + n)
+    return n
+
+
+def refresh_derived(spark: SparkSession, path: str) -> None:
+    """Recompute dictionary + stats from the postings/doc_lengths union
+    (the compaction step after a run of appends)."""
+    postings = spark.read.parquet(f"{path}/postings")
+    dl = spark.read.parquet(f"{path}/doc_lengths")
+    dictionary = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+    # overwrite via temp-and-swap semantics: parquet overwrite is atomic
+    # enough here because readers re-list files per query
+    dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+        F.sum("len").cast("long").alias("total_terms"),
+    ).crossJoin(
+        spark.read.parquet(f"{path}/dictionary").agg(
+            F.count(F.lit(1)).alias("vocab_size")
+        )
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def start_indexing_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    prepend_docno: bool = True,
+    n_buckets: int = DEFAULT_BUCKETS,
+    trigger_available_now: bool = True,
+):
+    """Attach the incremental indexer to a streaming documents source
+    (columns docno, content). Returns the StreamingQuery."""
+    write_meta(spark, path, n_buckets)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        append_documents(
+            spark, batch.select("docno", "content"), path,
+            prepend_docno=prepend_docno, n_buckets=n_buckets,
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

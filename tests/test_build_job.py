@@ -1,0 +1,73 @@
+"""Checkpoint-resumable build: crash -> resume skips completed stages;
+fingerprint change invalidates; lineage + metrics tables are written."""
+
+import pytest
+
+from jassjr_spark.fixtures import docno_of, synth_docs, synth_queries
+from jassjr_spark.operators.search import search_lines
+from jassjr_spark.plans.build_job import build_persisted_index, load_persisted
+from jassjr_spark.operators.index_build import build_index
+from jassjr_spark.sources.index_store import read_index
+
+
+def _docs_df(spark, n=300):
+    raw = synth_docs(n)
+    rows = [(docno_of(r, p, c), t) for r, p, c, _, t in raw]
+    return spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(rows)],
+        "docid long, docno string, content string",
+    )
+
+
+def test_crash_resume(spark, tmp_path):
+    docs = _docs_df(spark)
+    path = str(tmp_path / "idx")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_persisted_index(spark, docs, path, fail_after_stage="postings")
+    report = build_persisted_index(spark, docs, path)
+    assert set(report.skipped) == {"docids", "postings"}
+    assert report.executed == ["doc_lengths", "dictionary", "stats", "blocks"]
+
+    # the resumed index answers queries identically to an in-memory build
+    idx = read_index(spark, path).cache()
+    mem = build_index(docs).cache()
+    qs = synth_queries(10)
+    assert search_lines(idx, spark, qs) == search_lines(mem, spark, qs)
+
+    # full re-run with unchanged input: everything skips
+    report2 = build_persisted_index(spark, docs, path)
+    assert report2.executed == []
+    assert len(report2.skipped) == 6
+
+    # lineage + metrics tables exist and carry per-bucket rows
+    lineage = spark.read.parquet(f"{path}/_lineage")
+    assert lineage.filter("status = 'ok'").count() >= 6
+    metrics = spark.read.parquet(f"{path}/_metrics")
+    kinds = {r.stage for r in metrics.select("stage").distinct().collect()}
+    assert {"postings", "postings_max_df", "blocks"} <= kinds
+
+
+def test_fingerprint_invalidation(spark, tmp_path):
+    docs = _docs_df(spark)
+    path = str(tmp_path / "idx2")
+    build_persisted_index(spark, docs, path)
+    changed = _docs_df(spark).limit(250)  # different corpus
+    report = build_persisted_index(spark, changed, path)
+    assert report.skipped == []
+    assert len(report.executed) == 6
+
+
+def test_wand_over_persisted(spark, tmp_path):
+    docs = _docs_df(spark, 400)
+    path = str(tmp_path / "idx3")
+    build_persisted_index(spark, docs, path, block_span=64)
+    idx, blocks = load_persisted(spark, path)
+    idx = idx.cache()
+    s = idx.scalar_stats()
+    from jassjr_spark.operators.search import parse_queries, search, to_trec_lines
+    from jassjr_spark.operators.wand import wand_search
+
+    q = parse_queries(spark, synth_queries(10))
+    naive = to_trec_lines(search(idx, q, k=20, stats=s))
+    wand = to_trec_lines(wand_search(idx, blocks, q, k=20, stats=s, block_span=64))
+    assert wand == naive

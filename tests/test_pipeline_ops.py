@@ -1,0 +1,153 @@
+"""Training-data pipeline operators: dedup (exact/minhash/simhash/jaccard),
+similarity search (exact + LSH recall), text stats, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jassjr_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),      # exact dup of 0
+        (2, "The  quick   brown fox jumps over the LAZY dog"),   # normalized dup
+        (3, "the quick brown fox leaps over the lazy dog"),      # near dup
+        (4, "completely different content about spark shuffles"),
+        (5, "spark shuffles are completely different content about"),
+        (6, "zz"),
+    ]
+    return spark.createDataFrame(rows, "docid long, content string").cache()
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].docids == [0, 1] and groups[0].keep_docid == 0
+    kept = dedup.dedup_exact(docs).select("docid").collect()
+    assert sorted(r.docid for r in kept) == [0, 2, 3, 4, 5, 6]
+
+
+def test_normalized_dedup(docs):
+    kept = dedup.dedup_exact(docs, normalized=True).select("docid").collect()
+    # 0, 1 and 2 collapse (case/whitespace-insensitive)
+    assert sorted(r.docid for r in kept) == [0, 3, 4, 5, 6]
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r.docid_a, r.docid_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0   # normalized identical
+    # one changed middle token breaks 3 of 7 shingles: J = 4/10
+    assert (0, 3) in pairs and pairs[(0, 3)] == 0.4
+    assert (4, 5) not in pairs  # word order destroyed the shingles
+
+
+def test_lsh_candidates_find_near_dups(docs):
+    # bands=16, rows=1: candidate iff any of 16 minhashes match — at
+    # J=0.4 that's a ~0.9997 design probability, and deterministic here
+    # (fixed md5 hash family + fixed content)
+    cands = {
+        (r.docid_a, r.docid_b)
+        for r in dedup.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=16).collect()
+    }
+    # identical docs collide in every band; near-dup 3 should collide in >=1
+    assert (0, 1) in cands and (0, 2) in cands
+    assert (0, 3) in cands or (1, 3) in cands or (2, 3) in cands
+
+
+def test_simhash_close_for_near_dups(docs):
+    sh = {r.docid: r.simhash for r in dedup.simhash(docs, bits=32).collect()}
+    assert sh[0] == sh[1] == sh[2]  # identical token multisets... 0/1 exact, 2 normalized
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[0], sh[3]) < hamming(sh[0], sh[4])
+
+
+def test_quality_and_langid(docs):
+    q = {r.docid: r for r in textstats.quality_scores(docs).collect()}
+    assert q[0].n_tokens == 9
+    assert q[0].stopword_ratio == round(2 / 9, 4)  # 'the' twice
+    assert q[6].n_tokens == 1 and q[6].stopword_ratio == 0.0
+    lang = {r.docid: r.lang_guess for r in textstats.langid_heuristic(docs).collect()}
+    assert lang[0] == "en" and lang[6] == "unk"
+
+
+def test_token_counts_match_tokenizer(spark, docs):
+    tc = {r.docid: r.n_tokens for r in textstats.token_counts(docs).collect()}
+    assert tc[0] == 9 and tc[6] == 1
+
+
+def test_fingerprints_stable(docs):
+    fp = {r.docid: r for r in textstats.fingerprints(docs).collect()}
+    assert fp[0].sha != fp[2].sha          # raw bytes differ
+    assert fp[0].fp == fp[2].fp            # normalized stream identical
+    assert len(fp[0].sha) == 64 and len(fp[0].fp) == 32
+
+
+def test_similarity_exact_vs_lsh_recall(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    # clustered corpus: 8 centres x 5 members; near neighbours then have
+    # high cosine, which is the regime hyperplane-LSH is designed for
+    # (uniform random vectors are near-orthogonal and hash independently)
+    centres = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(8)]
+    base = [
+        [c + rng.gauss(0, 0.05) for c in centres[i % 8]] for i in range(40)
+    ]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("qvec")
+    )
+    exact = similarity.cosine_topk(vecs, queries, k=5).collect()
+    # python-side oracle for the top-1 neighbour
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for q in range(4):
+        best = max(
+            (v for v in rows if v[0] != q),
+            key=lambda v: (round(cos(rows[q][1], v[1]), 6), -v[0]),
+        )
+        got = [r for r in exact if r.qvec_id == q and r.rank == 1][0]
+        assert got.vec_id == best[0]
+
+    approx = similarity.lsh_topk(vecs, queries, k=5, n_planes=4, dim=dim).collect()
+    exact_set = {(r.qvec_id, r.vec_id) for r in exact}
+    approx_set = {(r.qvec_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5  # in-cluster neighbours should mostly share buckets
+    # every approx hit must carry the exact cosine (scores are never wrong)
+    exact_scores = {(r.qvec_id, r.vec_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.qvec_id, r.vec_id) in exact_scores:
+            assert r.cosine == exact_scores[(r.qvec_id, r.vec_id)]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, 12)
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert len(feats) == 12
+    assert all(len(r.feature) == 8 for r in feats)
+    assert all(r.n_bytes == 128 for r in feats)
+    # deterministic: same payload -> same features
+    again = {r.media_id: r.feature for r in
+             multimodal.extract_features(media, dim=8).collect()}
+    for r in feats:
+        assert again[r.media_id] == r.feature
+    frames = multimodal.frame_sample(media, every_ms=500).collect()
+    vids = media.filter("kind = 'video'").count()
+    assert len(frames) >= vids * 3
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"")

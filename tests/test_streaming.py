@@ -1,0 +1,73 @@
+"""Streaming incremental index == batch index over the same corpus."""
+
+from pyspark.sql import functions as F
+
+from jassjr_spark.fixtures import docno_of, synth_docs, synth_queries
+from jassjr_spark.operators.index_build import build_index
+from jassjr_spark.operators.search import search_lines
+from jassjr_spark.sources.index_store import read_index
+from jassjr_spark.streaming.incremental import (
+    append_documents,
+    refresh_derived,
+    start_indexing_stream,
+)
+
+
+def _rows(n):
+    raw = synth_docs(n)
+    return [(docno_of(r, p, c), t) for r, p, c, _, t in raw]
+
+
+def test_incremental_appends_match_batch(spark, tmp_path):
+    rows = _rows(120)
+    path = str(tmp_path / "inc_idx")
+    from jassjr_spark.sources.index_store import write_meta
+
+    write_meta(spark, path, n_buckets=8)
+    # three increments, arrival order = corpus order chunks
+    for chunk in (rows[:40], rows[40:90], rows[90:]):
+        batch = spark.createDataFrame(chunk, "docno string, content string")
+        append_documents(spark, batch, path, n_buckets=8)
+    refresh_derived(spark, path)
+
+    inc = read_index(spark, path).cache()
+    # batch reference: same docs, docid = global (chunk, docno) order;
+    # chunks are already docno-sorted slices of the sorted corpus, so
+    # arrival order == corpus order
+    full = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(rows)],
+        "docid long, docno string, content string",
+    )
+    ref = build_index(full).cache()
+    qs = synth_queries(12)
+    assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)
+    assert inc.scalar_stats() == ref.scalar_stats()
+
+
+def test_streaming_source_e2e(spark, tmp_path):
+    """Real readStream (file source) -> foreachBatch indexer -> search."""
+    rows = _rows(60)
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows, "docno string, content string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "batch0"))
+
+    stream = spark.readStream.schema("docno string, content string").parquet(
+        str(src / "batch0")
+    )
+    path = str(tmp_path / "stream_idx")
+    q = start_indexing_stream(
+        spark, stream, path, checkpoint=str(tmp_path / "ckpt"), n_buckets=8
+    )
+    q.awaitTermination(120)
+    refresh_derived(spark, path)
+
+    inc = read_index(spark, path).cache()
+    full = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(sorted(rows))],
+        "docid long, docno string, content string",
+    )
+    ref = build_index(full).cache()
+    qs = synth_queries(8)
+    assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)

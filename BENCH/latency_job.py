@@ -1,0 +1,88 @@
+"""Query latency distribution: p50/p99 at k=10 and k=1000.
+
+Two regimes, both reported (the reference REPL is a single-query loop;
+Spark's unit of efficiency is the batch):
+
+* single  — one search() call per query line, wall time per call
+            (includes Spark job scheduling: this is the interactive
+            lower bound, dominated by fixed job overhead);
+* batch   — one search() call for all Q queries; per-query latency =
+            wall / Q (the throughput regime the engine is designed for).
+
+    python BENCH/latency_job.py --corpus /tmp/jassjr_bench_corpus_600000.parquet \
+        --cores 32 --queries 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pct(xs, p):
+    xs = sorted(xs)
+    i = min(len(xs) - 1, max(0, int(round(p / 100 * (len(xs) - 1)))))
+    return xs[i]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--queries", type=int, default=50)
+    args = ap.parse_args()
+
+    from jassjr_spark.fixtures import synth_queries
+    from jassjr_spark.operators.index_build import build_index
+    from jassjr_spark.operators.search import parse_queries, search
+    from jassjr_spark.session import get_spark
+
+    spark = get_spark(
+        f"latency{args.cores}", master=f"local[{args.cores}]",
+        shuffle_partitions=args.cores,
+    )
+    docs = spark.read.parquet(args.corpus).repartition(args.cores * 2).cache()
+    n_docs = docs.count()
+    idx = build_index(docs).cache()
+    stats = idx.scalar_stats()
+    idx.postings.count()  # warm cache
+    lines = synth_queries(args.queries)
+
+    out = {"cores": args.cores, "n_docs": n_docs, "n_queries": len(lines)}
+    for k in (10, 1000):
+        # warmup
+        q0 = parse_queries(spark, lines[:1])
+        search(idx, q0, k=k, stats=stats,
+               qterms=lines[0].split()[1:]).count()
+        singles = []
+        for line in lines:
+            toks = line.split()
+            qterms = toks[1:] if toks and toks[0].isnumeric() else toks
+            q = parse_queries(spark, [line])
+            t0 = time.perf_counter()
+            search(idx, q, k=k, stats=stats, qterms=qterms).count()
+            singles.append(time.perf_counter() - t0)
+        qall = parse_queries(spark, lines)
+        allterms = sorted(
+            {t for ln in lines for t in (ln.split()[1:] or ln.split())}
+        )
+        t0 = time.perf_counter()
+        search(idx, qall, k=k, stats=stats, qterms=allterms).count()
+        batch_wall = time.perf_counter() - t0
+        out[f"k{k}"] = {
+            "single_p50_ms": round(pct(singles, 50) * 1000, 1),
+            "single_p99_ms": round(pct(singles, 99) * 1000, 1),
+            "batch_total_s": round(batch_wall, 3),
+            "batch_per_query_ms": round(batch_wall / len(lines) * 1000, 2),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

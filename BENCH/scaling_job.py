@@ -1,0 +1,99 @@
+"""One scaling measurement: run the index build and/or the query workload
+at a given parallelism on a given corpus; print one JSON line.
+
+Run in a FRESH process per parallelism level (a JVM's master is fixed at
+session creation):
+
+    python BENCH/scaling_job.py --cores 8 --corpus /tmp/corpus.parquet \
+        --iters 3 --mode both
+
+Timing discipline mirrors tools/benchmark.sh of the reference (1 warmup,
+median of N) but excludes JVM/session startup — the quantity under test is
+job throughput, which is what scales with executors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--queries", type=int, default=50)
+    ap.add_argument("--mode", choices=["index", "search", "both"], default="both")
+    args = ap.parse_args()
+
+    from jassjr_spark.fixtures import synth_queries
+    from jassjr_spark.operators.index_build import build_index
+    from jassjr_spark.operators.search import parse_queries, search
+    from jassjr_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling_{args.cores}", master=f"local[{args.cores}]",
+        shuffle_partitions=args.cores,
+    )
+    # A ~100 MB corpus coalesces into very few scan partitions
+    # (spark.sql.files.maxPartitionBytes), which would starve 32 cores and
+    # corrupt the scaling measurement; 2 partitions/core is the standard
+    # cluster sizing for a CPU-bound map stage.
+    docs = spark.read.parquet(args.corpus).repartition(args.cores * 2)
+    n_docs = docs.count()
+    docs = docs.cache()
+    docs.count()  # warm the cache so we measure compute, not disk
+
+    out = {"cores": args.cores, "n_docs": n_docs}
+
+    def median_time(fn, iters):
+        fn()  # warmup
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return statistics.median(times)
+
+    if args.mode in ("index", "both"):
+        # One action materializing the postings artifact — the dominant
+        # cost. In the persisted build (plans/build_job.py) dictionary /
+        # lengths / stats are downstream aggregations of the postings
+        # already on disk, so timing them here would double-count the
+        # tokenizer.
+        def build():
+            idx = build_index(docs)
+            idx.postings.write.mode("overwrite").format("noop").save()
+
+        t = median_time(build, args.iters)
+        out["index_sec"] = round(t, 3)
+        out["index_docs_per_sec"] = round(n_docs / t, 1)
+
+    if args.mode in ("search", "both"):
+        idx = build_index(docs).cache()
+        stats = idx.scalar_stats()
+        lines = synth_queries(args.queries)
+        q = parse_queries(spark, lines)
+        qterms = sorted(
+            {t for ln in lines for t in ln.split()[1:] or ln.split()}
+        )
+
+        def run_search():
+            search(idx, q, k=1000, stats=stats, qterms=qterms).count()
+
+        t = median_time(run_search, args.iters)
+        out["search_sec"] = round(t, 3)
+        out["queries_per_sec"] = round(args.queries / t, 2)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -278,6 +278,127 @@ FROM documents WHERE CAST(doc_id AS VARCHAR) = '{SHOW_DOCNO}'
 """
 
 
+def q_ft_vocab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (tools/vocab_diff.py): diff the full-corpus dictionary against
+    the dictionary of the docid < 100 slice — every discrepancy row."""
+    from jassjr_spark.operators.tooling import vocab_diff
+
+    docs = load_documents(spark, sf_dir)
+    full = build_index(docs, prepend_docno=False).dictionary
+    part = build_index(
+        docs.filter(F.col("docid") < 100), prepend_docno=False
+    ).dictionary
+    return vocab_diff(full, part).select(
+        "term", F.col("df_a").cast("long"), F.col("df_b").cast("long"), "status"
+    )
+
+
+SQL_FT_VOCAB_DIFF = f"""{_INDEX_CTES},
+toks_b AS (
+  SELECT doc_id AS docid,
+         substr(unnest(regexp_extract_all(lower(text), '{_TOK_SQL}')), 1, 255) AS term
+  FROM documents WHERE doc_id < 100
+),
+dict_b AS (
+  SELECT term, count(DISTINCT docid) AS df_b
+  FROM toks_b GROUP BY term
+),
+j AS (
+  SELECT COALESCE(a.term, b.term) AS term,
+         CAST(a.df AS BIGINT) AS df_a, CAST(b.df_b AS BIGINT) AS df_b
+  FROM dict a FULL OUTER JOIN dict_b b ON a.term = b.term
+)
+SELECT term, df_a, df_b,
+       CASE WHEN df_b IS NULL THEN 'only_a'
+            WHEN df_a IS NULL THEN 'only_b'
+            WHEN df_a <> df_b THEN 'df_mismatch' END AS status
+FROM j
+WHERE (df_b IS NULL) OR (df_a IS NULL) OR (df_a <> df_b)
+"""
+
+
+def q_ft_trec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trec_eval-style per-query metrics (AP, P@5, P@10) of the flagship
+    BM25 run against deterministic synthetic qrels
+    (rel(q, d) := d % 13 == q % 13)."""
+    from jassjr_spark.operators.tooling import trec_eval_metrics
+
+    run = q_ft_bm25_top10(spark, sf_dir, k=10)
+    docs = load_documents(spark, sf_dir).select("docid")
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in BM25_QUERIES], "query_id long"
+    )
+    qrels = (
+        qids.crossJoin(docs)
+        .filter((F.col("docid") % 13) == (F.col("query_id") % 13))
+        .withColumn("rel", F.lit(1))
+    )
+    return trec_eval_metrics(run, qrels, key="docid")
+
+
+def _sql_trec_eval() -> str:
+    bm25 = _sql_ft_bm25(10)
+    # reuse the bm25 statement as a CTE body: strip its WITH prefix
+    inner = bm25.strip()
+    assert inner.startswith("WITH ")
+    return f"""{inner[:inner.rindex('SELECT CAST(query_id AS BIGINT)')]},
+run AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank
+  FROM acc
+  WHERE rsv > 0
+  QUALIFY rank <= 10
+),
+qrels AS (
+  SELECT q.query_id, d.doc_id AS docid, 1 AS rel
+  FROM (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id FROM queries) q
+  CROSS JOIN documents d
+  WHERE d.doc_id % 13 = q.query_id % 13
+),
+j AS (
+  SELECT r.query_id, r.docid, r.rank,
+         CASE WHEN qr.rel IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM run r LEFT JOIN qrels qr USING (query_id, docid)
+),
+jj AS (
+  SELECT *, sum(is_rel) OVER (PARTITION BY query_id ORDER BY rank) AS cum_rel
+  FROM j
+),
+per_q AS (
+  SELECT query_id,
+         CAST(count(*) AS BIGINT) AS num_ret,
+         CAST(sum(is_rel) AS BIGINT) AS num_rel_ret,
+         sum(CASE WHEN is_rel = 1 THEN CAST(cum_rel AS DOUBLE) / rank END) AS sum_prec,
+         sum(CASE WHEN rank <= 5 AND is_rel = 1 THEN 1 ELSE 0 END) AS rel_at_5,
+         sum(CASE WHEN rank <= 10 AND is_rel = 1 THEN 1 ELSE 0 END) AS rel_at_10
+  FROM jj GROUP BY query_id
+),
+n_rel AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS num_rel FROM qrels GROUP BY query_id
+)
+SELECT p.query_id, p.num_ret,
+       COALESCE(n.num_rel, 0) AS num_rel,
+       p.num_rel_ret,
+       round(CASE WHEN COALESCE(n.num_rel, 0) > 0
+             THEN COALESCE(p.sum_prec, 0.0) / n.num_rel ELSE 0.0 END, 4) AS ap,
+       round(p.rel_at_5 / 5.0, 4) AS p_at_5,
+       round(p.rel_at_10 / 10.0, 4) AS p_at_10
+FROM per_q p LEFT JOIN n_rel n USING (query_id)
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing surface: frame-sample grid over the synthetic
+    media table (payloads are deterministic; decode is stubbed — no
+    imaging libs in this environment). Rows-only driver check; full
+    assertions live in tests/test_pipeline_ops.py."""
+    from jassjr_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, 48)
+    return multimodal.frame_sample(media, every_ms=250)
+
+
 # ----------------------------------------------------------- dedup queries
 
 
@@ -475,6 +596,9 @@ def catalog() -> dict[str, tuple]:
         "ft_bm25_top10": (q_ft_bm25_top10, _sql_ft_bm25()),
         "ft_top_terms": (q_ft_top_terms, SQL_FT_TOP_TERMS),
         "ft_show_document": (q_ft_show_document, SQL_FT_SHOW_DOCUMENT),
+        "ft_vocab_diff": (q_ft_vocab_diff, SQL_FT_VOCAB_DIFF),
+        "ft_trec_eval": (q_ft_trec_eval, _sql_trec_eval()),
+        "mm_frame_sample": (q_mm_frame_sample, None),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_fingerprints": (q_dedup_fingerprints, SQL_DEDUP_FINGERPRINTS),
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),

@@ -86,16 +86,22 @@ def build_index(
     docs: DataFrame,
     order_cols: list[str] | None = None,
     prepend_docno: bool = True,
+    tokenizer_mode: str = "arrow",
 ) -> Index:
     """documents(docno, content[, ...]) -> Index.
 
     If ``order_cols`` is given, docids are assigned by that order;
     otherwise the input must already carry a ``docid`` column.
+    tokenizer_mode: "arrow" (map-only pandas UDF, default — fastest
+    measured) or "jvm" (pure built-ins) — identical output, see
+    tokenize.py.
     """
     if order_cols is not None:
         docs = assign_docids(docs, order_cols)
 
-    postings = doc_term_frequencies(docs, prepend_docno=prepend_docno)
+    postings = doc_term_frequencies(
+        docs, prepend_docno=prepend_docno, mode=tokenizer_mode
+    )
 
     # Per-doc length (every non-tag token counts, JASSjr_index.py:69). dl is
     # already on each posting row; min() just picks the constant without a

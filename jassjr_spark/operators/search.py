@@ -65,7 +65,8 @@ def parse_queries(spark: SparkSession, lines: list[str]) -> DataFrame:
 
 
 def attach_idf(
-    queries: DataFrame, dictionary: DataFrame, n_docs: int
+    queries: DataFrame, dictionary: DataFrame, n_docs: int,
+    qterms: list[str] | None = None,
 ) -> DataFrame:
     """S4 dictionary probe + S6 elision + S7 idf, driver-side.
 
@@ -82,7 +83,8 @@ def attach_idf(
     import math
 
     spark = queries.sparkSession
-    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    if qterms is None:
+        qterms = [r.term for r in queries.select("term").distinct().collect()]
     rows = (
         dictionary.filter(F.col("term").isin(qterms))
         .select("term", "df")
@@ -97,14 +99,14 @@ def attach_idf(
 
 def score_postings(
     queries: DataFrame, postings: DataFrame, dictionary: DataFrame,
-    n_docs: int, avgdl: float,
+    n_docs: int, avgdl: float, qterms: list[str] | None = None,
 ) -> DataFrame:
     """-> (query_id, docid, pos, contrib): per (query-term-occurrence, doc)
     BM25 contribution. Pure Column math (whole-stage codegen); the
     broadcast join on term doubles as the postings fetch — with a
     term-sorted Parquet postings table the join's ``term IN (...)`` pushes
     into the scan and prunes untouched lists (S5)."""
-    q = attach_idf(queries, dictionary, n_docs)
+    q = attach_idf(queries, dictionary, n_docs, qterms=qterms)
     joined = postings.join(
         F.broadcast(q.select("query_id", "pos", "term", "idf")), "term"
     )
@@ -146,19 +148,26 @@ def top_k(accumulated: DataFrame, k: int = TOP_K) -> DataFrame:
 
 def search(
     index: Index, queries: DataFrame, k: int = TOP_K,
-    stats: dict | None = None,
+    stats: dict | None = None, qterms: list[str] | None = None,
 ) -> DataFrame:
-    """Full S1-S10 pipeline -> (query_id, docno, rank, rsv) ranked run."""
+    """Full S1-S10 pipeline -> (query_id, docno, rank, rsv) ranked run.
+
+    Pass ``qterms`` when the query terms are already known driver-side
+    (they always are for text workloads) — it saves one Spark job per
+    call; job-count, not data volume, dominates small-batch latency.
+    """
     s = stats or index.scalar_stats()
     # Prune the postings scan to the query's terms (and, for a persisted
     # bucketed index, to their bucket directories) before the join — the
     # distributed analogue of the reference's per-term fseek.
     from jassjr_spark.sources.index_store import pruned_postings
 
-    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    if qterms is None:
+        qterms = [r.term for r in queries.select("term").distinct().collect()]
     postings = pruned_postings(index, qterms)
     scored = score_postings(
-        queries, postings, index.dictionary, s["n_docs"], s["avgdl"]
+        queries, postings, index.dictionary, s["n_docs"], s["avgdl"],
+        qterms=qterms,
     )
     ranked = top_k(accumulate(scored), k)
     return (
@@ -208,12 +217,26 @@ def search_lines(
     # key each line separately but run them as ONE Spark job per call when
     # ids are unique, else per line.
     ids = input_order_qids(query_lines)
+
+    def terms_of(lines: list[str]) -> list[str]:
+        ts = set()
+        for line in lines:
+            toks = line.split()
+            if toks and toks[0].isnumeric():
+                toks = toks[1:]
+            ts.update(toks)
+        return sorted(ts)
+
     if len(set(ids)) == len(ids):
         q = parse_queries(spark, query_lines)
-        run = search(index, q, k, stats=stats)
+        run = search(index, q, k, stats=stats, qterms=terms_of(query_lines))
         out.extend(regroup_lines(to_trec_lines(run), ids))
     else:
         for line in query_lines:
             q = parse_queries(spark, [line])
-            out.extend(to_trec_lines(search(index, q, k, stats=stats)))
+            out.extend(
+                to_trec_lines(
+                    search(index, q, k, stats=stats, qterms=terms_of([line]))
+                )
+            )
     return out

@@ -87,7 +87,7 @@ def wand_search(
     from jassjr_spark.sources.index_store import pruned_postings
 
     postings = pruned_postings(index, qterms)
-    q_idf = attach_idf(queries, index.dictionary, s["n_docs"])
+    q_idf = attach_idf(queries, index.dictionary, s["n_docs"], qterms=qterms)
     blocks_q = blocks.filter(F.col("term").isin(qterms))
 
     ub = _block_upper_bounds(q_idf, blocks_q).cache()
@@ -107,7 +107,9 @@ def wand_search(
         .filter(F.col("cum_before") < k)
         .select("query_id", "block_id")
     )
-    seed_scores = _exact_scores(queries, postings, index, s, seeds, block_span)
+    seed_scores = _exact_scores(
+        queries, postings, index, s, seeds, block_span, qterms
+    )
     kth = (
         top_k(seed_scores, k)
         .groupBy("query_id")
@@ -126,7 +128,9 @@ def wand_search(
         )
         .select("query_id", "block_id")
     )
-    final_scores = _exact_scores(queries, postings, index, s, kept, block_span)
+    final_scores = _exact_scores(
+        queries, postings, index, s, kept, block_span, qterms
+    )
     ranked = top_k(final_scores, k)
     return (
         ranked.join(F.broadcast(index.docids), "docid")
@@ -136,13 +140,14 @@ def wand_search(
 
 def _exact_scores(
     queries: DataFrame, postings: DataFrame, index: Index, s: dict,
-    block_subset: DataFrame, block_span: int,
+    block_subset: DataFrame, block_span: int, qterms: list[str] | None = None,
 ) -> DataFrame:
     """Exact (query_id, docid, rsv) restricted to the given
     (query_id, block_id) subset — the same kernel as the naive path plus a
     broadcast semi-join on the block filter."""
     scored = score_postings(
-        queries, postings, index.dictionary, s["n_docs"], s["avgdl"]
+        queries, postings, index.dictionary, s["n_docs"], s["avgdl"],
+        qterms=qterms,
     ).withColumn("block_id", (F.col("docid") / block_span).cast("long"))
     scored = scored.join(
         F.broadcast(block_subset), ["query_id", "block_id"], "left_semi"

@@ -100,3 +100,17 @@ def test_index_equivalence(spark, tmp_path: Path):
     assert len(one) > 0
     assert [r.docid for r in one] == sorted({r.docid for r in one})
     assert all(r.tf >= 1 for r in one)
+
+
+def test_tokenizer_modes_identical(spark):
+    """JVM and Arrow tokenizer paths must emit identical postings rows."""
+    from jassjr_spark.functions.tokenize import doc_term_frequencies
+
+    docs = _rows(150)
+    sdf = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(docs)],
+        "docid long, docno string, content string",
+    )
+    a = {tuple(r) for r in doc_term_frequencies(sdf, mode="jvm").collect()}
+    b = {tuple(r) for r in doc_term_frequencies(sdf, mode="arrow").collect()}
+    assert a == b

@@ -1,0 +1,82 @@
+"""Tooling operators (T1-T3), trec_eval metrics, salted aggregation."""
+
+from pyspark.sql import functions as F
+
+from jassjr_spark.fixtures import docno_of, golden_docs, synth_docs
+from jassjr_spark.functions.skew import salted_collect_postings
+from jassjr_spark.operators.index_build import build_index
+from jassjr_spark.operators.tooling import (
+    index_stats,
+    show_document,
+    trec_eval_metrics,
+    vocab_diff,
+)
+
+
+def _golden_index(spark):
+    docs = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(golden_docs())],
+        "docid long, docno string, content string",
+    )
+    return docs, build_index(docs).cache()
+
+
+def test_index_stats_golden(spark):
+    """Matches the reference-verified stats (SURVEY.md §1.4 item 1)."""
+    _, idx = _golden_index(spark)
+    r = index_stats(idx).first()
+    assert r.n_docs == 11 and r.vocab_size == 22
+    assert r.min_len == 2 and r.max_len == 11
+    assert abs(r.avgdl - 67 / 11) < 1e-12
+    assert r.heaviest_df == 10  # 'ten' appears in docs 1..10
+
+
+def test_vocab_diff(spark):
+    docs, idx = _golden_index(spark)
+    idx2 = build_index(docs.filter(F.col("docid") < 5)).cache()
+    diff = {r.term: r.status for r in vocab_diff(idx.dictionary, idx2.dictionary).collect()}
+    assert diff["one"] == "only_a"          # only in docs >= 5... doc 10
+    assert diff["ten"] == "df_mismatch"     # df 10 vs 4
+    assert "zero" not in diff               # doc 0 in both, df 1 == 1
+    # identical dictionaries -> empty diff (the tool's exit-0 condition)
+    assert vocab_diff(idx.dictionary, idx.dictionary).count() == 0
+
+
+def test_show_document(spark):
+    docs, _ = _golden_index(spark)
+    got = show_document(docs, "7").collect()
+    assert len(got) == 1 and got[0].content.startswith("ten nine")
+
+
+def test_trec_eval_metrics(spark):
+    run = spark.createDataFrame(
+        [("1", "a", 1, 1.0), ("1", "b", 2, 0.9), ("1", "c", 3, 0.8)],
+        "query_id string, docno string, rank long, rsv double",
+    )
+    qrels = spark.createDataFrame(
+        [("1", "a", 1), ("1", "c", 1), ("1", "zz", 1)],
+        "query_id string, docno string, rel int",
+    )
+    m = trec_eval_metrics(run, qrels).first()
+    # AP = (1/1 + 2/3) / 3 relevant = 0.5556
+    assert m.num_ret == 3 and m.num_rel == 3 and m.num_rel_ret == 2
+    assert m.ap == round((1.0 + 2 / 3) / 3, 4)
+    assert m.p_at_5 == round(2 / 5, 4)
+
+
+def test_salted_collect_matches_plain(spark):
+    raw = synth_docs(300)
+    rows = [(docno_of(r, p, c), t) for r, p, c, _, t in raw]
+    sdf = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(rows)],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(sdf).cache()
+    salted = salted_collect_postings(idx.postings.select("term", "docid", "tf"), 8)
+    plain = idx.postings.groupBy("term").agg(
+        F.array_sort(F.collect_list(F.struct("docid", "tf"))).alias("postings"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    a = {r.term: (r.df, [(p.docid, p.tf) for p in r.postings]) for r in salted.collect()}
+    b = {r.term: (r.df, [(p.docid, p.tf) for p in r.postings]) for r in plain.collect()}
+    assert a == b

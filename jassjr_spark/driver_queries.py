@@ -245,6 +245,42 @@ QUALIFY rank <= {k}
 """
 
 
+def q_ft_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """The flagship BM25 workload evaluated through the block-max WAND
+    pruned path (operators/wand.py) — must match the SAME DuckDB oracle as
+    ft_bm25_top10, proving the pruning is rank-safe end-to-end.
+
+    WAND ranks by unrounded scores; the driver contract ranks by rounded
+    ones, so we take a wide WAND margin (k'=200) and re-rank rounded —
+    identical output unless a rounded tie straddles position 200 (not
+    possible here: queries match far fewer than 200 docs per rounded-score
+    class)."""
+    from jassjr_spark.functions.compression import build_blocks
+    from jassjr_spark.operators.wand import wand_search
+
+    idx = corpus_index(spark, sf_dir).cache()
+    s = idx.scalar_stats()
+    blocks = build_blocks(idx.postings, s["avgdl"], block_span=512)
+    qrows = [
+        (qid, pos, t) for qid, terms in BM25_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    run = wand_search(idx, blocks, queries, k=200, stats=s, block_span=512)
+    rounded = (
+        run.withColumn("docid", F.col("docno").cast("long"))
+        .withColumn("rsv", F.round("rsv", 4))
+        .filter(F.col("rsv") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
 def q_ft_top_terms(spark: SparkSession, sf_dir: str, n: int = 20) -> DataFrame:
     """T1's 'largest postings' stat: top-n terms by collection frequency."""
     idx = corpus_index(spark, sf_dir)
@@ -594,6 +630,7 @@ def catalog() -> dict[str, tuple]:
         "ft_postings": (q_ft_postings, SQL_FT_POSTINGS),
         "ft_idf": (q_ft_idf, _sql_ft_idf()),
         "ft_bm25_top10": (q_ft_bm25_top10, _sql_ft_bm25()),
+        "ft_bm25_wand": (q_ft_bm25_wand, _sql_ft_bm25()),
         "ft_top_terms": (q_ft_top_terms, SQL_FT_TOP_TERMS),
         "ft_show_document": (q_ft_show_document, SQL_FT_SHOW_DOCUMENT),
         "ft_vocab_diff": (q_ft_vocab_diff, SQL_FT_VOCAB_DIFF),

@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--block-span", type=int, default=1024)
     ap.add_argument("--no-docno-term", action="store_true",
                     help="do not index the DOCNO token (non-TREC semantics)")
+    ap.add_argument("--impact", action="store_true",
+                    help="also build impact-ordered segments (SAAT path)")
     args = ap.parse_args()
 
     from jassjr_spark.plans.build_job import build_persisted_index
@@ -68,6 +70,7 @@ def main() -> None:
         order_cols=order_cols,
         prepend_docno=not args.no_docno_term,
         n_buckets=args.buckets, block_span=args.block_span,
+        include_impact=args.impact,
     )
     print(f"Indexed {n} documents. Serialising...")
     print(f"stages executed={report.executed} skipped={report.skipped} "

@@ -85,6 +85,7 @@ def build_persisted_index(
     prepend_docno: bool = True,
     n_buckets: int = DEFAULT_BUCKETS,
     block_span: int = DEFAULT_BLOCK_SPAN,
+    include_impact: bool = False,
     fail_after_stage: str | None = None,  # test hook: simulate a crash
 ) -> BuildReport:
     """Build (or resume building) a persisted index at ``path``."""
@@ -220,6 +221,37 @@ def build_persisted_index(
         ]
 
     run_stage("blocks", write_blocks, blocks_metrics)
+
+    if include_impact:
+        def write_impact() -> int:
+            from jassjr_spark.operators.impact import build_impact_segments
+            from jassjr_spark.operators.index_build import Index as _Index
+
+            stats_row = spark.read.parquet(f"{path}/stats").first()
+            tmp_index = _Index(
+                postings=postings_on_disk,
+                dictionary=spark.read.parquet(f"{path}/dictionary"),
+                doc_lengths=spark.read.parquet(f"{path}/doc_lengths"),
+                docids=spark.read.parquet(f"{path}/docids"),
+                stats=spark.read.parquet(f"{path}/stats"),
+            )
+            segments, _ = build_impact_segments(
+                tmp_index,
+                {"n_docs": stats_row["n_docs"], "avgdl": stats_row["avgdl"]},
+            )
+            (
+                segments.withColumn(
+                    "bucket", term_bucket_col(F.col("term"), n_buckets)
+                )
+                .repartition(n_buckets, "bucket")
+                .sortWithinPartitions("term", F.col("impact").desc())
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{path}/impact_segments")
+            )
+            return spark.read.parquet(f"{path}/impact_segments").count()
+
+        run_stage("impact_segments", write_impact)
 
     write_meta(spark, path, n_buckets, block_span)
     return BuildReport(executed=executed, skipped=skipped, fingerprint=fp)

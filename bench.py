@@ -58,6 +58,7 @@ def main() -> None:
     run("index_build", build_and_materialize)
     run("bm25_top10", lambda: dq.q_ft_bm25_top10(spark, SF_DIR, k=10).collect())
     run("bm25_top1000", lambda: dq.q_ft_bm25_top10(spark, SF_DIR, k=1000).collect())
+    run("bm25_wand_top10", lambda: dq.q_ft_bm25_wand(spark, SF_DIR, k=10).collect())
     run("dictionary", lambda: dq.q_ft_dictionary(spark, SF_DIR).count())
     run("dedup_exact", lambda: dq.q_dedup_exact(spark, SF_DIR).count())
     run("dedup_minhash_pairs",

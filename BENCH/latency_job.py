@@ -40,7 +40,9 @@ def main() -> None:
 
     from jassjr_spark.fixtures import synth_queries
     from jassjr_spark.operators.index_build import build_index
-    from jassjr_spark.operators.search import parse_queries, search
+    from jassjr_spark.operators.search import (
+        local_dictionary, parse_queries, search,
+    )
     from jassjr_spark.session import get_spark
 
     spark = get_spark(
@@ -52,6 +54,7 @@ def main() -> None:
     idx = build_index(docs).cache()
     stats = idx.scalar_stats()
     idx.postings.count()  # warm cache
+    ld = local_dictionary(idx)  # interactive config: no per-call probe job
     lines = synth_queries(args.queries)
 
     out = {"cores": args.cores, "n_docs": n_docs, "n_queries": len(lines)}
@@ -66,7 +69,8 @@ def main() -> None:
             qterms = toks[1:] if toks and toks[0].isnumeric() else toks
             q = parse_queries(spark, [line])
             t0 = time.perf_counter()
-            search(idx, q, k=k, stats=stats, qterms=qterms).count()
+            search(idx, q, k=k, stats=stats, qterms=qterms,
+                   local_dict=ld).count()
             singles.append(time.perf_counter() - t0)
         qall = parse_queries(spark, lines)
         allterms = sorted(

@@ -507,6 +507,41 @@ WHERE a.docid < b.docid
 """
 
 
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.1) over the
+    docid < 200 slice — the verification stage LSH candidates feed at
+    scale, exact-checked against SQL here."""
+    docs = load_documents(spark, sf_dir).filter(F.col("docid") < 200)
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH docs AS (
+  SELECT doc_id AS docid, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+  FROM documents WHERE doc_id < 200
+),
+sh AS (
+  SELECT DISTINCT docid,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM docs WHERE len(toks) > 0
+),
+sizes AS (SELECT docid, count(*) AS n FROM sh GROUP BY docid),
+inter AS (
+  SELECT a.docid AS docid_a, b.docid AS docid_b, count(*) AS ni
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.docid < b.docid
+  GROUP BY 1, 2
+)
+SELECT i.docid_a, i.docid_b,
+       round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.docid_a = sa.docid
+JOIN sizes sb ON i.docid_b = sb.docid
+WHERE round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 4) >= 0.1
+"""
+
+
 # ------------------------------------------------------ text-stats queries
 
 
@@ -639,6 +674,7 @@ def catalog() -> dict[str, tuple]:
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_fingerprints": (q_dedup_fingerprints, SQL_DEDUP_FINGERPRINTS),
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
+        "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
         "text_token_counts": (q_text_token_counts, SQL_TEXT_TOKEN_COUNTS),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),

@@ -64,9 +64,21 @@ def parse_queries(spark: SparkSession, lines: list[str]) -> DataFrame:
     return spark.createDataFrame(rows, "query_id string, pos int, term string")
 
 
+def local_dictionary(index: Index, max_terms: int = 2_000_000) -> dict | None:
+    """Driver-side (term -> df) snapshot. For interactive/repeated search
+    over a moderate vocabulary this removes the per-call dictionary-probe
+    job entirely (job count, not data, bounds small-query latency).
+    Returns None when the vocabulary exceeds ``max_terms`` — at web scale
+    the per-query filtered probe (pushdown on a sorted dictionary table)
+    is the right plan and this snapshot must not be attempted."""
+    if index.dictionary.count() > max_terms:
+        return None
+    return {r.term: r.df for r in index.dictionary.select("term", "df").collect()}
+
+
 def attach_idf(
     queries: DataFrame, dictionary: DataFrame, n_docs: int,
-    qterms: list[str] | None = None,
+    qterms: list[str] | None = None, local_dict: dict | None = None,
 ) -> DataFrame:
     """S4 dictionary probe + S6 elision + S7 idf, driver-side.
 
@@ -85,14 +97,16 @@ def attach_idf(
     spark = queries.sparkSession
     if qterms is None:
         qterms = [r.term for r in queries.select("term").distinct().collect()]
-    rows = (
-        dictionary.filter(F.col("term").isin(qterms))
-        .select("term", "df")
-        .collect()
-    )
-    idf = [
-        (r.term, math.log(n_docs / r.df)) for r in rows if r.df < n_docs
-    ]
+    if local_dict is not None:
+        pairs = [(t, local_dict[t]) for t in qterms if t in local_dict]
+    else:
+        pairs = [
+            (r.term, r.df)
+            for r in dictionary.filter(F.col("term").isin(qterms))
+            .select("term", "df")
+            .collect()
+        ]
+    idf = [(t, math.log(n_docs / df)) for t, df in pairs if df < n_docs]
     idf_df = spark.createDataFrame(idf, "term string, idf double")
     return queries.join(F.broadcast(idf_df), "term")
 
@@ -100,13 +114,15 @@ def attach_idf(
 def score_postings(
     queries: DataFrame, postings: DataFrame, dictionary: DataFrame,
     n_docs: int, avgdl: float, qterms: list[str] | None = None,
+    local_dict: dict | None = None,
 ) -> DataFrame:
     """-> (query_id, docid, pos, contrib): per (query-term-occurrence, doc)
     BM25 contribution. Pure Column math (whole-stage codegen); the
     broadcast join on term doubles as the postings fetch — with a
     term-sorted Parquet postings table the join's ``term IN (...)`` pushes
     into the scan and prunes untouched lists (S5)."""
-    q = attach_idf(queries, dictionary, n_docs, qterms=qterms)
+    q = attach_idf(queries, dictionary, n_docs, qterms=qterms,
+                   local_dict=local_dict)
     joined = postings.join(
         F.broadcast(q.select("query_id", "pos", "term", "idf")), "term"
     )
@@ -149,6 +165,7 @@ def top_k(accumulated: DataFrame, k: int = TOP_K) -> DataFrame:
 def search(
     index: Index, queries: DataFrame, k: int = TOP_K,
     stats: dict | None = None, qterms: list[str] | None = None,
+    local_dict: dict | None = None,
 ) -> DataFrame:
     """Full S1-S10 pipeline -> (query_id, docno, rank, rsv) ranked run.
 
@@ -167,7 +184,7 @@ def search(
     postings = pruned_postings(index, qterms)
     scored = score_postings(
         queries, postings, index.dictionary, s["n_docs"], s["avgdl"],
-        qterms=qterms,
+        qterms=qterms, local_dict=local_dict,
     )
     ranked = top_k(accumulate(scored), k)
     return (

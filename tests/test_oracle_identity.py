@@ -114,3 +114,23 @@ def test_tokenizer_modes_identical(spark):
     a = {tuple(r) for r in doc_term_frequencies(sdf, mode="jvm").collect()}
     b = {tuple(r) for r in doc_term_frequencies(sdf, mode="arrow").collect()}
     assert a == b
+
+
+def test_local_dictionary_search_identical(spark):
+    """The driver-side dictionary snapshot path must not change results."""
+    from jassjr_spark.operators.search import (
+        local_dictionary, parse_queries, search, to_trec_lines,
+    )
+
+    docs = _rows(250)
+    sdf = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(docs)],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(sdf).cache()
+    ld = local_dictionary(idx)
+    assert ld is not None and len(ld) > 0
+    q = parse_queries(spark, synth_queries(8))
+    a = to_trec_lines(search(idx, q))
+    b = to_trec_lines(search(idx, q, local_dict=ld))
+    assert a == b

@@ -281,6 +281,26 @@ def q_ft_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+def q_ft_bm25_saat(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Flagship workload through the impact-ordered score-at-a-time path
+    (operators/impact.py), full budget. Quantized integer scores by
+    design, so no float oracle: the driver records rows-only; SAAT(∞) ==
+    quantized referee equality and >=90% top-10 agreement with exact BM25
+    are asserted in tests/test_impact.py."""
+    from jassjr_spark.operators.impact import build_impact_segments, saat_search
+
+    idx = corpus_index(spark, sf_dir).cache()
+    s = idx.scalar_stats()
+    segments, _ = build_impact_segments(idx, s, seg_span=4096)
+    qrows = [
+        (qid, pos, t) for qid, terms in BM25_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    return saat_search(segments, queries, k=k).select(
+        F.col("query_id").cast("long"), "docid", "rank", "rsv_q"
+    )
+
+
 def q_ft_top_terms(spark: SparkSession, sf_dir: str, n: int = 20) -> DataFrame:
     """T1's 'largest postings' stat: top-n terms by collection frequency."""
     idx = corpus_index(spark, sf_dir)
@@ -666,6 +686,7 @@ def catalog() -> dict[str, tuple]:
         "ft_idf": (q_ft_idf, _sql_ft_idf()),
         "ft_bm25_top10": (q_ft_bm25_top10, _sql_ft_bm25()),
         "ft_bm25_wand": (q_ft_bm25_wand, _sql_ft_bm25()),
+        "ft_bm25_saat": (q_ft_bm25_saat, None),
         "ft_top_terms": (q_ft_top_terms, SQL_FT_TOP_TERMS),
         "ft_show_document": (q_ft_show_document, SQL_FT_SHOW_DOCUMENT),
         "ft_vocab_diff": (q_ft_vocab_diff, SQL_FT_VOCAB_DIFF),

@@ -77,6 +77,67 @@ def _plane(seed: int, j: int, dim: int) -> list[float]:
     return out
 
 
+def ivf_index(
+    vectors: DataFrame, n_clusters: int = 16, seed: int = 42,
+) -> tuple[DataFrame, list]:
+    """IVF coarse quantizer: KMeans-cluster the corpus -> (assigned,
+    centroids). ``assigned`` is the input plus a ``cluster`` column (the
+    inverted list id); at scale this column is the partition key of the
+    vector store, so a probe touches only nprobe partitions — the vector
+    analogue of the postings bucket layout."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vdf = vectors.withColumn(
+        "features",
+        array_to_vector(F.col("embedding").cast("array<double>")),
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="features", predictionCol="cluster"
+    ).fit(vdf)
+    assigned = model.transform(vdf).select("vec_id", "embedding", "cluster")
+    return assigned, [c.tolist() for c in model.clusterCenters()]
+
+
+def ivf_topk(
+    assigned: DataFrame, centroids: list, queries_local: list,
+    k: int = 5, nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k probing the ``nprobe`` nearest inverted lists.
+
+    queries_local: [(qvec_id, [floats])] — centroid selection is a tiny
+    driver-side numpy computation (|queries| x |centroids|), the classic
+    IVF shape. nprobe == n_clusters degenerates to exact brute force
+    (tested). Returns (qvec_id, vec_id, rank, cosine).
+    """
+    import numpy as np
+
+    spark = assigned.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+    rows = []
+    for qvec_id, qvec in queries_local:
+        qv = np.asarray(qvec, dtype=np.float64)
+        sims = cents @ qv / (cnorm * np.linalg.norm(qv) + 1e-12)
+        for c in np.argsort(-sims)[:nprobe]:
+            rows.append((int(qvec_id), [float(x) for x in qvec], int(c)))
+    probes = spark.createDataFrame(
+        rows, "qvec_id long, qvec array<float>, cluster int"
+    )
+    joined = assigned.join(F.broadcast(probes), "cluster").filter(
+        F.col("vec_id") != F.col("qvec_id")
+    )
+    scored = with_cosine(joined).withColumn("cosine", F.round("cosine", 6))
+    w = Window.partitionBy("qvec_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qvec_id", "vec_id", "rank", "cosine")
+    )
+
+
 def lsh_bucket(
     vectors: DataFrame, n_planes: int = 8, seed: int = 42, dim: int = 64,
     col: str = "embedding",

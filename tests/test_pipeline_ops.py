@@ -151,3 +151,61 @@ def test_multimodal_plumbing(spark):
     assert len(frames) >= vids * 3
     with pytest.raises(ValueError):
         multimodal.decode_image(b"")
+
+
+def test_ivf_topk(spark):
+    """IVF: full probe == exact brute force; partial probe keeps recall."""
+    import random
+
+    from jassjr_spark.operators.similarity import cosine_topk, ivf_index, ivf_topk
+
+    rng = random.Random(11)
+    dim = 16
+    centres = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(6)]
+    base = [[c + rng.gauss(0, 0.05) for c in centres[i % 6]] for i in range(48)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries_local = [(i, rows[i][1]) for i in range(3)]
+    qdf = spark.createDataFrame(
+        queries_local, "qvec_id long, qvec array<float>"
+    )
+    assigned, centroids = ivf_index(vecs, n_clusters=6)
+    exact = {(r.qvec_id, r.rank): (r.vec_id, r.cosine)
+             for r in cosine_topk(vecs, qdf, k=5).collect()}
+    full = {(r.qvec_id, r.rank): (r.vec_id, r.cosine)
+            for r in ivf_topk(assigned, centroids, queries_local, k=5,
+                              nprobe=6).collect()}
+    assert full == exact  # probing every list degenerates to brute force
+    part = {(r.qvec_id, r.vec_id) for r in
+            ivf_topk(assigned, centroids, queries_local, k=5, nprobe=2).collect()}
+    exact_set = {(q, v) for (q, _), (v, _) in exact.items()}
+    assert len(part & exact_set) / len(exact_set) >= 0.8
+
+
+def test_streaming_search(spark, tmp_path):
+    """readStream of query lines -> foreachBatch search -> parquet sink."""
+    from jassjr_spark.fixtures import golden_docs
+    from jassjr_spark.operators.index_build import build_index
+    from jassjr_spark.streaming.search_stream import start_search_stream
+
+    docs = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(golden_docs())],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(docs).cache()
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    (src / "queries.txt").write_text("zero\n51 ten nine\n")
+    stream = spark.readStream.schema("line string").text(str(src))
+    out = str(tmp_path / "runs")
+    q = start_search_stream(
+        spark, stream.withColumnRenamed("value", "line"), idx, out,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q["0"]) == 1 and by_q["0"][0].docno == "0"
+    assert len(by_q["51"]) == 10  # disjunctive: ten OR nine matches 1..10

@@ -41,7 +41,7 @@ def main() -> None:
     from jassjr_spark.fixtures import synth_queries
     from jassjr_spark.operators.index_build import build_index
     from jassjr_spark.operators.search import (
-        local_dictionary, parse_queries, search,
+        local_dictionary, parse_queries, search, terms_of,
     )
     from jassjr_spark.session import get_spark
 
@@ -62,20 +62,17 @@ def main() -> None:
         # warmup
         q0 = parse_queries(spark, lines[:1])
         search(idx, q0, k=k, stats=stats,
-               qterms=lines[0].split()[1:]).count()
+               qterms=terms_of(lines[:1])).count()
         singles = []
         for line in lines:
-            toks = line.split()
-            qterms = toks[1:] if toks and toks[0].isnumeric() else toks
+            qterms = terms_of([line])
             q = parse_queries(spark, [line])
             t0 = time.perf_counter()
             search(idx, q, k=k, stats=stats, qterms=qterms,
                    local_dict=ld).count()
             singles.append(time.perf_counter() - t0)
         qall = parse_queries(spark, lines)
-        allterms = sorted(
-            {t for ln in lines for t in (ln.split()[1:] or ln.split())}
-        )
+        allterms = terms_of(lines)
         t0 = time.perf_counter()
         search(idx, qall, k=k, stats=stats, qterms=allterms).count()
         batch_wall = time.perf_counter() - t0

@@ -15,12 +15,15 @@ not count blocks. Two load-bearing properties at 10^12 scale:
   condition of block-max WAND (operators/wand.py).
 
 Each block row carries delta+varbyte payloads (docid gaps within the
-block, then tfs) plus the block metadata WAND needs: n, max_impact =
-max over postings of the idf-free BM25 factor
-(tf*(k1+1))/(tf + k1*(1-b+b*dl/avgdl)) — monotone in tf, so the true
-per-doc contribution is always <= idf * max_impact.
+block, then tfs, then doc lengths — dl rides along so the blocks path is
+self-contained for scoring: no doc_lengths join at query time) plus the
+block metadata WAND needs: n, max_impact = max over postings of the
+idf-free BM25 factor (tf*(k1+1))/(tf + k1*(1-b+b*dl/avgdl)) — monotone in
+tf, so the true per-doc contribution is always <= idf * max_impact.
 
-Encode/decode run as Arrow-batched pandas UDFs over BinaryType.
+Encode/decode run as Arrow-batched pandas UDFs over BinaryType; the
+varbyte kernels are numpy-vectorized (one pass per 7-bit group, <= 10
+groups for 64-bit ints — never per-int Python in the hot path).
 """
 
 from __future__ import annotations
@@ -51,45 +54,68 @@ BLOCK_SCHEMA = T.StructType(
 
 def vb_encode(values: np.ndarray) -> bytes:
     """Varbyte (VByte) encode non-negative ints: 7 data bits per byte,
-    high bit set on the final byte of each value."""
-    out = bytearray()
-    for v in values:
-        v = int(v)
-        while v >= 128:
-            out.append(v & 0x7F)
-            v >>= 7
-        out.append(v | 0x80)
-    return bytes(out)
+    high bit set on the final byte of each value. Vectorized: one numpy
+    pass per 7-bit group (<= 10 for int64), no per-int Python loop."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value = number of 7-bit groups
+    nb = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nb += tmp > 0
+        tmp >>= np.uint64(7)
+    ends = np.cumsum(nb)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    shifted = v.copy()
+    for i in range(int(nb.max())):
+        mask = nb > i
+        out[(ends - nb + i)[mask]] = (shifted[mask] & np.uint64(0x7F)).astype(
+            np.uint8
+        )
+        shifted >>= np.uint64(7)
+    out[ends - 1] |= 0x80  # terminator bit on each value's last byte
+    return out.tobytes()
 
 
 def vb_decode(buf: bytes) -> np.ndarray:
-    out = []
-    cur = 0
-    shift = 0
-    for b in buf:
-        if b & 0x80:
-            out.append(cur | ((b & 0x7F) << shift))
-            cur = 0
-            shift = 0
-        else:
-            cur |= b << shift
-            shift += 7
-    return np.asarray(out, dtype=np.int64)
+    """Inverse of vb_encode. Vectorized: np.frombuffer + one pass per
+    byte-position within a value (values are found by their high bits)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.flatnonzero(b & 0x80)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    for i in range(int(lengths.max())):
+        mask = lengths > i
+        vals[mask] |= (b[starts[mask] + i].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * i)
+    return vals.astype(np.int64)
 
 
-def encode_block(docids: np.ndarray, tfs: np.ndarray, base: int) -> bytes:
+def encode_block(
+    docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, base: int
+) -> bytes:
     """docid-ascending postings of one (term, block) -> payload bytes:
-    varbyte(gaps) ++ varbyte(tfs), gaps[0] = docids[0] - base."""
+    varbyte(n) ++ varbyte(gaps) ++ varbyte(tfs) ++ varbyte(dls),
+    gaps[0] = docids[0] - base."""
     gaps = np.diff(docids, prepend=base)
     head = vb_encode(np.asarray([len(docids)], dtype=np.int64))
-    return head + vb_encode(gaps) + vb_encode(tfs)
+    return head + vb_encode(gaps) + vb_encode(tfs) + vb_encode(dls)
 
 
-def decode_block(payload: bytes, base: int) -> tuple[np.ndarray, np.ndarray]:
+def decode_block(
+    payload: bytes, base: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     vals = vb_decode(payload)
     n = int(vals[0])
-    gaps, tfs = vals[1 : n + 1], vals[n + 1 : 2 * n + 1]
-    return base + np.cumsum(gaps), tfs
+    gaps = vals[1 : n + 1]
+    tfs = vals[n + 1 : 2 * n + 1]
+    dls = vals[2 * n + 1 : 3 * n + 1]
+    return base + np.cumsum(gaps), tfs, dls
 
 
 def build_blocks(
@@ -99,9 +125,9 @@ def build_blocks(
 
     One groupBy(term, block_id) with in-group sort — group size is bounded
     by block_span regardless of term skew. The per-posting impact is
-    computed JVM-side before grouping (pure Column math); the varbyte pack
-    is an Arrow UDF over the collected block arrays.
-    """
+    computed JVM-side before grouping (pure Column math); the struct list
+    is split into aligned primitive arrays JVM-side too, so the Arrow pack
+    kernel only sees numpy int arrays (no per-posting dict access)."""
     tf = F.col("tf").cast("double")
     impact = (tf * (K1 + 1.0)) / (
         tf + K1 * (1.0 - B + B * (F.col("dl").cast("double") / F.lit(float(avgdl))))
@@ -111,23 +137,35 @@ def build_blocks(
         .withColumn("impact", impact)
         .groupBy("term", "block_id")
         .agg(
-            F.sort_array(F.collect_list(F.struct("docid", "tf"))).alias("pl"),
+            F.sort_array(
+                F.collect_list(F.struct("docid", "tf", "dl"))
+            ).alias("pl"),
             F.max("impact").alias("max_impact"),
+        )
+        .select(
+            "term",
+            "block_id",
+            F.col("pl.docid").alias("pl_docids"),
+            F.col("pl.tf").alias("pl_tfs"),
+            F.col("pl.dl").alias("pl_dls"),
+            "max_impact",
         )
     )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for term, block_id, pl, mx in zip(
-                pdf["term"], pdf["block_id"], pdf["pl"], pdf["max_impact"]
+            for term, block_id, ds, ts, ls, mx in zip(
+                pdf["term"], pdf["block_id"], pdf["pl_docids"],
+                pdf["pl_tfs"], pdf["pl_dls"], pdf["max_impact"]
             ):
-                docids = np.asarray([p["docid"] for p in pl], dtype=np.int64)
-                tfs = np.asarray([p["tf"] for p in pl], dtype=np.int64)
+                docids = np.asarray(ds, dtype=np.int64)
+                tfs = np.asarray(ts, dtype=np.int64)
+                dls = np.asarray(ls, dtype=np.int64)
                 base = int(block_id) * block_span
                 rows.append(
                     (term, int(block_id), len(docids), int(docids[0]),
-                     float(mx), encode_block(docids, tfs, base))
+                     float(mx), encode_block(docids, tfs, dls, base))
                 )
             yield pd.DataFrame(
                 rows,
@@ -138,42 +176,50 @@ def build_blocks(
     return grouped.mapInPandas(pack, schema=BLOCK_SCHEMA)
 
 
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("docid", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
+
+
 def decode_blocks(
     blocks: DataFrame, block_span: int = DEFAULT_BLOCK_SPAN
 ) -> DataFrame:
-    """BLOCK_SCHEMA rows -> exploded (term, docid, tf): the round-trip
-    inverse of build_blocks (minus dl/impact, which are derived)."""
-    out_schema = T.StructType(
-        [
-            T.StructField("term", T.StringType(), False),
-            T.StructField("docid", T.LongType(), False),
-            T.StructField("tf", T.IntegerType(), False),
-        ]
-    )
+    """BLOCK_SCHEMA rows -> exploded (term, docid, tf, dl): the round-trip
+    inverse of build_blocks. Only (term, block_id, payload) columns are
+    read — callers should filter blocks BEFORE calling so the payload scan
+    is pruned (operators/wand.py does)."""
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            terms, docids, tfs = [], [], []
+            terms, docids, tfs, dls = [], [], [], []
             for term, block_id, payload in zip(
                 pdf["term"], pdf["block_id"], pdf["payload"]
             ):
-                d, t = decode_block(bytes(payload), int(block_id) * block_span)
+                d, t, l = decode_block(bytes(payload), int(block_id) * block_span)
                 terms.extend([term] * len(d))
                 docids.append(d)
                 tfs.append(t)
+                dls.append(l)
             if terms:
                 yield pd.DataFrame(
                     {
                         "term": terms,
                         "docid": np.concatenate(docids),
                         "tf": np.concatenate(tfs).astype("int32"),
+                        "dl": np.concatenate(dls).astype("int32"),
                     }
                 )
             else:
                 yield pd.DataFrame({"term": pd.Series(dtype=object),
                                     "docid": pd.Series(dtype="int64"),
-                                    "tf": pd.Series(dtype="int32")})
+                                    "tf": pd.Series(dtype="int32"),
+                                    "dl": pd.Series(dtype="int32")})
 
     return blocks.select("term", "block_id", "payload").mapInPandas(
-        unpack, schema=out_schema
+        unpack, schema=DECODED_SCHEMA
     )

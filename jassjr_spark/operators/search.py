@@ -64,6 +64,21 @@ def parse_queries(spark: SparkSession, lines: list[str]) -> DataFrame:
     return spark.createDataFrame(rows, "query_id string, pos int, term string")
 
 
+def terms_of(lines: list[str]) -> list[str]:
+    """Distinct search terms of a batch of query lines, sorted.
+
+    Applies the same whole-token numeric TREC-id peel as parse_queries
+    (SURVEY.md §1.4 item 9): the first token is excluded ONLY when it is
+    numeric. An id-less multi-term line keeps every token."""
+    ts: set[str] = set()
+    for line in lines:
+        toks = line.split()
+        if toks and toks[0].isnumeric():
+            toks = toks[1:]
+        ts.update(toks)
+    return sorted(ts)
+
+
 def local_dictionary(index: Index, max_terms: int = 2_000_000) -> dict | None:
     """Driver-side (term -> df) snapshot. For interactive/repeated search
     over a moderate vocabulary this removes the per-call dictionary-probe
@@ -126,13 +141,19 @@ def score_postings(
     joined = postings.join(
         F.broadcast(q.select("query_id", "pos", "term", "idf")), "term"
     )
+    return joined.select(
+        "query_id", "docid", "pos", bm25_contrib(avgdl).alias("contrib")
+    )
+
+
+def bm25_contrib(avgdl: float):
+    """The ATIRE-BM25 per-posting contribution as ONE Column expression
+    over (idf, tf, dl) columns — shared by the naive and the blocks/WAND
+    scoring kernels so both paths produce bit-identical doubles."""
     tf = F.col("tf").cast("double")
-    contrib = F.col("idf") * (
+    return F.col("idf") * (
         (tf * (K1 + 1.0))
         / (tf + K1 * (1.0 - B + B * (F.col("dl").cast("double") / F.lit(float(avgdl)))))
-    )
-    return joined.select(
-        "query_id", "docid", "pos", contrib.alias("contrib")
     )
 
 
@@ -234,15 +255,6 @@ def search_lines(
     # key each line separately but run them as ONE Spark job per call when
     # ids are unique, else per line.
     ids = input_order_qids(query_lines)
-
-    def terms_of(lines: list[str]) -> list[str]:
-        ts = set()
-        for line in lines:
-            toks = line.split()
-            if toks and toks[0].isnumeric():
-                toks = toks[1:]
-            ts.update(toks)
-        return sorted(ts)
 
     if len(set(ids)) == len(ids):
         q = parse_queries(spark, query_lines)

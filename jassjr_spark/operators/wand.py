@@ -12,19 +12,30 @@ can execute:
              = Σ_t w_t · idf_t · max_impact(t, block)
   (w_t = multiplicity of t in the query — bag semantics).
 
-Two-phase, provably rank-safe evaluation, all DataFrame ops:
+Two-phase, provably rank-safe evaluation, all DataFrame ops, and the
+pruning now gates I/O, not just compute:
 
-  A. compute UB per (query, block) from block metadata only (tiny: query
-     terms × their blocks); seed-score the highest-UB blocks that are
+  A. compute UB per (query, block) from block METADATA only — the scan
+     reads (term, block_id, n, max_impact); Parquet column pruning never
+     touches the payload bytes. Seed-score the highest-UB blocks that are
      guaranteed to contain ≥ k docs; θ_q = k-th seed score.
-  B. keep blocks with UB ≥ θ_q − ε; exact-score ONLY those (same scoring
-     kernel as the naive path, same ordered float fold); final top-k.
+  B. keep blocks with UB ≥ θ_q − ε; decode and exact-score ONLY those —
+     the payload scan is filtered to the kept block_ids BEFORE the varbyte
+     decode (pushed into the Parquet scan when the kept set is small),
+     the distributed analogue of the reference's per-term fseek reading
+     only the bytes of the lists it needs (JASSjr_search.cpp:197-202).
+
+The exact kernel is the same Column expression as the naive path
+(operators/search.py:bm25_contrib) over the decoded (tf, dl) ints, with
+the same term-position-ordered float fold, so the output is rank- AND
+score-identical to the naive path (asserted in tests against the naive
+engine AND the reference oracle). The dl needed by BM25 rides inside the
+payload (functions/compression.py), so this path never joins doc_lengths
+or touches index.postings at query time.
 
 Safety: a doc in a pruned block has score ≤ UB < θ_q − ε while the true
 k-th score ≥ θ_q, so no top-k member is ever pruned; kept docs are
-re-scored by the identical kernel, so the output is rank- AND
-score-identical to the naive path (asserted in tests against the naive
-engine AND the reference oracle). ε = 1e-9 absorbs float-order slack
+re-scored by the identical kernel. ε = 1e-9 absorbs float-order slack
 between the UB summation order and the per-doc fold order (real
 discrepancy is ~1 ulp; ε costs a negligible amount of extra scoring).
 """
@@ -35,20 +46,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jassjr_spark.constants import TOP_K
-from jassjr_spark.functions.compression import DEFAULT_BLOCK_SPAN
+from jassjr_spark.functions.compression import DEFAULT_BLOCK_SPAN, decode_blocks
 from jassjr_spark.operators.index_build import Index
 from jassjr_spark.operators.search import (
     accumulate,
     attach_idf,
-    score_postings,
+    bm25_contrib,
     top_k,
 )
 
 EPSILON = 1e-9
+# Below this many kept blocks the block_id filter is inlined as an IN list
+# (pushes into the Parquet scan / row-group stats); above it, a broadcast
+# semi-join (still before decode, but filtered post-scan).
+PUSHDOWN_MAX_BLOCK_IDS = 10_000
 
 
 def _block_upper_bounds(
-    q_idf: DataFrame, blocks: DataFrame
+    q_idf: DataFrame, blocks_meta: DataFrame
 ) -> DataFrame:
     """-> (query_id, block_id, ub, cand_docs).
 
@@ -60,13 +75,26 @@ def _block_upper_bounds(
         F.first("idf").alias("idf"),
     )
     return (
-        blocks.join(F.broadcast(weights), "term")
+        blocks_meta.join(F.broadcast(weights), "term")
         .groupBy("query_id", "block_id")
         .agg(
             F.sum(F.col("w") * F.col("idf") * F.col("max_impact")).alias("ub"),
             F.max("n").cast("long").alias("cand_docs"),
         )
     )
+
+
+def pruned_blocks(index: Index, blocks: DataFrame, terms: list[str]) -> DataFrame:
+    """Blocks restricted to ``terms``, with bucket-directory pruning when
+    the blocks table is bucket-partitioned (same _meta modulus contract as
+    pruned_postings)."""
+    from jassjr_spark.sources.index_store import term_bucket_py
+
+    b = blocks
+    if "bucket" in b.columns and index.n_buckets > 0:
+        buckets = sorted({term_bucket_py(t, index.n_buckets) for t in terms})
+        b = b.filter(F.col("bucket").isin(buckets))
+    return b.filter(F.col("term").isin(list(terms)))
 
 
 def wand_search(
@@ -79,20 +107,21 @@ def wand_search(
 ) -> DataFrame:
     """-> (query_id, docno, rank, rsv), identical to search() output.
 
-    ``blocks`` is the BLOCK_SCHEMA metadata table built at index time with
-    the same avgdl (functions/compression.py:build_blocks).
+    ``blocks`` is the BLOCK_SCHEMA table built at index time with the same
+    avgdl (functions/compression.py:build_blocks) — in memory or read from
+    ``{path}/blocks``. index.postings is never scanned.
     """
     s = stats or index.scalar_stats()
     qterms = [r.term for r in queries.select("term").distinct().collect()]
-    from jassjr_spark.sources.index_store import pruned_postings
-
-    postings = pruned_postings(index, qterms)
     q_idf = attach_idf(queries, index.dictionary, s["n_docs"], qterms=qterms)
-    blocks_q = blocks.filter(F.col("term").isin(qterms))
+    blocks_q = pruned_blocks(index, blocks, qterms)
 
-    ub = _block_upper_bounds(q_idf, blocks_q).cache()
+    # --- phase A: UB per (query, block) from metadata columns only (the
+    # payload column is never materialized here — column pruning)
+    meta = blocks_q.select("term", "block_id", "n", "max_impact")
+    ub = _block_upper_bounds(q_idf, meta).cache()
 
-    # --- phase A: seed blocks (highest UB until >= k candidate docs) -> θ
+    # seed blocks: highest UB until >= k candidate docs -> θ
     w = Window.partitionBy("query_id").orderBy(
         F.col("ub").desc(), F.col("block_id").asc()
     )
@@ -107,9 +136,7 @@ def wand_search(
         .filter(F.col("cum_before") < k)
         .select("query_id", "block_id")
     )
-    seed_scores = _exact_scores(
-        queries, postings, index, s, seeds, block_span, qterms
-    )
+    seed_scores = _exact_scores(q_idf, blocks_q, seeds, s["avgdl"], block_span)
     kth = (
         top_k(seed_scores, k)
         .groupBy("query_id")
@@ -120,7 +147,7 @@ def wand_search(
         .select("query_id", "theta")
     )
 
-    # --- phase B: keep blocks whose UB clears θ − ε, exact-score, top-k
+    # --- phase B: keep blocks whose UB clears θ − ε, decode+score, top-k
     kept = (
         ub.join(F.broadcast(kth), "query_id", "left")
         .filter(
@@ -128,9 +155,7 @@ def wand_search(
         )
         .select("query_id", "block_id")
     )
-    final_scores = _exact_scores(
-        queries, postings, index, s, kept, block_span, qterms
-    )
+    final_scores = _exact_scores(q_idf, blocks_q, kept, s["avgdl"], block_span)
     ranked = top_k(final_scores, k)
     return (
         ranked.join(F.broadcast(index.docids), "docid")
@@ -139,17 +164,30 @@ def wand_search(
 
 
 def _exact_scores(
-    queries: DataFrame, postings: DataFrame, index: Index, s: dict,
-    block_subset: DataFrame, block_span: int, qterms: list[str] | None = None,
+    q_idf: DataFrame, blocks_q: DataFrame, block_subset: DataFrame,
+    avgdl: float, block_span: int,
 ) -> DataFrame:
-    """Exact (query_id, docid, rsv) restricted to the given
-    (query_id, block_id) subset — the same kernel as the naive path plus a
-    broadcast semi-join on the block filter."""
-    scored = score_postings(
-        queries, postings, index.dictionary, s["n_docs"], s["avgdl"],
-        qterms=qterms,
-    ).withColumn("block_id", (F.col("docid") / block_span).cast("long"))
-    scored = scored.join(
-        F.broadcast(block_subset), ["query_id", "block_id"], "left_semi"
+    """Exact (query_id, docid, rsv) over ONLY the (query_id, block_id)
+    subset: the payload scan is restricted to the union of kept block ids
+    BEFORE the varbyte decode, then the decoded postings join the query
+    (broadcast) and the per-query kept set filters exactly."""
+    ids = [r.block_id for r in block_subset.select("block_id").distinct()
+           .limit(PUSHDOWN_MAX_BLOCK_IDS + 1).collect()]
+    if len(ids) <= PUSHDOWN_MAX_BLOCK_IDS:
+        sub = blocks_q.filter(F.col("block_id").isin(ids))
+    else:
+        sub = blocks_q.join(
+            F.broadcast(block_subset.select("block_id").distinct()),
+            "block_id", "left_semi",
+        )
+    decoded = decode_blocks(sub.select("term", "block_id", "payload"),
+                            block_span)
+    scored = (
+        decoded.join(
+            F.broadcast(q_idf.select("query_id", "pos", "term", "idf")), "term"
+        )
+        .withColumn("block_id", (F.col("docid") / block_span).cast("long"))
+        .join(F.broadcast(block_subset), ["query_id", "block_id"], "left_semi")
+        .select("query_id", "docid", "pos", bm25_contrib(avgdl).alias("contrib"))
     )
-    return accumulate(scored.drop("block_id"))
+    return accumulate(scored)

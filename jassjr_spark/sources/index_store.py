@@ -69,14 +69,22 @@ def write_meta(
 
 
 def read_meta(spark: SparkSession, path: str) -> dict:
+    """n_buckets=0 on a missing/corrupt ``_meta`` — a guessed modulus would
+    make pruned_postings hash query terms into the WRONG bucket directories
+    and silently drop matching postings; 0 disables bucket pruning and the
+    reader falls back to the (always-correct) term filter alone."""
     try:
         row = spark.read.parquet(f"{path}/_meta").first()
         return {"n_buckets": row.n_buckets, "block_span": row.block_span}
     except Exception:
-        return {"n_buckets": DEFAULT_BUCKETS, "block_span": 0}
+        return {"n_buckets": 0, "block_span": 0}
 
 
 def write_index(index: Index, path: str, n_buckets: int = DEFAULT_BUCKETS) -> None:
+    # _meta first: a crash mid-write leaves a meta whose modulus matches
+    # whatever postings eventually land; a reader of a half-written index
+    # may see missing rows but never wrong-bucket pruning.
+    write_meta(index.postings.sparkSession, path, n_buckets)
     (
         index.postings
         .withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
@@ -90,7 +98,6 @@ def write_index(index: Index, path: str, n_buckets: int = DEFAULT_BUCKETS) -> No
     index.doc_lengths.write.mode("overwrite").parquet(f"{path}/doc_lengths")
     index.docids.write.mode("overwrite").parquet(f"{path}/docids")
     index.stats.write.mode("overwrite").parquet(f"{path}/stats")
-    write_meta(index.postings.sparkSession, path, n_buckets)
 
 
 def read_index(spark: SparkSession, path: str) -> Index:

@@ -40,18 +40,22 @@ from jassjr_spark.sources.index_store import (
 )
 
 
-def _read_watermark(spark: SparkSession, path: str) -> int:
+def _read_watermark(spark: SparkSession, path: str) -> tuple[int, int | None]:
+    """-> (next_docid high-water mark, max applied epoch id or None)."""
     try:
-        return spark.read.parquet(f"{path}/_watermark").agg(
-            F.max("next_docid")
-        ).first()[0] or 0
+        row = spark.read.parquet(f"{path}/_watermark").agg(
+            F.max("next_docid"), F.max("epoch_id")
+        ).first()
+        return row[0] or 0, row[1]
     except Exception:
-        return 0
+        return 0, None
 
 
-def _write_watermark(spark: SparkSession, path: str, next_docid: int) -> None:
+def _write_watermark(
+    spark: SparkSession, path: str, next_docid: int, epoch_id: int | None
+) -> None:
     spark.createDataFrame(
-        [(next_docid,)], "next_docid long"
+        [(next_docid, epoch_id)], "next_docid long, epoch_id long"
     ).coalesce(1).write.mode("append").parquet(f"{path}/_watermark")
 
 
@@ -61,13 +65,27 @@ def append_documents(
     path: str,
     prepend_docno: bool = True,
     n_buckets: int | None = None,
+    epoch_id: int | None = None,
 ) -> int:
     """Append one batch of (docno, content) documents to the index at
     ``path``; returns the number of docs appended. This is the foreachBatch
-    body — also usable directly for batch increments."""
+    body — also usable directly for batch increments (epoch_id=None).
+
+    Effectively-once: with an ``epoch_id``, segment data lands in
+    epoch-named directories written with mode("overwrite") — a foreachBatch
+    replay of a crashed epoch re-derives the SAME docid base (the watermark,
+    written last, never advanced) and overwrites its own partial segment.
+    A replay of a *completed* epoch is skipped via the applied-epoch mark in
+    ``_watermark``. Do not mix epoch-ful and epoch-less appends in one
+    index: partition discovery needs a consistent directory depth.
+    """
     if n_buckets is None:
         n_buckets = read_meta(spark, path)["n_buckets"] or DEFAULT_BUCKETS
-    base = _read_watermark(spark, path)
+    base, last_epoch = _read_watermark(spark, path)
+    if epoch_id is not None and last_epoch is not None and epoch_id <= last_epoch:
+        return 0  # replay of an already-applied epoch
+    seg = f"/epoch={epoch_id}" if epoch_id is not None else ""
+    mode = "overwrite" if epoch_id is not None else "append"
     w = Window.orderBy("docno")
     batch = batch.withColumn(
         "docid", F.row_number().over(w).cast("long") - 1 + base
@@ -81,19 +99,20 @@ def append_documents(
         postings.withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
         .repartition(n_buckets, "bucket")
         .sortWithinPartitions("term", "docid")
-        .write.mode("append")
+        .write.mode(mode)
         .partitionBy("bucket")
-        .parquet(f"{path}/postings")
+        .parquet(f"{path}/postings{seg}")
     )
     (
         batch.select("docid")
         .join(postings.groupBy("docid").agg(F.min("dl").alias("len")),
               "docid", "left")
         .select("docid", F.coalesce("len", F.lit(0)).alias("len"))
-        .write.mode("append").parquet(f"{path}/doc_lengths")
+        .write.mode(mode).parquet(f"{path}/doc_lengths{seg}")
     )
-    batch.select("docid", "docno").write.mode("append").parquet(f"{path}/docids")
-    _write_watermark(spark, path, base + n)
+    batch.select("docid", "docno").write.mode(mode).parquet(f"{path}/docids{seg}")
+    # watermark last: its presence certifies every segment above landed
+    _write_watermark(spark, path, base + n, epoch_id)
     return n
 
 
@@ -137,6 +156,7 @@ def start_indexing_stream(
         append_documents(
             spark, batch.select("docno", "content"), path,
             prepend_docno=prepend_docno, n_buckets=n_buckets,
+            epoch_id=epoch_id,
         )
 
     writer = stream.writeStream.foreachBatch(handle).option(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from jassjr_spark.operators.index_build import Index
-from jassjr_spark.operators.search import parse_queries, search
+from jassjr_spark.operators.search import parse_queries, search, terms_of
 
 
 def start_search_stream(
@@ -38,9 +38,10 @@ def start_search_stream(
         if not lines:
             return
         q = parse_queries(spark, lines)
-        qterms = sorted(
-            {t for ln in lines for t in (ln.split()[1:] or ln.split())}
-        )
+        # terms_of applies the whole-token numeric TREC-id peel — the first
+        # token of an id-less line is a SEARCH TERM and must stay in the
+        # postings prune / idf probe (round-1 confirmed bug: [1:] dropped it).
+        qterms = terms_of(lines)
         run = search(index, q, k=k, stats=s, qterms=qterms,
                      local_dict=local_dict)
         run.write.mode("append").parquet(output_path)

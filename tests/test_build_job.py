@@ -69,5 +69,14 @@ def test_wand_over_persisted(spark, tmp_path):
 
     q = parse_queries(spark, synth_queries(10))
     naive = to_trec_lines(search(idx, q, k=20, stats=s))
-    wand = to_trec_lines(wand_search(idx, blocks, q, k=20, stats=s, block_span=64))
+    run = wand_search(idx, blocks, q, k=20, stats=s, block_span=64)
+    wand = to_trec_lines(run)
     assert wand == naive
+
+    # plan gates: the WAND path scores from the compressed blocks ONLY —
+    # no scan of {path}/postings anywhere in the final plan — and the kept
+    # block_id set is pushed into the blocks scan (pruning gates I/O)
+    plan = run._jdf.queryExecution().executedPlan().toString()
+    assert f"{path}/blocks" in plan
+    assert f"{path}/postings" not in plan
+    assert "block_id" in plan.split("PushedFilters", 1)[1][:4000]

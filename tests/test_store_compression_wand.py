@@ -37,13 +37,18 @@ def _synth_index(spark, n=600):
 
 def test_vb_roundtrip():
     for arr in ([0], [1], [127, 128, 129], [0, 5, 300, 2**31, 2**40],
-                list(range(200))):
+                list(range(200)), []):
         a = np.asarray(arr, dtype=np.int64)
         assert (vb_decode(vb_encode(a)) == a).all()
+    # byte-format pin: little-endian 7-bit groups, high bit on final byte
+    assert vb_encode(np.asarray([0], dtype=np.int64)) == b"\x80"
+    assert vb_encode(np.asarray([127], dtype=np.int64)) == b"\xff"
+    assert vb_encode(np.asarray([128], dtype=np.int64)) == b"\x00\x81"
     d = np.asarray([1000, 1003, 1500], dtype=np.int64)
     t = np.asarray([1, 7, 2], dtype=np.int64)
-    dd, tt = decode_block(encode_block(d, t, 1000), 1000)
-    assert (dd == d).all() and (tt == t).all()
+    l = np.asarray([30, 12, 255], dtype=np.int64)
+    dd, tt, ll = decode_block(encode_block(d, t, l, 1000), 1000)
+    assert (dd == d).all() and (tt == t).all() and (ll == l).all()
 
 
 def test_bucket_function_parity(spark):
@@ -77,8 +82,8 @@ def test_blocks_roundtrip(spark):
     avgdl = idx.scalar_stats()["avgdl"]
     blocks = build_blocks(idx.postings, avgdl, block_span=64)
     decoded = decode_blocks(blocks, block_span=64)
-    a = {(r.term, r.docid, r.tf) for r in idx.postings.collect()}
-    b = {(r.term, r.docid, r.tf) for r in decoded.collect()}
+    a = {(r.term, r.docid, r.tf, r.dl) for r in idx.postings.collect()}
+    b = {(r.term, r.docid, r.tf, r.dl) for r in decoded.collect()}
     assert a == b
     # block metadata invariants: max_impact bounds every member's impact
     k1, b_ = 0.9, 0.4

@@ -44,6 +44,62 @@ def test_incremental_appends_match_batch(spark, tmp_path):
     assert inc.scalar_stats() == ref.scalar_stats()
 
 
+def test_streaming_search_idless_multiterm(spark, tmp_path):
+    """Regression (round-1 verdict bug): an id-less multi-term query line
+    must score ALL its terms — `split()[1:]` dropped the first one."""
+    from jassjr_spark.fixtures import golden_docs
+    from jassjr_spark.streaming.search_stream import start_search_stream
+
+    docs = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(golden_docs())],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(docs).cache()
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    (src / "queries.txt").write_text("ten nine\n")
+    stream = spark.readStream.schema("line string").text(str(src))
+    out = str(tmp_path / "runs")
+    q = start_search_stream(
+        spark, stream.withColumnRenamed("value", "line"), idx, out,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        "{} Q0 {} {} {:.4f} JASSjr".format(r.query_id, r.docno, r.rank, r.rsv)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(search_lines(idx, spark, ["ten nine"]))
+    assert got == want  # both "ten" and "nine" contributions present
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replay of an applied epoch must not duplicate rows,
+    and a partially-written epoch must overwrite its own segment."""
+    from jassjr_spark.sources.index_store import write_meta
+
+    rows = _rows(30)
+    path = str(tmp_path / "epoch_idx")
+    write_meta(spark, path, n_buckets=4)
+    b0 = spark.createDataFrame(rows[:20], "docno string, content string")
+    b1 = spark.createDataFrame(rows[20:], "docno string, content string")
+    assert append_documents(spark, b0, path, n_buckets=4, epoch_id=0) == 20
+    # replay of the completed epoch: skipped, nothing duplicated
+    assert append_documents(spark, b0, path, n_buckets=4, epoch_id=0) == 0
+    assert append_documents(spark, b1, path, n_buckets=4, epoch_id=1) == 10
+    refresh_derived(spark, path)
+    inc = read_index(spark, path).cache()
+    assert inc.docids.count() == 30
+    assert inc.docids.select("docid").distinct().count() == 30
+    full = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(rows)],
+        "docid long, docno string, content string",
+    )
+    ref = build_index(full).cache()
+    qs = synth_queries(8)
+    assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)
+
+
 def test_streaming_source_e2e(spark, tmp_path):
     """Real readStream (file source) -> foreachBatch indexer -> search."""
     rows = _rows(60)

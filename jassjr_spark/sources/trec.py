@@ -73,17 +73,37 @@ def parse_trec_text(text: str) -> list[tuple[int, str, str]]:
 def read_trec(spark: SparkSession, path: str) -> DataFrame:
     """TREC-XML file(s) -> documents(docid long, docno string, content string).
 
-    Distributed: each file parses independently (docids offset by cumulative
-    doc counts in filename order), so a directory of TREC files scales out.
+    Distributed two-pass ingest — document content NEVER lands on the
+    driver:
+
+    1. per-file ``<DOC>`` counts (one int per file reaches the driver —
+       ``"<DOC>"`` as a substring is exactly the lexer's tag token, and
+       ``<DOCNO>`` cannot false-match because of the closing ``>``);
+    2. broadcast filename -> cumulative offset (filename order, matching a
+       sequential read of the directory), then a distributed flatMap parses
+       each file and emits (offset + local_docid) rows.
+
+    Parallelism unit is the file (wholeTextFiles semantics — TREC docs span
+    lines, so a file must be parsed as one text). A 100-TB corpus arrives
+    as many files, which is exactly this layout; one pathological giant
+    file would serialize into one task, so shard inputs at produce time.
     """
-    rdd = spark.sparkContext.wholeTextFiles(path)
-    files = rdd.map(lambda kv: (kv[0], parse_trec_text(kv[1]))).collect()
-    rows = []
-    offset = 0
-    for _, docs in sorted(files, key=lambda kv: kv[0]):
-        for docid, docno, content in docs:
-            rows.append((offset + docid, docno, content))
-        offset += len(docs)
+    files = spark.sparkContext.wholeTextFiles(path)
+    counts = sorted(
+        files.map(lambda kv: (kv[0], kv[1].count("<DOC>"))).collect()
+    )
+    offsets: dict[str, int] = {}
+    off = 0
+    for name, c in counts:
+        offsets[name] = off
+        off += c
+    boff = spark.sparkContext.broadcast(offsets)
+    rows = files.flatMap(
+        lambda kv: [
+            (boff.value[kv[0]] + docid, docno, content)
+            for docid, docno, content in parse_trec_text(kv[1])
+        ]
+    )
     return spark.createDataFrame(rows, "docid long, docno string, content string")
 
 

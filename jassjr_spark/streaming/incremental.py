@@ -28,10 +28,11 @@ batch store (sources/index_store.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jassjr_spark.functions.tokenize import doc_term_frequencies
+from jassjr_spark.operators.index_build import assign_docids
 from jassjr_spark.sources.index_store import (
     DEFAULT_BUCKETS,
     read_meta,
@@ -86,10 +87,7 @@ def append_documents(
         return 0  # replay of an already-applied epoch
     seg = f"/epoch={epoch_id}" if epoch_id is not None else ""
     mode = "overwrite" if epoch_id is not None else "append"
-    w = Window.orderBy("docno")
-    batch = batch.withColumn(
-        "docid", F.row_number().over(w).cast("long") - 1 + base
-    ).cache()
+    batch = assign_docids(batch, ["docno"], base=base).cache()
     n = batch.count()
     if n == 0:
         return 0

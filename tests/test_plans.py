@@ -54,6 +54,55 @@ def test_topk_query_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in _plan(top)
 
 
+def test_assign_docids_no_global_sort(spark):
+    """docid assignment must parallelize: identical output to a global
+    row_number window, with NO single-partition exchange in the plan."""
+    from pyspark.sql import Window
+
+    from jassjr_spark.operators.index_build import assign_docids
+
+    raw = synth_docs(300)
+    docs = spark.createDataFrame(
+        [(docno_of(r, p, c), t) for r, p, c, _, t in raw],
+        "docno string, content string",
+    )
+    got = assign_docids(docs, ["docno"])
+    w = Window.orderBy("docno")
+    want = docs.withColumn(
+        "docid", F.row_number().over(w).cast("long") - 1
+    )
+    assert {(r.docid, r.docno) for r in got.collect()} == {
+        (r.docid, r.docno) for r in want.collect()
+    }
+    assert "Exchange SinglePartition" not in _plan(got)
+    # offset continuation (streaming increments)
+    got2 = assign_docids(docs, ["docno"], base=1000)
+    assert got2.agg(F.min("docid")).first()[0] == 1000
+
+
+def test_read_trec_is_distributed(spark, tmp_path):
+    """Multi-file TREC ingest: content stays in executors (RDD-backed
+    DataFrame, no driver collect of documents) and docids follow
+    cumulative filename order."""
+    from jassjr_spark.sources.trec import read_trec, render_trec
+
+    d = tmp_path / "trec"
+    d.mkdir()
+    raw = synth_docs(60)
+    rows = [(docno_of(r, p, c), t) for r, p, c, _, t in raw]
+    for i, chunk in enumerate((rows[:25], rows[25:40], rows[40:])):
+        (d / f"part{i:02d}.xml").write_text(render_trec(chunk))
+    got = read_trec(spark, str(d))
+    want = [(i, dn, ct) for i, (dn, ct) in enumerate(rows)]
+    assert [(r.docid, r.docno, r.content) for r in
+            got.orderBy("docid").collect()] == want
+    # the source is an RDD flatMap over files, not a driver-side
+    # createDataFrame of parsed rows: the logical plan shows a scan of an
+    # existing (distributed) RDD rather than a LocalRelation literal table
+    logical = got._jdf.queryExecution().logical().toString()
+    assert "LocalRelation" not in logical
+
+
 def test_dedup_exact_partial_aggregation(spark):
     """The sha groupBy must show two-phase hash aggregation (map-side
     partial combine before the exchange)."""

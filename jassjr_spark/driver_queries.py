@@ -283,10 +283,11 @@ def q_ft_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 
 def q_ft_bm25_saat(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Flagship workload through the impact-ordered score-at-a-time path
-    (operators/impact.py), full budget. Quantized integer scores by
-    design, so no float oracle: the driver records rows-only; SAAT(∞) ==
-    quantized referee equality and >=90% top-10 agreement with exact BM25
-    are asserted in tests/test_impact.py."""
+    (operators/impact.py), full budget. The quantizer integerizes the
+    contribution to micro-units and levels are pure integer math, so the
+    DuckDB oracle reproduces the scores bit-exactly; SAAT(∞) == quantized
+    referee equality and >=90% top-10 agreement with exact BM25 are
+    asserted in tests/test_impact.py."""
     from jassjr_spark.operators.impact import build_impact_segments, saat_search
 
     idx = corpus_index(spark, sf_dir).cache()
@@ -299,6 +300,48 @@ def q_ft_bm25_saat(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     return saat_search(segments, queries, k=k).select(
         F.col("query_id").cast("long"), "docid", "rank", "rsv_q"
     )
+
+
+def _sql_ft_saat(k: int = 10, levels: int = 512) -> str:
+    """Mirror of quantize_contribs + the quantized referee: float math only
+    up to the micro-unit rounding; levels and scores are integer-exact."""
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_values_queries()}),
+ci AS (
+  SELECT p.term, p.docid,
+         CAST(round(ln(CAST(s.n AS DOUBLE) / d.df)
+              * ((p.tf * ({K1} + 1.0))
+                 / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl))))
+              * 1000000.0, 0) AS BIGINT) AS ci
+  FROM postings p
+  JOIN dict d USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+bounds AS (
+  SELECT min(ci) AS lo, greatest(max(ci) - min(ci), 1) AS span FROM ci
+),
+imp AS (
+  SELECT term, docid,
+         ((ci - b.lo) * {levels - 2}) // b.span + 1 AS impact
+  FROM ci CROSS JOIN bounds b
+),
+weights AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS w
+  FROM queries GROUP BY query_id, term
+),
+acc AS (
+  SELECT query_id, docid, CAST(sum(w * impact) AS BIGINT) AS rsv_q
+  FROM imp JOIN weights USING (term) GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv_q DESC, docid DESC) AS BIGINT) AS rank,
+       rsv_q
+FROM acc
+QUALIFY rank <= {k}
+"""
 
 
 def q_ft_top_terms(spark: SparkSession, sf_dir: str, n: int = 20) -> DataFrame:
@@ -374,12 +417,14 @@ WHERE (df_b IS NULL) OR (df_a IS NULL) OR (df_a <> df_b)
 
 
 def q_ft_trec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """trec_eval-style per-query metrics (AP, P@5, P@10) of the flagship
-    BM25 run against deterministic synthetic qrels
+    """Full trec_eval parity (reference README.md:104-133): per-query rows
+    plus the 'all' aggregate row — MAP, MRR, R-prec,
+    P@{5,10,15,20,30,100,200,500,1000}, recall — of the flagship BM25 run
+    at k=1000 against deterministic synthetic qrels
     (rel(q, d) := d % 13 == q % 13)."""
     from jassjr_spark.operators.tooling import trec_eval_metrics
 
-    run = q_ft_bm25_top10(spark, sf_dir, k=10)
+    run = q_ft_bm25_top10(spark, sf_dir, k=1000)
     docs = load_documents(spark, sf_dir).select("docid")
     qids = spark.createDataFrame(
         [(qid,) for qid, _ in BM25_QUERIES], "query_id long"
@@ -392,11 +437,25 @@ def q_ft_trec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trec_eval_metrics(run, qrels, key="docid")
 
 
-def _sql_trec_eval() -> str:
-    bm25 = _sql_ft_bm25(10)
+def _sql_trec_eval(k: int = 1000) -> str:
+    from jassjr_spark.operators.tooling import TREC_EVAL_CUTOFFS
+
+    bm25 = _sql_ft_bm25(k)
     # reuse the bm25 statement as a CTE body: strip its WITH prefix
     inner = bm25.strip()
     assert inner.startswith("WITH ")
+    rel_at = "\n         ".join(
+        f"sum(CASE WHEN rank <= {c} AND is_rel = 1 THEN 1 ELSE 0 END) AS rel_at_{c},"
+        for c in TREC_EVAL_CUTOFFS
+    )
+    p_at = "\n       ".join(
+        f"round(p.rel_at_{c} / {c}.0, 4) AS p_at_{c}," for c in TREC_EVAL_CUTOFFS
+    )
+    avg_metrics = ",\n       ".join(
+        f"round(avg({m}), 4) AS {m}"
+        for m in ["map", "recip_rank", "rprec"]
+        + [f"p_at_{c}" for c in TREC_EVAL_CUTOFFS] + ["recall"]
+    )
     return f"""{inner[:inner.rindex('SELECT CAST(query_id AS BIGINT)')]},
 run AS (
   SELECT CAST(query_id AS BIGINT) AS query_id, docid,
@@ -404,7 +463,7 @@ run AS (
                                  ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank
   FROM acc
   WHERE rsv > 0
-  QUALIFY rank <= 10
+  QUALIFY rank <= {k}
 ),
 qrels AS (
   SELECT q.query_id, d.doc_id AS docid, 1 AS rel
@@ -412,47 +471,85 @@ qrels AS (
   CROSS JOIN documents d
   WHERE d.doc_id % 13 = q.query_id % 13
 ),
+n_rel AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS num_rel FROM qrels GROUP BY query_id
+),
 j AS (
   SELECT r.query_id, r.docid, r.rank,
-         CASE WHEN qr.rel IS NOT NULL THEN 1 ELSE 0 END AS is_rel
-  FROM run r LEFT JOIN qrels qr USING (query_id, docid)
+         CASE WHEN qr.rel IS NOT NULL THEN 1 ELSE 0 END AS is_rel,
+         COALESCE(n.num_rel, 0) AS num_rel
+  FROM run r
+  LEFT JOIN qrels qr USING (query_id, docid)
+  LEFT JOIN n_rel n USING (query_id)
 ),
 jj AS (
   SELECT *, sum(is_rel) OVER (PARTITION BY query_id ORDER BY rank) AS cum_rel
   FROM j
 ),
-per_q AS (
+agg AS (
   SELECT query_id,
          CAST(count(*) AS BIGINT) AS num_ret,
+         CAST(min(num_rel) AS BIGINT) AS num_rel,
          CAST(sum(is_rel) AS BIGINT) AS num_rel_ret,
          sum(CASE WHEN is_rel = 1 THEN CAST(cum_rel AS DOUBLE) / rank END) AS sum_prec,
-         sum(CASE WHEN rank <= 5 AND is_rel = 1 THEN 1 ELSE 0 END) AS rel_at_5,
-         sum(CASE WHEN rank <= 10 AND is_rel = 1 THEN 1 ELSE 0 END) AS rel_at_10
+         min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel,
+         sum(CASE WHEN is_rel = 1 AND rank <= num_rel THEN 1 ELSE 0 END) AS rel_in_top_r,
+         {rel_at}
+         1 AS _pad
   FROM jj GROUP BY query_id
 ),
-n_rel AS (
-  SELECT query_id, CAST(count(*) AS BIGINT) AS num_rel FROM qrels GROUP BY query_id
+per_q AS (
+  SELECT CAST(p.query_id AS VARCHAR) AS query_id,
+       CAST(1 AS BIGINT) AS num_q,
+       p.num_ret, p.num_rel, p.num_rel_ret,
+       round(CASE WHEN p.num_rel > 0
+             THEN COALESCE(p.sum_prec, 0.0) / p.num_rel ELSE 0.0 END, 4) AS map,
+       round(COALESCE(1.0 / p.first_rel, 0.0), 4) AS recip_rank,
+       round(CASE WHEN p.num_rel > 0
+             THEN CAST(p.rel_in_top_r AS DOUBLE) / p.num_rel ELSE 0.0 END, 4) AS rprec,
+       {p_at}
+       round(CASE WHEN p.num_rel > 0
+             THEN CAST(p.num_rel_ret AS DOUBLE) / p.num_rel ELSE 0.0 END, 4) AS recall
+  FROM agg p
 )
-SELECT p.query_id, p.num_ret,
-       COALESCE(n.num_rel, 0) AS num_rel,
-       p.num_rel_ret,
-       round(CASE WHEN COALESCE(n.num_rel, 0) > 0
-             THEN COALESCE(p.sum_prec, 0.0) / n.num_rel ELSE 0.0 END, 4) AS ap,
-       round(p.rel_at_5 / 5.0, 4) AS p_at_5,
-       round(p.rel_at_10 / 10.0, 4) AS p_at_10
-FROM per_q p LEFT JOIN n_rel n USING (query_id)
+SELECT * FROM per_q
+UNION ALL
+SELECT 'all' AS query_id,
+       CAST(count(*) AS BIGINT) AS num_q,
+       CAST(sum(num_ret) AS BIGINT) AS num_ret,
+       CAST(sum(num_rel) AS BIGINT) AS num_rel,
+       CAST(sum(num_rel_ret) AS BIGINT) AS num_rel_ret,
+       {avg_metrics}
+FROM per_q
 """
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing surface: frame-sample grid over the synthetic
     media table (payloads are deterministic; decode is stubbed — no
-    imaging libs in this environment). Rows-only driver check; full
-    assertions live in tests/test_pipeline_ops.py."""
+    imaging libs in this environment). The media table is deterministic
+    (media_id i, video iff i%3==2, duration 1000+i ms), so the sample grid
+    is a generate_series oracle; payload-level assertions live in
+    tests/test_pipeline_ops.py."""
     from jassjr_spark.operators import multimodal
 
     media = multimodal.synth_media(spark, 48)
-    return multimodal.frame_sample(media, every_ms=250)
+    return multimodal.frame_sample(media, every_ms=250).select(
+        F.col("media_id").cast("long"),
+        F.col("frame_ts_ms").cast("long"),
+    )
+
+
+SQL_MM_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT CAST(i AS BIGINT) AS media_id, 1000 + i AS duration_ms
+  FROM generate_series(0, 47) AS t(i)
+  WHERE i % 3 = 2
+)
+SELECT media_id,
+       CAST(unnest(generate_series(0, duration_ms, 250)) AS BIGINT) AS frame_ts_ms
+FROM m
+"""
 
 
 # ----------------------------------------------------------- dedup queries
@@ -661,8 +758,9 @@ QUALIFY rank <= 5
 
 def q_sim_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (random-hyperplane LSH-bucketed) top-5 — the scale path.
-    No SQL oracle (8x64 plane literals); driver records rows-only; recall
-    vs the exact baseline is asserted in pytest."""
+    The planes are md5-derived (exactly-representable dyadic doubles), so
+    the oracle inlines them as literals and re-derives the buckets in SQL;
+    recall vs the exact baseline is additionally asserted in pytest."""
     emb = load_embeddings(spark, sf_dir)
     queries = (
         emb.filter(F.col("vec_id") < 3)
@@ -671,6 +769,69 @@ def q_sim_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(
         emb.select("vec_id", "embedding"), queries, k=5, n_planes=6
     )
+
+
+def _sql_sim_lsh(n_planes: int = 6, seed: int = 42, dim: int = 64,
+                 k: int = 5) -> str:
+    """LSH oracle with the plane vectors inlined as literals (they are
+    int32/2^31-1.0 values — dyadic, so repr() round-trips exactly into
+    DuckDB doubles)."""
+    planes = [similarity._plane(seed, j, dim) for j in range(n_planes)]
+
+    def arr(p: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in p) + "]"
+
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(e, {arr(p)}) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, {bits} AS bucket FROM v),
+q AS (SELECT vec_id AS qvec_id, e AS qvec, bucket FROM b WHERE vec_id < 3),
+joined AS (
+  SELECT q.qvec_id, b.vec_id,
+         round(list_dot_product(q.qvec, b.e)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+  FROM q JOIN b USING (bucket)
+  WHERE b.vec_id <> q.qvec_id
+)
+SELECT qvec_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY qvec_id
+                               ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank,
+       cosine
+FROM joined
+QUALIFY rank <= {k}
+"""
+
+
+def q_sim_lsh_persisted_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME workload through the persisted bucket-partitioned vector
+    store (sources/vector_store.py): corpus hashed once at write time,
+    probe set computed driver-side, scan pruned to the probed bucket
+    directories. hamming=0 reproduces bucket-equality semantics, so it
+    shares q_sim_lsh_top5's oracle."""
+    import hashlib as _h
+    import tempfile
+
+    from jassjr_spark.sources.vector_store import (
+        lsh_topk_persisted,
+        write_lsh_store,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/jassjr_lsh_store_{tag}"
+    write_lsh_store(emb.select("vec_id", "embedding"), path,
+                    n_planes=6, seed=42, dim=64)
+    queries_local = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding").collect()
+    ]
+    return lsh_topk_persisted(spark, path, queries_local, k=5, hamming=0)
 
 
 # ----------------------------------------------------------------- catalog
@@ -686,12 +847,12 @@ def catalog() -> dict[str, tuple]:
         "ft_idf": (q_ft_idf, _sql_ft_idf()),
         "ft_bm25_top10": (q_ft_bm25_top10, _sql_ft_bm25()),
         "ft_bm25_wand": (q_ft_bm25_wand, _sql_ft_bm25()),
-        "ft_bm25_saat": (q_ft_bm25_saat, None),
+        "ft_bm25_saat": (q_ft_bm25_saat, _sql_ft_saat()),
         "ft_top_terms": (q_ft_top_terms, SQL_FT_TOP_TERMS),
         "ft_show_document": (q_ft_show_document, SQL_FT_SHOW_DOCUMENT),
         "ft_vocab_diff": (q_ft_vocab_diff, SQL_FT_VOCAB_DIFF),
         "ft_trec_eval": (q_ft_trec_eval, _sql_trec_eval()),
-        "mm_frame_sample": (q_mm_frame_sample, None),
+        "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_fingerprints": (q_dedup_fingerprints, SQL_DEDUP_FINGERPRINTS),
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
@@ -700,5 +861,6 @@ def catalog() -> dict[str, tuple]:
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),
         "sim_cosine_top5": (q_sim_cosine_top5, SQL_SIM_COSINE_TOP5),
-        "sim_lsh_top5": (q_sim_lsh_top5, None),
+        "sim_lsh_top5": (q_sim_lsh_top5, _sql_sim_lsh()),
+        "sim_lsh_persisted_top5": (q_sim_lsh_persisted_top5, _sql_sim_lsh()),
     }

@@ -52,18 +52,28 @@ def quantize_contribs(
     levels: int = DEFAULT_LEVELS,
 ) -> tuple[DataFrame, dict]:
     """-> ((term, docid, impact int), params). Impact in [1, levels-1];
-    df==N terms are elided before quantization (their contribution is 0)."""
+    df==N terms are elided before quantization (their contribution is 0).
+
+    The float contribution is first integerized to micro-units
+    (round(c * 1e6)); the level is then PURE INTEGER math,
+    ``(ci - lo) * (levels-2) div span``, so the quantizer is reproducible
+    bit-for-bit in any engine (the DuckDB driver oracle mirrors it) — a
+    float floor() here would flip levels on 1-ulp cross-engine drift."""
     dfed = postings.join(
         F.broadcast(
             dictionary.select("term", "df").filter(F.col("df") < n_docs)
         ),
         "term",
     ).withColumn("avgdl", F.lit(float(avgdl)))
-    contrib = dfed.withColumn("c", _exact_contrib(n_docs))
-    lo, hi = contrib.agg(F.min("c"), F.max("c")).first()
-    span = (hi - lo) or 1.0
+    contrib = dfed.withColumn(
+        "ci", F.round(_exact_contrib(n_docs) * 1e6, 0).cast("long")
+    )
+    lo, hi = contrib.agg(F.min("ci"), F.max("ci")).first()
+    if lo is None:
+        lo, hi = 0, 0
+    span = max(hi - lo, 1)
     q = (
-        F.floor((F.col("c") - F.lit(lo)) / F.lit(span) * (levels - 2)) + 1
+        F.expr(f"((ci - {lo}L) * {levels - 2}) DIV {span}L") + 1
     ).cast("int")
     quantized = contrib.select("term", "docid", q.alias("impact"))
     return quantized, {"lo": lo, "hi": hi, "levels": levels}

@@ -45,6 +45,19 @@ def with_cosine(pairs: DataFrame, a: str = "qvec", b: str = "embedding") -> Data
     )
 
 
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(qvec_id, vec_id, cosine, ...) -> per-query top-k with the shared
+    tie-break (cosine desc, vec_id asc)."""
+    w = Window.partitionBy("qvec_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qvec_id", "vec_id", "rank", "cosine")
+    )
+
+
 def cosine_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
@@ -57,14 +70,7 @@ def cosine_topk(
     joined = vectors.crossJoin(F.broadcast(queries))
     scored = with_cosine(joined).filter(F.col("vec_id") != F.col("qvec_id"))
     scored = scored.withColumn("cosine", F.round("cosine", 6))
-    w = Window.partitionBy("qvec_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qvec_id", "vec_id", "rank", "cosine")
-    )
+    return rank_topk(scored, k)
 
 
 def _plane(seed: int, j: int, dim: int) -> list[float]:
@@ -128,14 +134,7 @@ def ivf_topk(
         F.col("vec_id") != F.col("qvec_id")
     )
     scored = with_cosine(joined).withColumn("cosine", F.round("cosine", 6))
-    w = Window.partitionBy("qvec_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qvec_id", "vec_id", "rank", "cosine")
-    )
+    return rank_topk(scored, k)
 
 
 def lsh_bucket(
@@ -162,11 +161,4 @@ def lsh_topk(
         F.col("vec_id") != F.col("qvec_id")
     )
     scored = with_cosine(joined).withColumn("cosine", F.round("cosine", 6))
-    w = Window.partitionBy("qvec_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qvec_id", "vec_id", "rank", "cosine")
-    )
+    return rank_topk(scored, k)

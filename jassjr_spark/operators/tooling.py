@@ -57,56 +57,102 @@ def show_document(docs: DataFrame, docno: str) -> DataFrame:
     return docs.filter(F.col("docno") == docno)
 
 
+TREC_EVAL_CUTOFFS = (5, 10, 15, 20, 30, 100, 200, 500, 1000)
+
+
 def trec_eval_metrics(
-    run: DataFrame, qrels: DataFrame, key: str = "docno"
+    run: DataFrame,
+    qrels: DataFrame,
+    key: str = "docno",
+    cutoffs: tuple = TREC_EVAL_CUTOFFS,
+    include_summary: bool = True,
 ) -> DataFrame:
-    """Per-query IR metrics from a TREC run (query_id, <key>, rank, rsv)
-    and qrels (query_id, <key>, rel):
+    """trec_eval parity for a TREC run (query_id, <key>, rank, rsv) and
+    qrels (query_id, <key>, rel) — the reference's published table
+    (README.md:104-133): per-query rows plus (include_summary) an 'all'
+    row matching trec_eval's aggregate semantics (counts are sums, metric
+    columns are means over queries).
 
-      num_ret, num_rel, num_rel_ret, ap (average precision),
-      p_at_5, p_at_10 — the headline numbers of the reference's
-      evaluation table (README.md:104-133).
-
-    Pure window math: precision@rank over the rank-ordered run, averaged
-    at relevant positions.
+    Columns: query_id ('all' on the summary row), num_q, num_ret, num_rel,
+    num_rel_ret, map (per-query: AP), recip_rank, rprec,
+    p_at_{5,10,15,20,30,100,200,500,1000}, recall (num_rel_ret/num_rel at
+    the run depth). Pure window math; AP divides by the TOTAL relevant
+    count (trec_eval's definition), so a truncated run yields truncated-AP
+    exactly as trec_eval would report it for that run.
     """
     rel = qrels.filter(F.col("rel") > 0).select(
         "query_id", key, F.lit(1).alias("is_rel")
     )
-    j = run.join(rel, ["query_id", key], "left").withColumn(
-        "is_rel", F.coalesce("is_rel", F.lit(0))
+    n_rel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("num_rel")
+    )
+    j = (
+        run.join(rel, ["query_id", key], "left")
+        .withColumn("is_rel", F.coalesce("is_rel", F.lit(0)))
+        .join(F.broadcast(n_rel), "query_id", "left")
+        .withColumn("num_rel", F.coalesce("num_rel", F.lit(0)))
     )
     w = Window.partitionBy("query_id").orderBy("rank")
     j = j.withColumn("cum_rel", F.sum("is_rel").over(w)).withColumn(
         "prec_at_rank", F.col("cum_rel") / F.col("rank")
     )
-    per_q = j.groupBy("query_id").agg(
+    aggs = [
         F.count(F.lit(1)).cast("long").alias("num_ret"),
+        F.first("num_rel").alias("num_rel"),
         F.sum("is_rel").cast("long").alias("num_rel_ret"),
         F.sum(F.when(F.col("is_rel") == 1, F.col("prec_at_rank"))).alias("sum_prec"),
-        F.sum(F.when((F.col("rank") <= 5) & (F.col("is_rel") == 1), 1).otherwise(0))
-        .alias("rel_at_5"),
-        F.sum(F.when((F.col("rank") <= 10) & (F.col("is_rel") == 1), 1).otherwise(0))
-        .alias("rel_at_10"),
-    )
-    n_rel = rel.groupBy("query_id").agg(
-        F.count(F.lit(1)).cast("long").alias("num_rel")
-    )
-    return (
-        per_q.join(n_rel, "query_id", "left")
-        .select(
-            "query_id",
-            "num_ret",
-            F.coalesce("num_rel", F.lit(0)).alias("num_rel"),
-            "num_rel_ret",
-            F.round(
-                F.when(
-                    F.coalesce("num_rel", F.lit(0)) > 0,
-                    F.coalesce("sum_prec", F.lit(0.0)) / F.col("num_rel"),
-                ).otherwise(0.0),
-                4,
-            ).alias("ap"),
-            F.round(F.col("rel_at_5") / 5.0, 4).alias("p_at_5"),
-            F.round(F.col("rel_at_10") / 10.0, 4).alias("p_at_10"),
+        F.min(F.when(F.col("is_rel") == 1, F.col("rank"))).alias("first_rel"),
+        F.sum(
+            F.when((F.col("is_rel") == 1) & (F.col("rank") <= F.col("num_rel")), 1)
+            .otherwise(0)
+        ).alias("rel_in_top_r"),
+    ]
+    for c in cutoffs:
+        aggs.append(
+            F.sum(F.when((F.col("rank") <= c) & (F.col("is_rel") == 1), 1)
+                  .otherwise(0)).alias(f"rel_at_{c}")
         )
+    per_q = j.groupBy("query_id").agg(*aggs)
+
+    def _safe_div(num, den):
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    cols = [
+        F.col("query_id").cast("string").alias("query_id"),
+        F.lit(1).cast("long").alias("num_q"),
+        "num_ret",
+        "num_rel",
+        "num_rel_ret",
+        F.round(_safe_div(F.coalesce("sum_prec", F.lit(0.0)), F.col("num_rel")), 4)
+        .alias("map"),
+        F.round(
+            F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 4
+        ).alias("recip_rank"),
+        F.round(_safe_div(F.col("rel_in_top_r").cast("double"), F.col("num_rel")), 4)
+        .alias("rprec"),
+    ]
+    for c in cutoffs:
+        cols.append(F.round(F.col(f"rel_at_{c}") / float(c), 4).alias(f"p_at_{c}"))
+    cols.append(
+        F.round(_safe_div(F.col("num_rel_ret").cast("double"), F.col("num_rel")), 4)
+        .alias("recall")
     )
+    out = per_q.select(*cols)
+    if not include_summary:
+        return out
+
+    metric_cols = ["map", "recip_rank", "rprec"] + [
+        f"p_at_{c}" for c in cutoffs
+    ] + ["recall"]
+    summary = out.agg(
+        F.count(F.lit(1)).cast("long").alias("num_q"),
+        F.sum("num_ret").cast("long").alias("num_ret"),
+        F.sum("num_rel").cast("long").alias("num_rel"),
+        F.sum("num_rel_ret").cast("long").alias("num_rel_ret"),
+        *[F.round(F.avg(m), 4).alias(m) for m in metric_cols],
+    ).select(
+        F.lit("all").alias("query_id"), "num_q", "num_ret", "num_rel",
+        "num_rel_ret", "map", "recip_rank", "rprec",
+        *[f"p_at_{c}" for c in cutoffs], "recall",
+    )
+    return out.unionByName(summary)

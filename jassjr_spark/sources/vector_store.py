@@ -1,0 +1,205 @@
+"""Persisted ANN vector store — bucket/cluster-partitioned Parquet.
+
+Round-1 weakness (VERDICT.md): `lsh_topk`/`ivf_topk` recomputed buckets /
+refit KMeans over the whole corpus at every call — per-call O(N) hashing
+that would not survive 100× growth. This store writes the expensive
+assignment ONCE at index time under the same `_meta` contract as the
+postings store (sources/index_store.py):
+
+    {path}/vectors/bucket=B/...    LSH: (vec_id, embedding) partitioned by
+                                   the n_planes-bit sign pattern
+    {path}/vectors/cluster=C/...   IVF: partitioned by inverted-list id
+    {path}/centroids/              IVF only: (cluster, centroid)
+    {path}/_vec_meta/              method, n_planes, seed, dim, n_clusters
+
+At query time the probe set (a handful of bucket strings / cluster ids) is
+computed DRIVER-side — LSH planes are md5-derived so any process can
+rebuild them; IVF centroids are a tiny table — and pushed as a partition
+filter: Spark prunes every other directory before any I/O, the vector
+analogue of the postings bucket pruning. Scoring then touches only the
+probed partitions (nprobe/N of the corpus).
+
+Float discipline: the driver-side bucket fold replays the engine's
+``F.aggregate`` left-to-right double fold exactly (Python and the JVM both
+evaluate strict IEEE doubles, and float->double widening is exact), so a
+query vector's driver-computed bucket equals the bucket the engine would
+assign it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jassjr_spark.operators.similarity import (
+    _plane,
+    ivf_index,
+    lsh_bucket,
+    rank_topk,
+    with_cosine,
+)
+
+
+def _bucket_py(vec, planes: list[list[float]]) -> str:
+    """Sign pattern of ``vec`` against ``planes`` — the exact driver-side
+    replay of lsh_bucket's left-to-right F.aggregate fold."""
+    bits = []
+    for plane in planes:
+        acc = 0.0
+        for x, p in zip(vec, plane):
+            acc = acc + float(x) * p
+        bits.append("1" if acc >= 0 else "0")
+    return "".join(bits)
+
+
+def planes_for(n_planes: int, seed: int, dim: int) -> list[list[float]]:
+    return [_plane(seed, j, dim) for j in range(n_planes)]
+
+
+def write_vec_meta(spark: SparkSession, path: str, **kv) -> None:
+    row = {
+        "method": kv.get("method", ""),
+        "n_planes": int(kv.get("n_planes", 0)),
+        "seed": int(kv.get("seed", 0)),
+        "dim": int(kv.get("dim", 0)),
+        "n_clusters": int(kv.get("n_clusters", 0)),
+    }
+    spark.createDataFrame(
+        [tuple(row.values())],
+        "method string, n_planes int, seed int, dim int, n_clusters int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_vec_meta")
+
+
+def read_vec_meta(spark: SparkSession, path: str) -> dict:
+    r = spark.read.parquet(f"{path}/_vec_meta").first()
+    return {k: r[k] for k in ("method", "n_planes", "seed", "dim", "n_clusters")}
+
+
+# ------------------------------------------------------------------- LSH
+
+
+def write_lsh_store(
+    vectors: DataFrame, path: str,
+    n_planes: int = 8, seed: int = 42, dim: int = 64,
+) -> None:
+    """vectors(vec_id, embedding) -> bucket-partitioned store. The corpus
+    is hashed ONCE here; queries never rehash it."""
+    vb = lsh_bucket(vectors, n_planes=n_planes, seed=seed, dim=dim)
+    (
+        vb.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/vectors")
+    )
+    write_vec_meta(
+        vectors.sparkSession, path,
+        method="lsh", n_planes=n_planes, seed=seed, dim=dim,
+    )
+
+
+def lsh_probe_buckets(
+    queries_local: list, n_planes: int, seed: int, dim: int,
+    hamming: int = 0,
+) -> dict[int, list[str]]:
+    """qvec_id -> bucket strings to probe (exact bucket, plus all 1-bit
+    flips when hamming=1 — multi-probe recall boost, still O(n_planes)
+    partitions instead of O(2^n_planes))."""
+    planes = planes_for(n_planes, seed, dim)
+    out: dict[int, list[str]] = {}
+    for qvec_id, qvec in queries_local:
+        b = _bucket_py(qvec, planes)
+        probes = [b]
+        if hamming >= 1:
+            for j in range(n_planes):
+                probes.append(b[:j] + ("0" if b[j] == "1" else "1") + b[j + 1:])
+        out[int(qvec_id)] = probes
+    return out
+
+
+def lsh_topk_persisted(
+    spark: SparkSession, path: str, queries_local: list,
+    k: int = 5, hamming: int = 0,
+) -> DataFrame:
+    """Top-k over the persisted LSH store: reads ONLY the probed bucket
+    directories (partition pruning — plan-gated in tests). hamming=0
+    reproduces lsh_topk's bucket-equality semantics exactly."""
+    meta = read_vec_meta(spark, path)
+    probes = lsh_probe_buckets(
+        queries_local, meta["n_planes"], meta["seed"], meta["dim"],
+        hamming=hamming,
+    )
+    all_buckets = sorted({b for bs in probes.values() for b in bs})
+    store = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("bucket").isin(all_buckets)
+    )
+    qrows = [
+        (int(qid), [float(x) for x in qv], probes[int(qid)])
+        for qid, qv in queries_local
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "qvec_id long, qvec array<float>, probe_buckets array<string>"
+    ).select("qvec_id", "qvec", F.explode("probe_buckets").alias("bucket"))
+    joined = store.join(F.broadcast(qdf), "bucket").filter(
+        F.col("vec_id") != F.col("qvec_id")
+    )
+    scored = with_cosine(joined).withColumn("cosine", F.round("cosine", 6))
+    # multi-probe can reach the same vector via several buckets; dedup
+    scored = scored.dropDuplicates(["qvec_id", "vec_id"])
+    return rank_topk(scored, k)
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def write_ivf_store(
+    vectors: DataFrame, path: str, n_clusters: int = 16, seed: int = 42,
+) -> None:
+    """KMeans-fit ONCE, persist cluster-partitioned vectors + centroids."""
+    assigned, centroids = ivf_index(vectors, n_clusters=n_clusters, seed=seed)
+    (
+        assigned.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/vectors")
+    )
+    spark = vectors.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    write_vec_meta(spark, path, method="ivf", n_clusters=n_clusters, seed=seed)
+
+
+def ivf_topk_persisted(
+    spark: SparkSession, path: str, queries_local: list,
+    k: int = 5, nprobe: int = 4,
+) -> DataFrame:
+    """Top-k probing the nprobe nearest inverted lists of the persisted
+    store; only those cluster directories are read."""
+    import numpy as np
+
+    cents_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r.cluster,
+    )
+    cents = np.asarray([r.centroid for r in cents_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+    rows = []
+    for qvec_id, qvec in queries_local:
+        qv = np.asarray(qvec, dtype=np.float64)
+        sims = cents @ qv / (cnorm * np.linalg.norm(qv) + 1e-12)
+        for c in np.argsort(-sims)[:nprobe]:
+            rows.append((int(qvec_id), [float(x) for x in qvec],
+                         int(cents_rows[c].cluster)))
+    probes = spark.createDataFrame(
+        rows, "qvec_id long, qvec array<float>, cluster int"
+    )
+    clusters = sorted({r[2] for r in rows})
+    store = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cluster").isin(clusters)
+    )
+    joined = store.join(F.broadcast(probes), "cluster").filter(
+        F.col("vec_id") != F.col("qvec_id")
+    )
+    scored = with_cosine(joined).withColumn("cosine", F.round("cosine", 6))
+    return rank_topk(scored, k)

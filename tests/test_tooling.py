@@ -57,11 +57,20 @@ def test_trec_eval_metrics(spark):
         [("1", "a", 1), ("1", "c", 1), ("1", "zz", 1)],
         "query_id string, docno string, rel int",
     )
-    m = trec_eval_metrics(run, qrels).first()
+    rows = {r.query_id: r for r in trec_eval_metrics(run, qrels).collect()}
+    m = rows["1"]
     # AP = (1/1 + 2/3) / 3 relevant = 0.5556
     assert m.num_ret == 3 and m.num_rel == 3 and m.num_rel_ret == 2
-    assert m.ap == round((1.0 + 2 / 3) / 3, 4)
+    assert m.map == round((1.0 + 2 / 3) / 3, 4)
     assert m.p_at_5 == round(2 / 5, 4)
+    assert m.p_at_1000 == round(2 / 1000, 4)
+    assert m.recip_rank == 1.0            # first relevant at rank 1
+    assert m.rprec == round(2 / 3, 4)     # 2 relevant in top-R (R=3)
+    assert m.recall == round(2 / 3, 4)
+    # 'all' summary: trec_eval aggregate semantics (sums + means)
+    a = rows["all"]
+    assert a.num_q == 1 and a.num_ret == 3 and a.num_rel == 3
+    assert a.map == m.map and a.p_at_10 == m.p_at_10
 
 
 def test_salted_collect_matches_plain(spark):

@@ -1,0 +1,93 @@
+"""Persisted ANN vector store: identity with the in-memory operators,
+recall floors, and partition-pruning plan gates (the corpus must never be
+rehashed or rescanned at query time)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from jassjr_spark.operators.similarity import cosine_topk, lsh_topk
+from jassjr_spark.sources.vector_store import (
+    ivf_topk_persisted,
+    lsh_topk_persisted,
+    read_vec_meta,
+    write_ivf_store,
+    write_lsh_store,
+)
+
+
+def _vectors(spark, n=120, dim=16, clusters=6, seed=7):
+    rng = random.Random(seed)
+    centres = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(clusters)]
+    rows = [
+        (i, [float(c + rng.gauss(0, 0.05)) for c in centres[i % clusters]])
+        for i in range(n)
+    ]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_store_matches_inmemory(spark, tmp_path):
+    rows, vecs = _vectors(spark, dim=16)
+    path = str(tmp_path / "lsh_store")
+    write_lsh_store(vecs, path, n_planes=6, seed=42, dim=16)
+    meta = read_vec_meta(spark, path)
+    assert meta["method"] == "lsh" and meta["n_planes"] == 6
+
+    queries_local = rows[:3]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries_local], "qvec_id long, qvec array<float>"
+    )
+    mem = {(r.qvec_id, r.rank, r.vec_id, r.cosine)
+           for r in lsh_topk(vecs, qdf, k=5, n_planes=6, seed=42, dim=16).collect()}
+    per = lsh_topk_persisted(spark, path, queries_local, k=5, hamming=0)
+    got = {(r.qvec_id, r.rank, r.vec_id, r.cosine) for r in per.collect()}
+    assert got == mem  # hamming=0 == bucket-equality semantics, exactly
+
+    # partition pruning: the probed buckets appear as partition filters —
+    # the scan must not enumerate all 2^n_planes directories
+    plan = per._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_lsh_store_multiprobe_recall(spark, tmp_path):
+    rows, vecs = _vectors(spark, n=150, dim=16)
+    path = str(tmp_path / "lsh_store2")
+    write_lsh_store(vecs, path, n_planes=8, seed=42, dim=16)
+    queries_local = rows[:4]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries_local], "qvec_id long, qvec array<float>"
+    )
+    exact = {(r.qvec_id, r.vec_id) for r in cosine_topk(vecs, qdf, k=5).collect()}
+    near = {(r.qvec_id, r.vec_id)
+            for r in lsh_topk_persisted(spark, path, queries_local, k=5,
+                                        hamming=1).collect()}
+    assert len(near & exact) / len(exact) >= 0.5
+    # scores of true hits are exact (same cosine kernel as the baseline)
+    ex = {(r.qvec_id, r.vec_id): r.cosine
+          for r in cosine_topk(vecs, qdf, k=5).collect()}
+    for r in lsh_topk_persisted(spark, path, queries_local, k=5,
+                                hamming=1).collect():
+        if (r.qvec_id, r.vec_id) in ex:
+            assert abs(r.cosine - ex[(r.qvec_id, r.vec_id)]) < 1e-9
+
+
+def test_ivf_store_recall_and_pruning(spark, tmp_path):
+    rows, vecs = _vectors(spark, n=150, dim=16)
+    path = str(tmp_path / "ivf_store")
+    write_ivf_store(vecs, path, n_clusters=6, seed=42)
+    queries_local = rows[:3]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries_local], "qvec_id long, qvec array<float>"
+    )
+    exact = {(r.qvec_id, r.rank): (r.vec_id, r.cosine)
+             for r in cosine_topk(vecs, qdf, k=5).collect()}
+    # probing every list degenerates to exact brute force
+    full = ivf_topk_persisted(spark, path, queries_local, k=5, nprobe=6)
+    assert {(r.qvec_id, r.rank): (r.vec_id, r.cosine)
+            for r in full.collect()} == exact
+    part = ivf_topk_persisted(spark, path, queries_local, k=5, nprobe=2)
+    got = {(r.qvec_id, r.vec_id) for r in part.collect()}
+    exact_set = {(q, v) for (q, _), (v, _) in exact.items()}
+    assert len(got & exact_set) / len(exact_set) >= 0.8
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan

@@ -41,7 +41,7 @@ def main() -> None:
     from jassjr_spark.fixtures import synth_queries
     from jassjr_spark.operators.index_build import build_index
     from jassjr_spark.operators.search import (
-        local_dictionary, parse_queries, search, terms_of,
+        InteractiveSearcher, local_dictionary, parse_queries, search, terms_of,
     )
     from jassjr_spark.session import get_spark
 
@@ -76,9 +76,20 @@ def main() -> None:
         t0 = time.perf_counter()
         search(idx, qall, k=k, stats=stats, qterms=allterms).count()
         batch_wall = time.perf_counter() - t0
+        # interactive regime: driver-side dict+docno snapshots, one Spark
+        # action per query line (operators/search.py InteractiveSearcher)
+        it = InteractiveSearcher(idx, stats=stats)
+        it.search_line(lines[0], k=k)  # warmup
+        inter = []
+        for line in lines:
+            t0 = time.perf_counter()
+            it.search_line(line, k=k)
+            inter.append(time.perf_counter() - t0)
         out[f"k{k}"] = {
             "single_p50_ms": round(pct(singles, 50) * 1000, 1),
             "single_p99_ms": round(pct(singles, 99) * 1000, 1),
+            "interactive_p50_ms": round(pct(inter, 50) * 1000, 1),
+            "interactive_p99_ms": round(pct(inter, 99) * 1000, 1),
             "batch_total_s": round(batch_wall, 3),
             "batch_per_query_ms": round(batch_wall / len(lines) * 1000, 2),
         }

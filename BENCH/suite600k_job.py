@@ -1,0 +1,182 @@
+"""Scale-relevant bench: the headline suite at >=600k docs (the driver's
+bench.py runs sf0.1 = 5k docs, which is fixed-overhead dominated — this is
+the round-over-round comparison scale, VERDICT.md round-1 item 9).
+
+Measures over the persisted index (real I/O paths, fresh from disk):
+  * index build + persist (docs/s)
+  * batch BM25 top-10 / top-1000 (50 queries) — naive scoring
+  * block-max WAND top-10 over the compressed blocks store
+  * interactive single-query p50 (InteractiveSearcher)
+
+    python BENCH/suite600k_job.py --corpus /tmp/jassjr_bench_corpus_600000.parquet
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def ensure_zipf_corpus(path: str, n_docs: int) -> None:
+    """Realistic-text corpus: ~100k-term Zipf vocabulary (the bench corpus
+    from run_scaling.py has ~480 terms, ALL of which land in every
+    docid-range block at 600k docs — block-max pruning is impossible on it
+    by construction; real text is Zipf and prunable)."""
+    import os as _os
+
+    if _os.path.exists(f"{path}/_built_{n_docs}"):
+        return
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from jassjr_spark.session import get_spark
+
+    spark = get_spark("zipf_gen", master="local[32]")
+
+    @F.pandas_udf(T.StringType())
+    def gen_content(docid: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in docid:
+            rng = np.random.Generator(np.random.PCG64(42 + int(d)))
+            n = int(rng.integers(3, 120))
+            ranks = np.minimum(rng.zipf(1.3, n), 100_000)
+            out.append(" ".join(f"t{r}" for r in ranks))
+        return pd.Series(out)
+
+    (
+        spark.range(0, n_docs, 1, 64)
+        .select(
+            F.col("id").alias("docid"),
+            F.format_string("DOC-%08d", F.col("id")).alias("docno"),
+            gen_content(F.col("id")).alias("content"),
+        )
+        .write.mode("overwrite").parquet(path)
+    )
+    open(f"{path}/_built_{n_docs}", "w").write("ok")
+    spark.stop()
+
+
+def zipf_queries(n: int) -> list[str]:
+    """Realistic mixed-df queries: one stopword-class term, one or two
+    mid-frequency terms, one rare term — the query shape WAND's pruning
+    regime assumes (a high-idf term concentrates the score mass)."""
+    import random
+
+    rng = random.Random(7)
+    lines = []
+    for qid in range(51, 51 + n):
+        terms = [f"t{rng.randint(1, 8)}",
+                 f"t{rng.randint(50, 900)}"]
+        if rng.random() < 0.5:
+            terms.append(f"t{rng.randint(900, 5000)}")
+        terms.append(f"t{rng.randint(5000, 80000)}")
+        lines.append(f"{qid} " + " ".join(terms))
+    return lines
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default="/tmp/jassjr_bench_corpus_600000.parquet")
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--queries", type=int, default=50)
+    ap.add_argument("--index-dir", default="/tmp/jassjr_suite600k_index")
+    ap.add_argument("--block-span", type=int, default=2048)
+    ap.add_argument("--zipf", action="store_true",
+                    help="use the 100k-term Zipf corpus + mixed-df queries")
+    ap.add_argument("--docs", type=int, default=600_000)
+    args = ap.parse_args()
+    if args.zipf:
+        args.corpus = f"/tmp/jassjr_bench_zipf_{args.docs}.parquet"
+        args.index_dir = "/tmp/jassjr_suite600k_zipf_index"
+        ensure_zipf_corpus(args.corpus, args.docs)
+
+    from jassjr_spark.fixtures import synth_queries
+    from jassjr_spark.operators.search import (
+        InteractiveSearcher, parse_queries, search, terms_of,
+    )
+    from jassjr_spark.operators.wand import wand_search
+    from jassjr_spark.plans.build_job import build_persisted_index, load_persisted
+    from jassjr_spark.session import get_spark
+
+    spark = get_spark(
+        f"suite600k_{args.cores}", master=f"local[{args.cores}]",
+        shuffle_partitions=args.cores,
+    )
+    docs = spark.read.parquet(args.corpus).repartition(args.cores * 2).cache()
+    n_docs = docs.count()
+
+    out = {"corpus": "zipf100k" if args.zipf else "smallvocab",
+           "cores": args.cores, "n_docs": n_docs, "n_queries": args.queries,
+           "block_span": args.block_span}
+
+    shutil.rmtree(args.index_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_persisted_index(spark, docs, args.index_dir,
+                          block_span=args.block_span)
+    out["build_persist_s"] = round(time.perf_counter() - t0, 2)
+    out["build_docs_per_sec"] = round(n_docs / out["build_persist_s"], 1)
+
+    idx, blocks = load_persisted(spark, args.index_dir)
+    idx = idx.cache()
+    s = idx.scalar_stats()
+    idx.postings.count()  # warm the postings cache (both paths share it)
+    lines = zipf_queries(args.queries) if args.zipf else synth_queries(args.queries)
+    q = parse_queries(spark, lines)
+    qt = terms_of(lines)
+
+    # warmups
+    search(idx, q, k=10, stats=s, qterms=qt).count()
+    wand_search(idx, blocks, q, k=10, stats=s,
+                block_span=args.block_span).count()
+
+    cases = (
+        ("bm25_top10", lambda: search(idx, q, k=10, stats=s, qterms=qt).count()),
+        ("bm25_top1000", lambda: search(idx, q, k=1000, stats=s, qterms=qt).count()),
+        ("bm25_wand_top10", lambda: wand_search(
+            idx, blocks, q, k=10, stats=s, block_span=args.block_span).count()),
+        ("bm25_wand_top1000", lambda: wand_search(
+            idx, blocks, q, k=1000, stats=s, block_span=args.block_span).count()),
+    )
+    # interleave reps across cases and keep best-of-rounds: the host shows
+    # 2-5x run-to-run drift, and interleaving exposes every case to the
+    # same drift (BENCH/BASELINE.md methodology)
+    best: dict[str, float] = {}
+    for _ in range(3):
+        for name, fn in cases:
+            w = timed(fn)
+            best[name] = min(best.get(name, w), w)
+    for name, _ in cases:
+        out[name + "_s"] = round(best[name], 2)
+        out[name + "_ms_per_query"] = round(best[name] / args.queries * 1000, 1)
+
+    it = InteractiveSearcher(idx, stats=s)
+    it.search_line(lines[0], k=10)
+    ts = []
+    for ln in lines:
+        t0 = time.perf_counter()
+        it.search_line(ln, k=10)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    out["interactive_p50_ms"] = round(ts[len(ts) // 2] * 1000, 1)
+    out["interactive_p99_ms"] = round(ts[min(len(ts) - 1, int(len(ts) * 0.99))] * 1000, 1)
+    print(json.dumps(out))
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

@@ -86,9 +86,25 @@ def _batch_to_postings(pdf: pd.DataFrame, prepend_docno: bool) -> pd.DataFrame:
             {"term": pd.Series(dtype=object), "docid": pd.Series(dtype="int64"),
              "tf": pd.Series(dtype="int32"), "dl": pd.Series(dtype="int32")}
         )
-    content = pdf["content"].fillna("").str.lower()
+    # Reference order is lex-raw THEN lowercase-per-token
+    # (JASSjr_index.py:23,53). Pre-lowering the whole doc (one copy instead
+    # of per-token copies) commutes with the ASCII lexer ONLY for ASCII
+    # content: a Unicode char whose lowercase maps into ASCII (e.g. KELVIN
+    # SIGN -> 'k') would otherwise fuse with neighbouring runs. Fast path
+    # pre-lowers ASCII rows; non-ASCII rows lex raw and lower per token.
+    raw = pdf["content"].fillna("")
+    ascii_mask = np.fromiter((s.isascii() for s in raw), dtype=bool, count=n)
+    if ascii_mask.all():
+        content = raw.str.lower()
+    else:
+        content = raw.str.lower().where(ascii_mask, raw)
     docno = pdf["docno"].astype(str).str.lower() if prepend_docno else None
     toks = tokenize_series(content, docno)
+    if not ascii_mask.all():
+        nonascii = np.flatnonzero(~ascii_mask)
+        toks.iloc[nonascii] = toks.iloc[nonascii].map(
+            lambda lst: [t.lower() for t in lst]
+        )
     lens = toks.map(len).to_numpy(dtype=np.int64)
     flat_docid = np.repeat(pdf["docid"].to_numpy(dtype=np.int64), lens)
     flat_term = pd.Series(
@@ -184,9 +200,13 @@ def doc_term_frequencies(
     HOF lambdas evaluate interpreted, per element. Not kept.)
     """
     if mode == "jvm":
+        # lex RAW content, then lowercase+truncate per token — the
+        # reference's operation order (JASSjr_index.py:23,53,56); lowering
+        # first would fuse tokens around Unicode chars whose lowercase is
+        # ASCII (KELVIN SIGN -> 'k')
         word_tokens = F.transform(
-            F.regexp_extract_all(F.lower("content"), F.lit(TOKEN_RE), 0),
-            lambda t: F.substring(t, 1, MAX_TOKEN_LEN),
+            F.regexp_extract_all(F.col("content"), F.lit(TOKEN_RE), 0),
+            lambda t: F.substring(F.lower(t), 1, MAX_TOKEN_LEN),
         )
         tokens = (
             F.concat(

@@ -41,6 +41,10 @@ from pyspark.sql import functions as F
 from jassjr_spark.constants import B, K1, RUN_NAME, TOP_K
 from jassjr_spark.operators.index_build import Index
 
+# Above this corpus size the docids table stops being broadcast-able and
+# the ranked run becomes the broadcast side of the docno join.
+BROADCAST_DOCIDS_MAX = 5_000_000
+
 
 def parse_queries(spark: SparkSession, lines: list[str]) -> DataFrame:
     """TREC query lines -> (query_id string, pos int, term string).
@@ -208,10 +212,115 @@ def search(
         qterms=qterms, local_dict=local_dict,
     )
     ranked = top_k(accumulate(scored), k)
-    return (
-        ranked.join(F.broadcast(index.docids.alias("d")), "docid")
-        .select("query_id", "docno", "rank", "rsv")
-    )
+    # docno resolution: under ~5M docs broadcasting docids keeps the whole
+    # query one unbroken pipeline (measured ~20% faster at 600k); beyond
+    # that the docids table can never be the broadcast side — broadcast
+    # the <=k-rows-per-query RANKED run into it instead.
+    if s["n_docs"] <= BROADCAST_DOCIDS_MAX:
+        out = ranked.join(F.broadcast(index.docids), "docid")
+    else:
+        out = index.docids.join(F.broadcast(ranked), "docid")
+    return out.select("query_id", "docno", "rank", "rsv")
+
+
+class InteractiveSearcher:
+    """Low-latency REPL path (the reference's per-query loop,
+    JASSjr_search.cpp:168-237, where startup state is loaded once and each
+    query is a probe + accumulate + sort).
+
+    Holds the per-session state driver-side so a query line costs ONE
+    Spark action:
+
+    * stats + (term -> df) dictionary snapshot — no probe job (guarded by
+      the same max_terms bound as local_dictionary);
+    * (docid -> docno) snapshot — the final docno join disappears (guarded
+      by max_docids; at web scale fall back to ``search()``);
+    * ranking by ``orderBy(...).limit(k)`` (TakeOrderedAndProject:
+      per-partition top-k + driver merge) instead of a window — no second
+      shuffle, and the collect IS the action.
+
+    Scores are produced by the identical kernel + ordered fold, so output
+    lines are byte-identical to ``search_lines`` (asserted in tests).
+    """
+
+    def __init__(self, index: Index, stats: dict | None = None,
+                 max_docids: int = 10_000_000, shuffle_partitions: int = 8):
+        # one query's accumulate shuffle holds <= matched-docs rows; a wide
+        # shuffle is pure task-scheduling overhead here (measured: 32 -> 8
+        # partitions cuts p50 from ~1.05 s to ~0.73 s at 600k docs)
+        self.shuffle_partitions = shuffle_partitions
+        import math
+
+        self.index = index
+        self.stats = stats or index.scalar_stats()
+        self.local_dict = local_dictionary(index)
+        n = self.stats["n_docs"]
+        self.idf = (
+            {t: math.log(n / df) for t, df in self.local_dict.items() if df < n}
+            if self.local_dict is not None else None
+        )
+        self.docnos = (
+            {r.docid: r.docno for r in index.docids.select("docid", "docno").collect()}
+            if n <= max_docids else None
+        )
+
+    def search_line(self, line: str, k: int = TOP_K) -> list[str]:
+        spark = self.index.postings.sparkSession
+        toks = line.split()
+        if not toks:
+            return []
+        qid = "0"
+        if toks[0].isnumeric():
+            qid, toks = toks[0], toks[1:]
+        if not toks or self.idf is None or self.docnos is None:
+            # web-scale fallback: the batch plan with its distributed joins
+            if not toks:
+                return []
+            q = parse_queries(spark, [line])
+            return to_trec_lines(
+                search(self.index, q, k, stats=self.stats,
+                       qterms=sorted(set(toks)), local_dict=self.local_dict)
+            )
+        qrows = [(qid, pos, t, self.idf[t]) for pos, t in enumerate(toks)
+                 if t in self.idf]
+        if not qrows:
+            return []
+        from jassjr_spark.sources.index_store import pruned_postings
+
+        qdf = spark.createDataFrame(
+            qrows, "query_id string, pos int, term string, idf double"
+        )
+        postings = pruned_postings(self.index, sorted({t for _, _, t, _ in qrows}))
+        scored = postings.join(F.broadcast(qdf), "term").select(
+            "query_id", "docid", "pos",
+            bm25_contrib(self.stats["avgdl"]).alias("contrib"),
+        )
+        plan = (
+            accumulate(scored)
+            .filter(F.col("rsv") > 0.0)
+            .orderBy(F.col("rsv").desc(), F.col("docid").desc())
+            .limit(k)
+        )
+        # AQE materializes every query stage as its own job — right for a
+        # petabyte shuffle, pure scheduling overhead for one tiny query.
+        # Without it the collect drives broadcast + agg + TakeOrdered as
+        # ONE job. Narrow the shuffle for the same reason.
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(self.shuffle_partitions))
+        try:
+            rows = plan.collect()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        return [
+            "{} Q0 {} {} {:.4f} {}".format(
+                qid, self.docnos[r.docid], rank, r.rsv, RUN_NAME
+            )
+            for rank, r in enumerate(rows, start=1)
+        ]
 
 
 def to_trec_lines(run: DataFrame) -> list[str]:

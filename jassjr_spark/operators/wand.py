@@ -49,13 +49,40 @@ from jassjr_spark.constants import TOP_K
 from jassjr_spark.functions.compression import DEFAULT_BLOCK_SPAN, decode_blocks
 from jassjr_spark.operators.index_build import Index
 from jassjr_spark.operators.search import (
+    BROADCAST_DOCIDS_MAX,
     accumulate,
     attach_idf,
     bm25_contrib,
+    score_postings,
     top_k,
 )
 
+
+def _resolve_docnos(index: Index, ranked: DataFrame, n_docs: int) -> DataFrame:
+    if n_docs <= BROADCAST_DOCIDS_MAX:
+        out = ranked.join(F.broadcast(index.docids), "docid")
+    else:
+        out = index.docids.join(F.broadcast(ranked), "docid")
+    return out.select("query_id", "docno", "rank", "rsv")
+
+
+def _postings_scores(index: Index, queries: DataFrame, qterms: list[str],
+                     s: dict) -> DataFrame:
+    """The naive JVM kernel over term-pruned postings — the fallback when
+    block pruning cannot pay; bit-identical scores to the blocks path."""
+    from jassjr_spark.sources.index_store import pruned_postings
+
+    postings = pruned_postings(index, qterms)
+    return accumulate(
+        score_postings(queries, postings, index.dictionary,
+                       s["n_docs"], s["avgdl"], qterms=qterms)
+    )
+
 EPSILON = 1e-9
+# Seed-phase block-count floor per query (see wand_search): enough top-UB
+# blocks that θ sees ~k genuinely high-scoring docs, small enough that the
+# seed decode stays trivial.
+SEED_BLOCKS_MAX = 32
 # Below this many kept blocks the block_id filter is inlined as an IN list
 # (pushes into the Parquet scan / row-group stats); above it, a broadcast
 # semi-join (still before decode, but filtered post-scan).
@@ -104,12 +131,24 @@ def wand_search(
     k: int = TOP_K,
     stats: dict | None = None,
     block_span: int = DEFAULT_BLOCK_SPAN,
+    fallback_keep_frac: float = 0.5,
 ) -> DataFrame:
     """-> (query_id, docno, rank, rsv), identical to search() output.
 
     ``blocks`` is the BLOCK_SCHEMA table built at index time with the same
     avgdl (functions/compression.py:build_blocks) — in memory or read from
-    ``{path}/blocks``. index.postings is never scanned.
+    ``{path}/blocks``.
+
+    Adaptive physical choice: pruning effectiveness is DATA-dependent — on
+    a corpus whose per-doc tf is flat, every block has the same upper
+    bound and θ prunes nothing, so decoding (kept ≈ all) blocks costs more
+    than the naive JVM scan it replaces. Phase A is cheap (metadata only),
+    so after computing the kept set we read its fraction: below
+    ``fallback_keep_frac`` the engine scores from the decoded kept blocks
+    (I/O-pruned path); above it, from the term-pruned postings table (the
+    naive kernel) — both kernels are bit-identical, so the output never
+    depends on the choice (tested). Set fallback_keep_frac=1.0 to force
+    the blocks path.
     """
     s = stats or index.scalar_stats()
     qterms = [r.term for r in queries.select("term").distinct().collect()]
@@ -121,7 +160,29 @@ def wand_search(
     meta = blocks_q.select("term", "block_id", "n", "max_impact")
     ub = _block_upper_bounds(q_idf, meta).cache()
 
-    # seed blocks: highest UB until >= k candidate docs -> θ
+    # Prunability probe BEFORE paying for seed scoring: θ can never exceed
+    # a query's max block UB, so only blocks with UB well under that max
+    # are even candidates for pruning. If UBs are flat (synthetic corpora
+    # with uniform tf; conjunctions of same-df terms), skip phase B's
+    # decode entirely and score the term-pruned postings with the
+    # identical JVM kernel — output is bit-identical either way (tested).
+    if fallback_keep_frac < 1.0:
+        qmax = ub.groupBy("query_id").agg(F.max("ub").alias("qmax"))
+        frac_prunable = (
+            ub.join(F.broadcast(qmax), "query_id")
+            .agg(F.avg((F.col("ub") < 0.5 * F.col("qmax")).cast("double")))
+            .first()[0]
+        ) or 0.0
+        if frac_prunable < 1.0 - fallback_keep_frac:
+            scores = _postings_scores(index, queries, qterms, s)
+            return _resolve_docnos(index, top_k(scores, k), s["n_docs"])
+
+    # seed blocks: highest UB until >= k candidate docs AND at least
+    # min(k, 32) blocks -> θ. The block-count floor matters: one block
+    # guarantees k docs numerically, but its k-th best ACTUAL doc may have
+    # matched only the weakest query term (θ ≈ min UB ⇒ zero pruning);
+    # the high-score docs that make θ sharp are spread ~one per top-UB
+    # block, so seed ~k of them.
     w = Window.partitionBy("query_id").orderBy(
         F.col("ub").desc(), F.col("block_id").asc()
     )
@@ -133,7 +194,10 @@ def wand_search(
                 F.lit(0),
             ),
         )
-        .filter(F.col("cum_before") < k)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("cum_before") < k) | (F.col("rn") <= min(k, SEED_BLOCKS_MAX))
+        )
         .select("query_id", "block_id")
     )
     seed_scores = _exact_scores(q_idf, blocks_q, seeds, s["avgdl"], block_span)
@@ -154,13 +218,17 @@ def wand_search(
             F.col("ub") >= F.coalesce(F.col("theta"), F.lit(0.0)) - EPSILON
         )
         .select("query_id", "block_id")
-    )
-    final_scores = _exact_scores(q_idf, blocks_q, kept, s["avgdl"], block_span)
-    ranked = top_k(final_scores, k)
-    return (
-        ranked.join(F.broadcast(index.docids), "docid")
-        .select("query_id", "docno", "rank", "rsv")
-    )
+    ).cache()
+    n_total = ub.count()
+    n_kept = kept.count()
+    if n_total > 0 and n_kept / n_total > fallback_keep_frac:
+        # θ turned out weaker than the probe predicted: pruning still
+        # won't pay for the decode — same JVM-kernel fallback
+        final_scores = _postings_scores(index, queries, qterms, s)
+    else:
+        final_scores = _exact_scores(q_idf, blocks_q, kept, s["avgdl"],
+                                     block_span)
+    return _resolve_docnos(index, top_k(final_scores, k), s["n_docs"])
 
 
 def _exact_scores(

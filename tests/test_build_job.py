@@ -69,7 +69,8 @@ def test_wand_over_persisted(spark, tmp_path):
 
     q = parse_queries(spark, synth_queries(10))
     naive = to_trec_lines(search(idx, q, k=20, stats=s))
-    run = wand_search(idx, blocks, q, k=20, stats=s, block_span=64)
+    run = wand_search(idx, blocks, q, k=20, stats=s, block_span=64,
+                      fallback_keep_frac=1.0)  # force the blocks I/O path
     wand = to_trec_lines(run)
     assert wand == naive
 

@@ -116,6 +116,66 @@ def test_tokenizer_modes_identical(spark):
     assert a == b
 
 
+def test_unicode_lowercase_order(spark):
+    """Lex raw THEN lowercase per token (JASSjr_index.py:23,53): a Unicode
+    char whose lowercase maps into ASCII (KELVIN SIGN U+212A -> 'k') must
+    BREAK the token run, not fuse it ('5Kend' -> ['5','end'], never
+    ['5k','end']). Both tokenizer modes, identical to the Python-reference
+    regex-on-raw behavior."""
+    from jassjr_spark.functions.tokenize import doc_term_frequencies
+
+    sdf = spark.createDataFrame(
+        [(0, "D1", "5Kend MiXeD Kelvin")],
+        "docid long, docno string, content string",
+    )
+    import re
+
+    from jassjr_spark.constants import TOKEN_RE
+
+    want = sorted(
+        ["d1"] + [t.lower() for t in re.findall(TOKEN_RE, "5Kend MiXeD Kelvin")]
+    )
+    for mode in ("jvm", "arrow"):
+        got = sorted(
+            r.term
+            for r in doc_term_frequencies(sdf, mode=mode).collect()
+            for _ in range(r.tf)
+        )
+        assert got == want, (mode, got)
+        assert "5k" not in got and "5" in got and "end" in got
+
+
+def test_interactive_searcher_identical_and_one_action(spark):
+    """InteractiveSearcher must emit byte-identical run lines to the batch
+    path, with at most 2 Spark jobs per query line (the <=2-job latency
+    contract; TakeOrderedAndProject + at most one broadcast-side job)."""
+    from jassjr_spark.operators.search import InteractiveSearcher, search_lines
+
+    docs = _rows(250)
+    sdf = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(docs)],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(sdf).cache()
+    idx.postings.count()
+    it = InteractiveSearcher(idx)
+    lines = synth_queries(8) + ["ten nine", "42", ""]
+    for ln in lines:
+        want = search_lines(idx, spark, [ln]) if ln.strip() else []
+        got = it.search_line(ln)
+        assert got == want, ln
+
+    # job count per interactive call
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sc.setJobGroup("interactive_probe", "latency contract")
+    it.search_line(lines[0])
+    jobs = tracker.getJobIdsForGroup("interactive_probe") or []
+    sc.setJobGroup(None, None)
+    assert len(jobs) <= 2, jobs
+
+
 def test_local_dictionary_search_identical(spark):
     """The driver-side dictionary snapshot path must not change results."""
     from jassjr_spark.operators.search import (

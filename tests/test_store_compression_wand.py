@@ -111,10 +111,14 @@ def test_wand_rank_identity(spark, k):
     blocks = build_blocks(idx.postings, s["avgdl"], block_span=64).cache()
     queries = parse_queries(spark, synth_queries(20))
     naive = to_trec_lines(search(idx, queries, k=k, stats=s))
-    wand = to_trec_lines(
-        wand_search(idx, blocks, queries, k=k, stats=s, block_span=64)
-    )
-    assert wand == naive
+    # both physical choices must be byte-identical: forced blocks path
+    # (decode kept payloads) and forced postings fallback
+    for frac in (1.0, 0.0):
+        wand = to_trec_lines(
+            wand_search(idx, blocks, queries, k=k, stats=s, block_span=64,
+                        fallback_keep_frac=frac)
+        )
+        assert wand == naive, f"fallback_keep_frac={frac}"
 
 
 def test_wand_golden(spark):
@@ -126,7 +130,8 @@ def test_wand_golden(spark):
     s = idx.scalar_stats()
     blocks = build_blocks(idx.postings, s["avgdl"], block_span=4).cache()
     q = parse_queries(spark, ["ten"])
-    got = to_trec_lines(wand_search(idx, blocks, q, k=1000, stats=s, block_span=4))
+    got = to_trec_lines(wand_search(idx, blocks, q, k=1000, stats=s, block_span=4,
+                                    fallback_keep_frac=1.0))
     from jassjr_spark.fixtures import GOLDEN_EXPECTED
 
     assert got == GOLDEN_EXPECTED["ten"]

@@ -38,6 +38,9 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     docs = dq.load_documents(spark, SF_DIR)
     n_docs = docs.count()  # warms the session + parquet footer cache
+    # warm the scoring path too (tokenize UDF workers, codegen, broadcast
+    # machinery) so the FIRST timed query isn't charged for JVM/JIT warmup
+    dq.q_ft_bm25_top10(spark, SF_DIR, k=1).collect()
 
     queries: dict[str, float] = {}
 

@@ -771,21 +771,25 @@ def q_sim_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_sim_lsh(n_planes: int = 6, seed: int = 42, dim: int = 64,
-                 k: int = 5) -> str:
-    """LSH oracle with the plane vectors inlined as literals (they are
-    int32/2^31-1.0 values — dyadic, so repr() round-trips exactly into
-    DuckDB doubles)."""
+def _lsh_bits_sql(n_planes: int, seed: int, dim: int, vec: str = "e") -> str:
+    """The LSH bucket string as a SQL expression with the plane vectors
+    inlined as literals (they are int32/2^31-1.0 values — dyadic, so
+    repr() round-trips exactly into DuckDB doubles)."""
     planes = [similarity._plane(seed, j, dim) for j in range(n_planes)]
 
     def arr(p: list[float]) -> str:
         return "[" + ", ".join(repr(v) for v in p) + "]"
 
-    bits = " || ".join(
-        f"(CASE WHEN list_dot_product(e, {arr(p)}) >= 0 "
+    return " || ".join(
+        f"(CASE WHEN list_dot_product({vec}, {arr(p)}) >= 0 "
         "THEN '1' ELSE '0' END)"
         for p in planes
     )
+
+
+def _sql_sim_lsh(n_planes: int = 6, seed: int = 42, dim: int = 64,
+                 k: int = 5) -> str:
+    bits = _lsh_bits_sql(n_planes, seed, dim)
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 b AS (SELECT vec_id, e, {bits} AS bucket FROM v),
@@ -834,6 +838,72 @@ def q_sim_lsh_persisted_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_persisted(spark, path, queries_local, k=5, hamming=0)
 
 
+def q_sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-scoped (the
+    10^12-row path: candidates = same-bucket pairs only, never all-pairs).
+    Semantics ARE bucket-scoped, so the oracle applies the same literal
+    planes."""
+    emb = load_embeddings(spark, sf_dir)
+    return similarity.lsh_neardup_pairs(
+        emb.select("vec_id", "embedding"), threshold=0.35,
+        n_planes=4, seed=42, dim=64,
+    )
+
+
+def _sql_sim_neardup(n_planes: int = 4, seed: int = 42, dim: int = 64,
+                     threshold: float = 0.35) -> str:
+    bits = _lsh_bits_sql(n_planes, seed, dim)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, {bits} AS bucket FROM v),
+pairs AS (
+  SELECT a.vec_id AS vec_id_a, x.vec_id AS vec_id_b,
+         round(list_dot_product(a.e, x.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(x.e, x.e))), 6) AS cosine
+  FROM b a JOIN b x USING (bucket)
+  WHERE a.vec_id < x.vec_id
+)
+SELECT vec_id_a, vec_id_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (32-bit, md5-vote) per document — the
+    hamming-distance near-dup family's index column."""
+    docs = load_documents(spark, sf_dir)
+    return dedup.simhash(docs).select(
+        F.col("docid").cast("long"), F.col("simhash").cast("long")
+    )
+
+
+def _sql_dedup_simhash(bits: int = 32) -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    bitsum = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS docid,
+         unnest(regexp_extract_all(lower(text), '{_TOK_SQL}')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT docid, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+),
+votes AS (
+  SELECT docid,
+         {votes}
+  FROM h GROUP BY docid
+)
+SELECT CAST(docid AS BIGINT) AS docid, {bitsum} AS simhash FROM votes
+"""
+
+
 # ----------------------------------------------------------------- catalog
 
 
@@ -857,10 +927,12 @@ def catalog() -> dict[str, tuple]:
         "dedup_fingerprints": (q_dedup_fingerprints, SQL_DEDUP_FINGERPRINTS),
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
         "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
+        "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
         "text_token_counts": (q_text_token_counts, SQL_TEXT_TOKEN_COUNTS),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),
         "sim_cosine_top5": (q_sim_cosine_top5, SQL_SIM_COSINE_TOP5),
         "sim_lsh_top5": (q_sim_lsh_top5, _sql_sim_lsh()),
         "sim_lsh_persisted_top5": (q_sim_lsh_persisted_top5, _sql_sim_lsh()),
+        "sim_neardup_pairs": (q_sim_neardup_pairs, _sql_sim_neardup()),
     }

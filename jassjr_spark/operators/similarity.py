@@ -85,12 +85,18 @@ def _plane(seed: int, j: int, dim: int) -> list[float]:
 
 def ivf_index(
     vectors: DataFrame, n_clusters: int = 16, seed: int = 42,
+    fit_fraction: float | None = None,
 ) -> tuple[DataFrame, list]:
     """IVF coarse quantizer: KMeans-cluster the corpus -> (assigned,
     centroids). ``assigned`` is the input plus a ``cluster`` column (the
     inverted list id); at scale this column is the partition key of the
     vector store, so a probe touches only nprobe partitions — the vector
-    analogue of the postings bucket layout."""
+    analogue of the postings bucket layout.
+
+    ``fit_fraction``: fit the quantizer on a sample (the standard IVF
+    training recipe — centroids need ~100-1000 points per cluster, not
+    the 10^12-row corpus; assignment of the FULL corpus is the cheap
+    transform pass). None = fit on everything (test scale)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -98,9 +104,10 @@ def ivf_index(
         "features",
         array_to_vector(F.col("embedding").cast("array<double>")),
     )
+    fit_on = vdf.sample(fit_fraction, seed=seed) if fit_fraction else vdf
     model = KMeans(
         k=n_clusters, seed=seed, featuresCol="features", predictionCol="cluster"
-    ).fit(vdf)
+    ).fit(fit_on)
     assigned = model.transform(vdf).select("vec_id", "embedding", "cluster")
     return assigned, [c.tolist() for c in model.clusterCenters()]
 
@@ -147,6 +154,31 @@ def lsh_bucket(
         plane = F.array(*[F.lit(v) for v in _plane(seed, j, dim)])
         bits.append(F.when(_dot(F.col(col), plane) >= 0, "1").otherwise("0"))
     return vectors.withColumn("bucket", F.concat(*bits))
+
+
+def lsh_neardup_pairs(
+    vectors: DataFrame, threshold: float = 0.9,
+    n_planes: int = 8, seed: int = 42, dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-scoped:
+    (vec_id_a < vec_id_b, cosine) for pairs in the SAME hyperplane bucket
+    with cosine >= threshold. The bucket equality join is the 10^12-row
+    scale story (no all-pairs anywhere — a bucket's pairs are the only
+    candidates, exactly like MinHash-LSH for text); recall < 1 by
+    construction, governed by n_planes."""
+    vb = lsh_bucket(vectors, n_planes, seed, dim)
+    a = vb.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("qvec"),
+        "bucket",
+    )
+    b = vb.select(
+        F.col("vec_id").alias("vec_id_b"), "embedding", "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_id_a") < F.col("vec_id_b"))
+    scored = with_cosine(pairs).withColumn("cosine", F.round("cosine", 6))
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "vec_id_a", "vec_id_b", "cosine"
+    )
 
 
 def lsh_topk(

@@ -114,17 +114,61 @@ def append_documents(
     return n
 
 
-def refresh_derived(spark: SparkSession, path: str) -> None:
-    """Recompute dictionary + stats from the postings/doc_lengths union
-    (the compaction step after a run of appends)."""
+def refresh_derived(spark: SparkSession, path: str,
+                    incremental: bool = True) -> None:
+    """Recompute dictionary + stats (the compaction step after appends).
+
+    Incremental mode (epoch-named segment layout only): the dictionary
+    delta aggregates ONLY epochs newer than the last refresh (marker in
+    ``_refreshed``) and full-outer-merges into the existing dictionary —
+    at 10^12 postings a full re-aggregation per compaction is a full-index
+    scan; the delta is proportional to what arrived. Falls back to the
+    full recompute when there is no epoch column or no prior dictionary.
+    Stats stay a full pass over doc_lengths (one small int per doc)."""
     postings = spark.read.parquet(f"{path}/postings")
     dl = spark.read.parquet(f"{path}/doc_lengths")
-    dictionary = postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("cf")
+
+    last = _read_refresh_marker(spark, path)
+    can_increment = (
+        incremental and "epoch" in postings.columns
+        and _exists(spark, f"{path}/dictionary") and last is not None
     )
-    # overwrite via temp-and-swap semantics: parquet overwrite is atomic
-    # enough here because readers re-list files per query
-    dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
+    if can_increment:
+        delta = (
+            postings.filter(F.col("epoch") > last)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("d_df"),
+                 F.sum("tf").cast("long").alias("d_cf"))
+        )
+        old = spark.read.parquet(f"{path}/dictionary")
+        dictionary = (
+            old.join(delta, "term", "full_outer")
+            .select(
+                "term",
+                (F.coalesce("df", F.lit(0)) + F.coalesce("d_df", F.lit(0)))
+                .alias("df"),
+                (F.coalesce("cf", F.lit(0)) + F.coalesce("d_cf", F.lit(0)))
+                .cast("long").alias("cf"),
+            )
+        )
+        # the old dictionary is an input of the overwrite target: stage
+        # through a swap directory so the read completes before the delete
+        dictionary.write.mode("overwrite").parquet(f"{path}/dictionary_next")
+        spark.read.parquet(f"{path}/dictionary_next").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/dictionary")
+    else:
+        dictionary = postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("cf")
+        )
+        # overwrite via temp-and-swap semantics: parquet overwrite is
+        # atomic enough here because readers re-list files per query
+        dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
+    if "epoch" in postings.columns:
+        hi = postings.agg(F.max("epoch")).first()[0]
+        if hi is not None:
+            _write_refresh_marker(spark, path, int(hi))
+
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("len").alias("avgdl"),
@@ -135,6 +179,29 @@ def refresh_derived(spark: SparkSession, path: str) -> None:
         )
     )
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _exists(spark: SparkSession, p: str) -> bool:
+    try:
+        spark.read.parquet(p).schema
+        return True
+    except Exception:
+        return False
+
+
+def _read_refresh_marker(spark: SparkSession, path: str) -> int | None:
+    try:
+        return spark.read.parquet(f"{path}/_refreshed").agg(
+            F.max("epoch_id")
+        ).first()[0]
+    except Exception:
+        return None
+
+
+def _write_refresh_marker(spark: SparkSession, path: str, epoch_id: int) -> None:
+    spark.createDataFrame([(epoch_id,)], "epoch_id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{path}/_refreshed")
 
 
 def start_indexing_stream(

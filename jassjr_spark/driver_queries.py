@@ -858,6 +858,60 @@ def q_sim_lsh_persisted_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_persisted(spark, path, queries_local, k=5, hamming=0)
 
 
+# -------------------------------------------------------- event-time queries
+
+
+def q_ev_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type over the events
+    table (the batch face of the streaming windowed aggregate)."""
+    from jassjr_spark.operators.events import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(events, window="1 hour")
+
+
+SQL_EV_WINDOWED_COUNTS = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_ev_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based (30 min) session windows per user — F.session_window on
+    the Spark side, the lag/gap-island construction in SQL."""
+    from jassjr_spark.operators.events import user_sessions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return user_sessions(events, gap="30 minutes")
+
+
+SQL_EV_USER_SESSIONS = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM e
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
 def q_sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket-scoped (the
     10^12-row path: candidates = same-bucket pairs only, never all-pairs).
@@ -955,4 +1009,6 @@ def catalog() -> dict[str, tuple]:
         "sim_lsh_top5": (q_sim_lsh_top5, _sql_sim_lsh()),
         "sim_lsh_persisted_top5": (q_sim_lsh_persisted_top5, _sql_sim_lsh()),
         "sim_neardup_pairs": (q_sim_neardup_pairs, _sql_sim_neardup()),
+        "ev_windowed_counts": (q_ev_windowed_counts, SQL_EV_WINDOWED_COUNTS),
+        "ev_user_sessions": (q_ev_user_sessions, SQL_EV_USER_SESSIONS),
     }

@@ -1,0 +1,125 @@
+"""Stateful Structured Streaming operators.
+
+Two of the brief's streaming patterns, implemented over the same
+declarative ops the batch engine uses:
+
+* ``start_windowed_counts_stream`` — the event-time windowed aggregate of
+  operators/events.py driven as a streaming aggregation WITH a watermark:
+  Spark keeps per-window state, admits late events inside the watermark,
+  and finalizes windows past it. (Batch == streaming parity is tested.)
+* ``start_streaming_dedup`` — custom stateful operator via
+  ``applyInPandasWithState``: keyed by content hash, keeps a seen-flag in
+  GroupState and emits ONLY the first-ever occurrence of each document
+  across all micro-batches — exact streaming dedup, the incremental
+  analogue of operators/dedup.py's keep-min-docid semantics under
+  arrival order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from jassjr_spark.operators.events import windowed_event_counts
+
+
+def start_windowed_counts_stream(
+    events_stream: DataFrame,
+    output_path: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    trigger_available_now: bool = True,
+):
+    """Streaming windowed event counts with a late-data watermark.
+
+    complete output mode: every trigger rewrites the full (bounded:
+    windows x types) aggregate — right for a finite window universe;
+    at unbounded horizons switch to append + watermark expiry and a sink
+    that upserts."""
+    stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = stream.withWatermark("ts", watermark)
+    agg = windowed_event_counts(stream, window=window)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(output_path)  # memory sink table name
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=trigger_available_now)
+        .start()
+    )
+
+
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("sha", T.StringType(), False),
+        T.StructField("keep_docid", T.LongType(), False),
+        T.StructField("docno", T.StringType(), False),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = T.StructType(
+    [T.StructField("keep_docid", T.LongType(), False)]
+)
+
+
+def _dedup_first_seen(key, pdf_iter, state: GroupState):
+    """One content-hash group per call: emit the group's first-ever row
+    (min docid within this batch; state suppresses later batches)."""
+    if state.exists:
+        return iter(())
+    best = None
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        row = pdf.loc[pdf["docid"].idxmin()]
+        if best is None or row["docid"] < best["docid"]:
+            best = row
+    if best is None:
+        return iter(())
+    state.update((int(best["docid"]),))
+    return iter(
+        [
+            pd.DataFrame(
+                {
+                    "sha": [key[0]],
+                    "keep_docid": [int(best["docid"])],
+                    "docno": [str(best["docno"])],
+                }
+            )
+        ]
+    )
+
+
+def start_streaming_dedup(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    output_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Exact streaming dedup: (docid, docno, content) stream -> parquet of
+    first-seen rows per sha256(content), state held per hash in
+    GroupState (applyInPandasWithState)."""
+    keyed = docs_stream.select(
+        F.sha2("content", 256).alias("sha"), "docid", "docno"
+    )
+    deduped = keyed.groupBy("sha").applyInPandasWithState(
+        _dedup_first_seen,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", output_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -138,6 +138,83 @@ def test_incremental_refresh_matches_full(spark, tmp_path):
     assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)
 
 
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    """Watermarked streaming windowed aggregate == the batch operator over
+    the same events."""
+    import datetime as dt
+
+    from jassjr_spark.operators.events import windowed_event_counts
+    from jassjr_spark.streaming.stateful import start_windowed_counts_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), ["view", "click"][i % 2],
+         float(i) / 4.0)
+        for i in range(240)
+    ]
+    src = tmp_path / "evsrc"
+    src.mkdir()
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    batch_df.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(str(src / "b0"))
+    q = start_windowed_counts_stream(
+        stream, "wc_sink", checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from wc_sink").collect()}
+    want = {tuple(r) for r in windowed_event_counts(batch_df).collect()}
+    assert got == want and len(want) > 10
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    """applyInPandasWithState dedup: only the first-ever occurrence of
+    each content hash is emitted, across micro-batches."""
+    from jassjr_spark.streaming.stateful import start_streaming_dedup
+
+    import glob
+    import shutil
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    schema = "docid long, docno string, content string"
+    # batch 0: two distinct docs, one internal duplicate
+    b0 = [(0, "A", "alpha text"), (1, "B", "beta text"), (2, "C", "alpha text")]
+    # batch 1 (later file): repeats of batch-0 content + one new doc
+    b1 = [(3, "D", "beta text"), (4, "E", "gamma text"), (5, "F", "alpha text")]
+
+    def land(rows, name):
+        # the streaming file source watches FILES in src, not subdirs
+        tmp = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        part = glob.glob(str(tmp / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    land(b0, "f0")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out = str(tmp_path / "dedup_out")
+    q = start_streaming_dedup(
+        spark, stream, out, checkpoint=str(tmp_path / "dckpt"),
+        trigger_available_now=False,
+    )
+    try:
+        q.processAllAvailable()
+        land(b1, "f1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.keep_docid, r.docno) for r in spark.read.parquet(out).collect()}
+    # first-seen per content: alpha->0/A, beta->1/B, gamma->4/E
+    assert got == {(0, "A"), (1, "B"), (4, "E")}
+
+
 def test_streaming_source_e2e(spark, tmp_path):
     """Real readStream (file source) -> foreachBatch indexer -> search."""
     rows = _rows(60)

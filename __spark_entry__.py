@@ -3,9 +3,10 @@
 The engine lives in ``jassjr_spark/`` (a PySpark-native inverted-index
 build + BM25 search engine with the capabilities of andrewtrotman/JASSjr,
 plus training-data pipeline operators: dedup, similarity search, text
-analysis). Each ``queries()`` entry has a DuckDB oracle in
-``oracle_sql()`` unless noted (LSH similarity has no SQL oracle — plane
-literals — and is recall-tested in pytest instead).
+analysis, event-time windows/sessions). EVERY ``queries()`` entry has a
+DuckDB oracle in ``oracle_sql()`` — including SAAT (integer micro-unit
+quantization), LSH (md5-derived plane literals inlined into the SQL),
+SimHash, and the session windows (gap-island SQL).
 """
 
 from __future__ import annotations

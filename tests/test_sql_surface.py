@@ -1,0 +1,50 @@
+"""SQL surface: pure spark.sql BM25 over the registered index views must
+equal the DataFrame engine under the driver-contract ranking (rounded
+4-dp scores, docid-desc ties)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from jassjr_spark.fixtures import docno_of, synth_docs, synth_queries
+from jassjr_spark.operators.index_build import build_index
+from jassjr_spark.operators.search import accumulate, parse_queries, score_postings
+from jassjr_spark.sql import bm25_sql, register_index_views
+
+
+def test_sql_bm25_matches_dataframe_engine(spark):
+    raw = synth_docs(300)
+    rows = [(docno_of(r, p, c), t) for r, p, c, _, t in raw]
+    sdf = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(rows)],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(sdf).cache()
+    register_index_views(spark, idx, prefix="jr_")
+
+    lines = synth_queries(10)
+    q = parse_queries(spark, lines)
+    vals = ", ".join(
+        f"({r.query_id}, {r.pos}, '{r.term}')" for r in q.collect()
+    )
+    got = {
+        (str(r.query_id), r.docno, r.rank, r.rsv)
+        for r in spark.sql(bm25_sql(vals, k=10, prefix="jr_")).collect()
+    }
+
+    s = idx.scalar_stats()
+    scored = score_postings(q, idx.postings, idx.dictionary,
+                            s["n_docs"], s["avgdl"])
+    acc = accumulate(scored).withColumn("rsv", F.round("rsv", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    ranked = (
+        acc.filter(F.col("rsv") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .join(idx.docids, "docid")
+    )
+    want = {
+        (str(r.query_id), r.docno, r.rank, r.rsv) for r in ranked.collect()
+    }
+    assert got == want and len(want) > 0

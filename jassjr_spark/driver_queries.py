@@ -689,8 +689,46 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_TOKEN_COUNTS = f"""
 SELECT doc_id AS docid,
        CAST(len(regexp_extract_all(text, '{_TOK_SQL}')) AS BIGINT) AS n_tokens,
-       CAST(length(text) AS BIGINT) AS n_chars
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+            AS BIGINT) AS n_subwords
 FROM documents
+"""
+
+
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints — the near-dup primitive
+    guaranteeing shared runs >= k+w-1 tokens share a fingerprint."""
+    return textstats.winnow_fingerprints(
+        load_documents(spark, sf_dir), k=4, w=5
+    )
+
+
+SQL_TEXT_WINNOW = f"""
+WITH t AS (
+  SELECT doc_id AS docid, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+  FROM documents
+),
+g AS (
+  SELECT docid,
+         list_transform(generate_series(1, len(toks) - 3),
+                        i -> array_to_string(toks[i:i+3], ' ')) AS grams
+  FROM t WHERE len(toks) >= 4
+),
+h AS (
+  SELECT docid,
+         list_transform(grams,
+                        g -> ('0x' || substr(md5(g), 1, 8))::BIGINT) AS hashes
+  FROM g
+),
+wins AS (
+  SELECT docid,
+         list_transform(generate_series(1, greatest(len(hashes) - 4, 1)),
+                        i -> list_aggregate(hashes[i:i+4], 'min')) AS fps
+  FROM h
+)
+SELECT DISTINCT docid, unnest(fps) AS fp FROM wins
 """
 
 
@@ -1003,6 +1041,7 @@ def catalog() -> dict[str, tuple]:
         "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
         "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
         "text_token_counts": (q_text_token_counts, SQL_TEXT_TOKEN_COUNTS),
+        "text_winnow_fingerprints": (q_text_winnow, SQL_TEXT_WINNOW),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),
         "sim_cosine_top5": (q_sim_cosine_top5, SQL_SIM_COSINE_TOP5),

@@ -90,6 +90,54 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image rows -> same rows with payload re-encoded at (width, height).
+
+    The pixel work is STUBBED (no PIL/libvips in this container): the
+    output payload is a deterministic content-derived stand-in sized
+    width*height bytes, so downstream stages see realistic batch shapes
+    and data volumes. The Spark plumbing — kind filter, Arrow-batched
+    mapInPandas, metadata rewrite, schema — is the real pipeline; swapping
+    the stub for `PIL.Image.resize` changes one function and no plan.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                if not p:
+                    raise ValueError("empty media payload")
+                seed = hashlib.sha256(
+                    bytes(p) + f":{width}x{height}".encode()
+                ).digest()
+                payloads.append((seed * (n // len(seed) + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        gen, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 250) -> DataFrame:
     """video rows -> (media_id, frame_ts_ms) sample grid; metadata-driven,
     pure Column math (the decode of each frame would be another

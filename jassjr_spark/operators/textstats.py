@@ -19,16 +19,30 @@ from jassjr_spark.functions.tokenize import tokenize_udf
 STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "for", "on"]
 
 
-def token_counts(docs: DataFrame) -> DataFrame:
-    """(docid, content) -> (docid, n_tokens, n_chars).
+# GPT-2-style pre-tokenizer approximation: letter runs, digit runs, and
+# single non-space punctuation — the cheap proxy for BPE token counts that
+# corpus-size estimation pipelines use before committing to a tokenizer.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+WS_TOKEN_RE = r"\S+"
 
-    Token = the engine's lexer token (TOKEN_RE); counted JVM-side with
-    regexp_count — no Python in the plan at all.
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(docid, content) -> (docid, n_tokens, n_chars, n_ws_tokens,
+    n_subwords).
+
+    n_tokens = the engine's lexer tokens (TOKEN_RE); n_ws_tokens =
+    whitespace-separated tokens; n_subwords = BPE-ish pre-tokenizer count
+    (BPE_ISH_RE). All counted JVM-side with regexp_count — no Python in
+    the plan at all.
     """
     return docs.select(
         F.col("docid"),
         F.regexp_count("content", F.lit(TOKEN_RE)).cast("long").alias("n_tokens"),
         F.length("content").cast("long").alias("n_chars"),
+        F.regexp_count("content", F.lit(WS_TOKEN_RE)).cast("long")
+        .alias("n_ws_tokens"),
+        F.regexp_count("content", F.lit(BPE_ISH_RE)).cast("long")
+        .alias("n_subwords"),
     )
 
 
@@ -96,4 +110,42 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         "docid",
         F.sha2("content", 256).alias("sha"),
         F.md5(norm).alias("fp"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 5
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    rolling hash over k-token grams, minimum per sliding window of w
+    hashes, distinct minima as the fingerprint set.
+
+    -> (docid, fp long) exploded rows. Guarantees: any shared run of
+    >= k + w - 1 tokens between two documents shares at least one
+    fingerprint — the near-dup detection primitive plagiarism/clone
+    pipelines use. All JVM Column math (HOF lambdas over per-doc arrays,
+    bounded by doc length); hashes are md5-derived so the DuckDB oracle
+    reproduces them exactly. Docs with fewer than k tokens emit nothing;
+    docs with fewer than w grams emit their single overall minimum
+    (standard short-doc degeneration).
+    """
+    toks = F.regexp_extract_all(F.lower("content"), F.lit(TOKEN_RE), 0)
+    d = docs.select("docid", toks.alias("toks")).filter(F.size("toks") >= k)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - k),
+        lambda i: F.array_join(F.slice("toks", i + 1, k), " "),
+    )
+    d = d.select("docid", grams.alias("grams"))
+    hashes = F.transform(
+        "grams",
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    d = d.select("docid", hashes.alias("hashes"))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("hashes") - w, F.lit(0))),
+        lambda i: F.array_min(F.slice("hashes", i + 1, w)),
+    )
+    return (
+        d.select("docid", F.explode(F.array_distinct(wins)).alias("fp"))
+        .distinct()
     )

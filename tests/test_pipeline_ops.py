@@ -151,6 +151,17 @@ def test_multimodal_plumbing(spark):
     assert len(frames) >= vids * 3
     with pytest.raises(ValueError):
         multimodal.decode_image(b"")
+    # resize: image rows only, payload sized to the target grid,
+    # deterministic, metadata rewritten
+    resized = multimodal.resize_images(media, 16, 12).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(resized) == n_images and n_images > 0
+    assert all(len(r.payload) == 16 * 12 for r in resized)
+    assert all((r.width, r.height) == (16, 12) for r in resized)
+    again_rs = {r.media_id: bytes(r.payload) for r in
+                multimodal.resize_images(media, 16, 12).collect()}
+    for r in resized:
+        assert again_rs[r.media_id] == bytes(r.payload)
 
 
 def test_ivf_topk(spark):

@@ -70,7 +70,7 @@ def corpus_index(spark: SparkSession, sf_dir: str) -> Index:
     deployment builds an index once and serves every query from it —
     without this, each catalog entry re-tokenizes the corpus from scratch
     (the driver runs many entries in one process)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_MEMO:
         _INDEX_MEMO[key] = build_index(
             load_documents(spark, sf_dir), prepend_docno=False
@@ -273,7 +273,7 @@ def q_ft_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 
     idx = corpus_index(spark, sf_dir).cache()
     s = idx.scalar_stats()
-    bkey = (id(spark), sf_dir, "blocks512")
+    bkey = (spark.sparkContext.applicationId, sf_dir, "blocks512")
     if bkey not in _INDEX_MEMO:
         # blocks are an index-time artifact (plans/build_job.py persists
         # them); build-once-per-corpus mirrors the deployment shape
@@ -930,6 +930,9 @@ def q_ev_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EV_USER_SESSIONS = """
 WITH e AS (
   SELECT user_id, ts,
+         -- strictly > : F.session_window MERGES an event at EXACTLY
+         -- prev+gap (verified empirically in
+         -- tests/test_streaming.py::test_session_gap_boundary_matches_oracle)
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    > INTERVAL '30 minutes'
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -97,7 +97,10 @@ def _batch_to_postings(pdf: pd.DataFrame, prepend_docno: bool) -> pd.DataFrame:
     if ascii_mask.all():
         content = raw.str.lower()
     else:
-        content = raw.str.lower().where(ascii_mask, raw)
+        # lower ONLY the ascii rows (lowering all rows then discarding the
+        # non-ascii results would double-copy exactly those rows)
+        content = raw.copy()
+        content[ascii_mask] = raw[ascii_mask].str.lower()
     docno = pdf["docno"].astype(str).str.lower() if prepend_docno else None
     toks = tokenize_series(content, docno)
     if not ascii_mask.all():

@@ -56,9 +56,14 @@ def quantize_contribs(
 
     The float contribution is first integerized to micro-units
     (round(c * 1e6)); the level is then PURE INTEGER math,
-    ``(ci - lo) * (levels-2) div span``, so the quantizer is reproducible
-    bit-for-bit in any engine (the DuckDB driver oracle mirrors it) — a
-    float floor() here would flip levels on 1-ulp cross-engine drift."""
+    ``(ci - lo) * (levels-2) div span`` — given identical micro-unit
+    inputs the quantizer is reproducible bit-for-bit in any engine (the
+    DuckDB driver oracle mirrors it), whereas a float floor() here would
+    flip levels on ANY 1-ulp cross-engine drift. The residual risk is the
+    rounding step itself: libm log differences flip a ci only when
+    c*1e6 sits within ~1 ulp of an exact .5 boundary (and shift lo/span
+    only when that posting is the corpus min/max) — the same accepted
+    risk class as every round(x, n) oracle comparison in this repo."""
     dfed = postings.join(
         F.broadcast(
             dictionary.select("term", "df").filter(F.col("df") < n_docs)

@@ -73,7 +73,8 @@ class Index:
 
 
 def assign_docids(
-    docs: DataFrame, order_cols: list[str], base: int = 0
+    docs: DataFrame, order_cols: list[str], base: int = 0,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Dense ordinal docid (0-based, + ``base``) over a deterministic total
     order. Mirrors the reference's docid++ on each <DOC>
@@ -88,6 +89,13 @@ def assign_docids(
     to ``row_number() over (order by ...)`` (asserted in tests), but the
     sort parallelizes across the cluster instead of funnelling 10^12 rows
     through one task.
+
+    ``cleanup``: the internal staged DataFrame must stay cached until the
+    RESULT is fully materialized (range-partition bounds are sampled; the
+    counts pass and the final pass must see the same assignment).
+    Repeated callers (streaming micro-batches) pass a list to receive it
+    and unpersist after their action — otherwise each call would pin one
+    batch-sized cache entry for the session's lifetime.
     """
     spark = docs.sparkSession
     # cache the pid stamping: range partitioning samples the input to pick
@@ -98,6 +106,8 @@ def assign_docids(
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
+    if cleanup is not None:
+        cleanup.append(staged)
     counts = {
         r._pid: r.n
         for r in staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -212,11 +212,16 @@ def search(
         qterms=qterms, local_dict=local_dict,
     )
     ranked = top_k(accumulate(scored), k)
-    # docno resolution: under ~5M docs broadcasting docids keeps the whole
-    # query one unbroken pipeline (measured ~20% faster at 600k); beyond
-    # that the docids table can never be the broadcast side — broadcast
-    # the <=k-rows-per-query RANKED run into it instead.
-    if s["n_docs"] <= BROADCAST_DOCIDS_MAX:
+    return resolve_docnos(index, ranked, s["n_docs"])
+
+
+def resolve_docnos(index: Index, ranked: DataFrame, n_docs: int) -> DataFrame:
+    """docno resolution, shared by every search path: under ~5M docs
+    broadcasting docids keeps the whole query one unbroken pipeline
+    (measured ~20% faster at 600k); beyond that the docids table can never
+    be the broadcast side — broadcast the <=k-rows-per-query RANKED run
+    into it instead."""
+    if n_docs <= BROADCAST_DOCIDS_MAX:
         out = ranked.join(F.broadcast(index.docids), "docid")
     else:
         out = index.docids.join(F.broadcast(ranked), "docid")
@@ -304,7 +309,11 @@ class InteractiveSearcher:
         # AQE materializes every query stage as its own job — right for a
         # petabyte shuffle, pure scheduling overhead for one tiny query.
         # Without it the collect drives broadcast + agg + TakeOrdered as
-        # ONE job. Narrow the shuffle for the same reason.
+        # ONE job. Narrow the shuffle for the same reason. NOTE: these are
+        # session-scoped confs — the searcher assumes the REPL owns its
+        # session (the reference's model); for a shared multi-tenant
+        # session, give the searcher its own spark.newSession() with the
+        # index registered as views so plans elsewhere keep their confs.
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
         spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -49,21 +49,13 @@ from jassjr_spark.constants import TOP_K
 from jassjr_spark.functions.compression import DEFAULT_BLOCK_SPAN, decode_blocks
 from jassjr_spark.operators.index_build import Index
 from jassjr_spark.operators.search import (
-    BROADCAST_DOCIDS_MAX,
     accumulate,
     attach_idf,
     bm25_contrib,
+    resolve_docnos,
     score_postings,
     top_k,
 )
-
-
-def _resolve_docnos(index: Index, ranked: DataFrame, n_docs: int) -> DataFrame:
-    if n_docs <= BROADCAST_DOCIDS_MAX:
-        out = ranked.join(F.broadcast(index.docids), "docid")
-    else:
-        out = index.docids.join(F.broadcast(ranked), "docid")
-    return out.select("query_id", "docno", "rank", "rsv")
 
 
 def _postings_scores(index: Index, queries: DataFrame, qterms: list[str],
@@ -174,8 +166,9 @@ def wand_search(
             .first()[0]
         ) or 0.0
         if frac_prunable < 1.0 - fallback_keep_frac:
+            ub.unpersist()  # nothing downstream references it
             scores = _postings_scores(index, queries, qterms, s)
-            return _resolve_docnos(index, top_k(scores, k), s["n_docs"])
+            return resolve_docnos(index, top_k(scores, k), s["n_docs"])
 
     # seed blocks: highest UB until >= k candidate docs AND at least
     # min(k, 32) blocks -> θ. The block-count floor matters: one block
@@ -220,15 +213,17 @@ def wand_search(
         .select("query_id", "block_id")
     ).cache()
     n_total = ub.count()
-    n_kept = kept.count()
+    n_kept = kept.count()  # materializes kept; ub is no longer needed
+    ub.unpersist()
     if n_total > 0 and n_kept / n_total > fallback_keep_frac:
         # θ turned out weaker than the probe predicted: pruning still
         # won't pay for the decode — same JVM-kernel fallback
+        kept.unpersist()
         final_scores = _postings_scores(index, queries, qterms, s)
     else:
         final_scores = _exact_scores(q_idf, blocks_q, kept, s["avgdl"],
                                      block_span)
-    return _resolve_docnos(index, top_k(final_scores, k), s["n_docs"])
+    return resolve_docnos(index, top_k(final_scores, k), s["n_docs"])
 
 
 def _exact_scores(

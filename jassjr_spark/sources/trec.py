@@ -76,9 +76,10 @@ def read_trec(spark: SparkSession, path: str) -> DataFrame:
     Distributed two-pass ingest — document content NEVER lands on the
     driver:
 
-    1. per-file ``<DOC>`` counts (one int per file reaches the driver —
-       ``"<DOC>"`` as a substring is exactly the lexer's tag token, and
-       ``<DOCNO>`` cannot false-match because of the closing ``>``);
+    1. per-file ``<DOC>`` counts (one int per file reaches the driver),
+       computed with the SAME lexer as the parse pass — a substring count
+       would desynchronize on pathological unclosed ``<`` runs that the
+       lexer consumes as one tag (SURVEY.md §1.4 item 12);
     2. broadcast filename -> cumulative offset (filename order, matching a
        sequential read of the directory), then a distributed flatMap parses
        each file and emits (offset + local_docid) rows.
@@ -90,7 +91,12 @@ def read_trec(spark: SparkSession, path: str) -> DataFrame:
     """
     files = spark.sparkContext.wholeTextFiles(path)
     counts = sorted(
-        files.map(lambda kv: (kv[0], kv[1].count("<DOC>"))).collect()
+        files.map(
+            lambda kv: (
+                kv[0],
+                sum(1 for t in _FULL_LEXER.findall(kv[1]) if t == "<DOC>"),
+            )
+        ).collect()
     )
     offsets: dict[str, int] = {}
     off = 0

@@ -132,6 +132,14 @@ def lsh_topk_persisted(
     store = spark.read.parquet(f"{path}/vectors").filter(
         F.col("bucket").isin(all_buckets)
     )
+    # partition discovery type-infers '000110' as the integer 110; restore
+    # the documented fixed-width sign-pattern string (values stay unique —
+    # fixed length makes the string<->int mapping injective, so the
+    # pruning filter above is unaffected)
+    store = store.withColumn(
+        "bucket", F.lpad(F.col("bucket").cast("string"),
+                         meta["n_planes"], "0")
+    )
     qrows = [
         (int(qid), [float(x) for x in qv], probes[int(qid)])
         for qid, qv in queries_local

@@ -42,14 +42,20 @@ from jassjr_spark.sources.index_store import (
 
 
 def _read_watermark(spark: SparkSession, path: str) -> tuple[int, int | None]:
-    """-> (next_docid high-water mark, max applied epoch id or None)."""
+    """-> (next_docid high-water mark, max applied epoch id or None).
+
+    Tolerates pre-epoch watermark files (no epoch_id column) WITHOUT
+    resetting the high-water mark — a blanket except here would assign
+    duplicate docids to the next append."""
     try:
-        row = spark.read.parquet(f"{path}/_watermark").agg(
-            F.max("next_docid"), F.max("epoch_id")
-        ).first()
-        return row[0] or 0, row[1]
+        wm = spark.read.parquet(f"{path}/_watermark")
     except Exception:
-        return 0, None
+        return 0, None  # no watermark yet: a fresh index
+    aggs = [F.max("next_docid")]
+    if "epoch_id" in wm.columns:
+        aggs.append(F.max("epoch_id"))
+    row = wm.agg(*aggs).first()
+    return row[0] or 0, (row[1] if len(row) > 1 else None)
 
 
 def _write_watermark(
@@ -87,9 +93,13 @@ def append_documents(
         return 0  # replay of an already-applied epoch
     seg = f"/epoch={epoch_id}" if epoch_id is not None else ""
     mode = "overwrite" if epoch_id is not None else "append"
-    batch = assign_docids(batch, ["docno"], base=base).cache()
+    staged: list = []
+    batch = assign_docids(batch, ["docno"], base=base, cleanup=staged).cache()
     n = batch.count()
     if n == 0:
+        for df in staged:
+            df.unpersist()
+        batch.unpersist()
         return 0
 
     postings = doc_term_frequencies(batch, prepend_docno=prepend_docno)
@@ -111,6 +121,11 @@ def append_documents(
     batch.select("docid", "docno").write.mode(mode).parquet(f"{path}/docids{seg}")
     # watermark last: its presence certifies every segment above landed
     _write_watermark(spark, path, base + n, epoch_id)
+    # release the per-batch caches: a long-running stream must not pin
+    # one batch-sized cache entry per epoch
+    for df in staged:
+        df.unpersist()
+    batch.unpersist()
     return n
 
 

@@ -138,6 +138,55 @@ def test_incremental_refresh_matches_full(spark, tmp_path):
     assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)
 
 
+def test_session_gap_boundary_matches_oracle(spark, tmp_path):
+    """An event at EXACTLY prev+gap MERGES into the session (verified
+    Spark behavior); the DuckDB oracle's strictly-> predicate must agree.
+    This pins the boundary semantics cross-engine."""
+    import datetime as dt
+
+    import duckdb
+
+    from jassjr_spark.driver_queries import SQL_EV_USER_SESSIONS
+    from jassjr_spark.operators.events import user_sessions
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 7, "view", 1.0, "{}"),
+        (1, base + dt.timedelta(minutes=30), 7, "view", 1.0, "{}"),   # == gap
+        (2, base + dt.timedelta(minutes=59), 7, "view", 1.0, "{}"),   # < gap
+        (3, base + dt.timedelta(minutes=95), 7, "view", 1.0, "{}"),   # > gap
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {(r.user_id, r.session_start_us, r.n_events, r.duration_us)
+           for r in user_sessions(ev, gap="30 minutes").collect()}
+    # exact-gap event 1 merges; 59->95 (36 min > gap) splits: [0,1,2], [3]
+    assert sorted(n for _, _, n, _ in got) == [1, 3]
+
+    p = str(tmp_path / "ev.parquet")
+    ev.coalesce(1).write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = {tuple(r) for r in con.execute(SQL_EV_USER_SESSIONS).fetchall()}
+    assert got == want
+
+
+def test_watermark_backward_compat(spark, tmp_path):
+    """A pre-epoch _watermark (no epoch_id column) must NOT reset the
+    docid high-water mark."""
+    from jassjr_spark.streaming.incremental import _read_watermark
+
+    path = str(tmp_path / "old_idx")
+    spark.createDataFrame([(120,)], "next_docid long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_watermark")
+    base, last_epoch = _read_watermark(spark, path)
+    assert base == 120 and last_epoch is None
+
+
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     """Watermarked streaming windowed aggregate == the batch operator over
     the same events."""

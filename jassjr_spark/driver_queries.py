@@ -285,7 +285,10 @@ def q_ft_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         (qid, pos, t) for qid, terms in BM25_QUERIES for pos, t in enumerate(terms)
     ]
     queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
-    run = wand_search(idx, blocks, queries, k=200, stats=s, block_span=512)
+    # force the blocks path: this entry EXISTS to prove the pruned
+    # decode-from-payload pipeline matches the exact-BM25 oracle
+    run = wand_search(idx, blocks, queries, k=200, stats=s, block_span=512,
+                      fallback_keep_frac=1.0)
     rounded = (
         run.withColumn("docid", F.col("docno").cast("long"))
         .withColumn("rsv", F.round("rsv", 4))

@@ -71,6 +71,12 @@ def _postings_scores(index: Index, queries: DataFrame, qterms: list[str],
     )
 
 EPSILON = 1e-9
+# Above this k the engine skips straight to the postings kernel (unless
+# the caller forces the blocks path): θ = the k-th best score falls deep
+# into the score distribution, so almost every block clears it and the
+# seed work is wasted — the standard block-max result that pruning pays at
+# small k (measured here too: k=10 wins 20-26%, k=1000 never does).
+MAX_PRUNABLE_K = 100
 # Seed-phase block-count floor per query (see wand_search): enough top-UB
 # blocks that θ sees ~k genuinely high-scoring docs, small enough that the
 # seed decode stays trivial.
@@ -144,6 +150,9 @@ def wand_search(
     """
     s = stats or index.scalar_stats()
     qterms = [r.term for r in queries.select("term").distinct().collect()]
+    if fallback_keep_frac < 1.0 and k > MAX_PRUNABLE_K:
+        scores = _postings_scores(index, queries, qterms, s)
+        return resolve_docnos(index, top_k(scores, k), s["n_docs"])
     q_idf = attach_idf(queries, index.dictionary, s["n_docs"], qterms=qterms)
     blocks_q = pruned_blocks(index, blocks, qterms)
 

@@ -26,11 +26,14 @@ def main() -> None:
                     help="block-max WAND pruned evaluation (rank-identical)")
     ap.add_argument("--block-span", type=int, default=0,
                     help="override; 0 = read from index _meta")
+    ap.add_argument("--interactive", action="store_true",
+                    help="true REPL: answer each line as it arrives "
+                         "(sub-second p50; byte-identical output)")
     args = ap.parse_args()
 
     from jassjr_spark.operators.search import (
-        input_order_qids, parse_queries, regroup_lines, search_lines,
-        to_trec_lines,
+        InteractiveSearcher, input_order_qids, parse_queries, regroup_lines,
+        search_lines, to_trec_lines,
     )
     from jassjr_spark.operators.wand import wand_search
     from jassjr_spark.plans.build_job import load_persisted
@@ -38,6 +41,21 @@ def main() -> None:
     from jassjr_spark.sources.index_store import read_index
 
     spark = get_spark("jassjr_search")
+
+    if args.interactive:
+        # the reference's REPL shape (JASSjr_search.cpp:168): load state
+        # once, answer each stdin line as it arrives
+        idx = read_index(spark, args.index).cache()
+        idx.postings.count()  # warm
+        it = InteractiveSearcher(idx)
+        source = open(args.queries) if args.queries else sys.stdin
+        for ln in source:
+            if not ln.strip():
+                continue
+            for out_ln in it.search_line(ln.strip(), k=args.k):
+                print(out_ln, flush=True)
+        return
+
     if args.queries:
         lines = [ln for ln in open(args.queries).read().splitlines() if ln.strip()]
     else:

@@ -130,8 +130,14 @@ def wand_search(
     stats: dict | None = None,
     block_span: int = DEFAULT_BLOCK_SPAN,
     fallback_keep_frac: float = 0.5,
+    path_out: list | None = None,
 ) -> DataFrame:
     """-> (query_id, docno, rank, rsv), identical to search() output.
+
+    ``path_out``: pass a list to receive the physical path the adaptive
+    gates chose — "blocks" (pruned decode) or "postings" (naive JVM
+    kernel) — so callers (the CLI's --wand) can report which plan actually
+    ran; the output is identical either way.
 
     ``blocks`` is the BLOCK_SCHEMA table built at index time with the same
     avgdl (functions/compression.py:build_blocks) — in memory or read from
@@ -151,6 +157,8 @@ def wand_search(
     s = stats or index.scalar_stats()
     qterms = [r.term for r in queries.select("term").distinct().collect()]
     if fallback_keep_frac < 1.0 and k > MAX_PRUNABLE_K:
+        if path_out is not None:
+            path_out.append("postings")
         scores = _postings_scores(index, queries, qterms, s)
         return resolve_docnos(index, top_k(scores, k), s["n_docs"])
     q_idf = attach_idf(queries, index.dictionary, s["n_docs"], qterms=qterms)
@@ -176,6 +184,8 @@ def wand_search(
         ) or 0.0
         if frac_prunable < 1.0 - fallback_keep_frac:
             ub.unpersist()  # nothing downstream references it
+            if path_out is not None:
+                path_out.append("postings")
             scores = _postings_scores(index, queries, qterms, s)
             return resolve_docnos(index, top_k(scores, k), s["n_docs"])
 
@@ -214,22 +224,33 @@ def wand_search(
     )
 
     # --- phase B: keep blocks whose UB clears θ − ε, decode+score, top-k
+    # localCheckpoint, not cache: the kept set outlives this function (it
+    # is referenced lazily by the returned plan on the blocks path), so an
+    # explicit unpersist here would race the caller's action, and cache()
+    # would pin an entry per call for the session's lifetime (REPL /
+    # driver). Checkpointed partitions are freed by the ContextCleaner as
+    # soon as the result plan is garbage-collected; loss of a stored
+    # partition fails the query loudly instead of recomputing under a
+    # different θ.
     kept = (
         ub.join(F.broadcast(kth), "query_id", "left")
         .filter(
             F.col("ub") >= F.coalesce(F.col("theta"), F.lit(0.0)) - EPSILON
         )
         .select("query_id", "block_id")
-    ).cache()
+    ).localCheckpoint(eager=False)
     n_total = ub.count()
     n_kept = kept.count()  # materializes kept; ub is no longer needed
     ub.unpersist()
     if n_total > 0 and n_kept / n_total > fallback_keep_frac:
         # θ turned out weaker than the probe predicted: pruning still
         # won't pay for the decode — same JVM-kernel fallback
-        kept.unpersist()
+        if path_out is not None:
+            path_out.append("postings")
         final_scores = _postings_scores(index, queries, qterms, s)
     else:
+        if path_out is not None:
+            path_out.append("blocks")
         final_scores = _exact_scores(q_idf, blocks_q, kept, s["avgdl"],
                                      block_span)
     return resolve_docnos(index, top_k(final_scores, k), s["n_docs"])

@@ -24,6 +24,9 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=1000)
     ap.add_argument("--wand", action="store_true",
                     help="block-max WAND pruned evaluation (rank-identical)")
+    ap.add_argument("--force-blocks", action="store_true",
+                    help="with --wand: disable the adaptive fallback and "
+                         "always decode kept blocks (fallback_keep_frac=1)")
     ap.add_argument("--block-span", type=int, default=0,
                     help="override; 0 = read from index _meta")
     ap.add_argument("--interactive", action="store_true",
@@ -69,13 +72,24 @@ def main() -> None:
         stats = idx.scalar_stats()
         span = args.block_span or read_meta(spark, args.index)["block_span"] or 1024
         q = parse_queries(spark, lines)
+        # --force-blocks disables the adaptive fallback; otherwise the
+        # engine may (correctly) route to the naive kernel — e.g. the
+        # default k=1000 always exceeds the prunable-k gate. Either way,
+        # tell the user which physical path actually ran (output is
+        # identical by construction).
+        chosen: list = []
         out = regroup_lines(
             to_trec_lines(
                 wand_search(idx, blocks, q, k=args.k, stats=stats,
-                            block_span=span)
+                            block_span=span,
+                            fallback_keep_frac=(
+                                1.0 if args.force_blocks else 0.5),
+                            path_out=chosen)
             ),
             input_order_qids(lines),
         )
+        print(f"wand: physical path = {chosen[0] if chosen else 'unknown'}"
+              f" (k={args.k})", file=sys.stderr)
     else:
         idx = read_index(spark, args.index).cache()
         out = search_lines(idx, spark, lines, k=args.k)

@@ -90,22 +90,34 @@ def assign_docids(
     sort parallelizes across the cluster instead of funnelling 10^12 rows
     through one task.
 
-    ``cleanup``: the internal staged DataFrame must stay cached until the
-    RESULT is fully materialized (range-partition bounds are sampled; the
+    ``cleanup``: the internal staged DataFrame must stay materialized until
+    the RESULT is fully computed (range-partition bounds are sampled; the
     counts pass and the final pass must see the same assignment).
     Repeated callers (streaming micro-batches) pass a list to receive it
     and unpersist after their action — otherwise each call would pin one
-    batch-sized cache entry for the session's lifetime.
+    batch-sized entry for the session's lifetime.
     """
     spark = docs.sparkSession
-    # cache the pid stamping: range partitioning samples the input to pick
-    # bounds, and the counts pass and the final pass must see the SAME
-    # partition assignment
+    # Partition membership must be IDENTICAL between the counts job and
+    # the assignment job, but repartitionByRange SAMPLES its bounds — a
+    # lost cached partition would re-execute the exchange under freshly
+    # sampled bounds and silently shift rows across partitions (duplicate
+    # or skipped docids). CHECKPOINT the staged frame instead of caching
+    # it: the materialized partitions are pinned, so recomputation under
+    # different bounds is impossible. With a context checkpoint dir set
+    # (spark.sparkContext.setCheckpointDir — do this on a real cluster;
+    # it is also the engine's build-resume location) the checkpoint is
+    # reliable and survives executor loss; without one, localCheckpoint
+    # stores partitions on executors and a loss FAILS the job loudly
+    # rather than producing divergent docids.
     staged = (
         docs.repartitionByRange(*[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .cache()
     )
+    if spark.sparkContext.getCheckpointDir():
+        staged = staged.checkpoint(eager=True)
+    else:
+        staged = staged.localCheckpoint(eager=True)
     if cleanup is not None:
         cleanup.append(staged)
     counts = {

@@ -111,3 +111,34 @@ def test_dedup_exact_partial_aggregation(spark):
     p = _plan(exact_duplicates(_docs(spark, 200).select("docid", "content")))
     assert p.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning" in p
+
+
+def test_assign_docids_partitioning_is_pinned(spark, tmp_path):
+    """The staged range-partitioned frame is CHECKPOINTED, not cached:
+    repartitionByRange samples its bounds, so a recomputed exchange could
+    assign rows to different partitions than the counts pass saw
+    (duplicate/skipped docids). The result plan must therefore read
+    pinned partitions (ExistingRDD), never the live exchange; with a
+    context checkpoint dir set, the reliable-checkpoint path is used and
+    output is identical."""
+    from jassjr_spark.operators.index_build import assign_docids
+
+    raw = synth_docs(120)
+    docs = spark.createDataFrame(
+        [(docno_of(r, p, c), t) for r, p, c, _, t in raw],
+        "docno string, content string",
+    )
+    got = assign_docids(docs, ["docno"])
+    assert "ExistingRDD" in _plan(got)  # pinned partitions, no re-exchange
+    want = {(r.docid, r.docno) for r in got.collect()}
+
+    sc = spark.sparkContext
+    assert not sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = assign_docids(docs, ["docno"])
+        assert {(r.docid, r.docno) for r in reliable.collect()} == want
+    finally:
+        # unset so the shared session's later tests keep the (faster)
+        # localCheckpoint path
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())

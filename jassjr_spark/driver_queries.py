@@ -504,10 +504,22 @@ def _sql_trec_eval(k: int = 1000) -> str:
     p_at = "\n       ".join(
         f"round(p.rel_at_{c} / {c}.0, 4) AS p_at_{c}," for c in TREC_EVAL_CUTOFFS
     )
+    # trec_eval's 'all' row averages the UNROUNDED per-query values and
+    # rounds only the final aggregate — so the summary is computed from
+    # the raw expressions in agg, not from per_q's rounded display columns
+    # (mirrors trec_eval_metrics exactly; shapes match the Spark raws).
+    raw_metrics = {
+        "map": ("CASE WHEN num_rel > 0 THEN COALESCE(sum_prec, 0.0) / num_rel"
+                " ELSE 0.0 END"),
+        "recip_rank": "COALESCE(1.0 / first_rel, 0.0)",
+        "rprec": ("CASE WHEN num_rel > 0 THEN CAST(rel_in_top_r AS DOUBLE)"
+                  " / num_rel ELSE 0.0 END"),
+        **{f"p_at_{c}": f"rel_at_{c} / {c}.0" for c in TREC_EVAL_CUTOFFS},
+        "recall": ("CASE WHEN num_rel > 0 THEN CAST(num_rel_ret AS DOUBLE)"
+                   " / num_rel ELSE 0.0 END"),
+    }
     avg_metrics = ",\n       ".join(
-        f"round(avg({m}), 4) AS {m}"
-        for m in ["map", "recip_rank", "rprec"]
-        + [f"p_at_{c}" for c in TREC_EVAL_CUTOFFS] + ["recall"]
+        f"round(avg({expr}), 4) AS {m}" for m, expr in raw_metrics.items()
     )
     return f"""{inner[:inner.rindex('SELECT CAST(query_id AS BIGINT)')]},
 run AS (
@@ -573,7 +585,7 @@ SELECT 'all' AS query_id,
        CAST(sum(num_rel) AS BIGINT) AS num_rel,
        CAST(sum(num_rel_ret) AS BIGINT) AS num_rel_ret,
        {avg_metrics}
-FROM per_q
+FROM agg
 """
 
 

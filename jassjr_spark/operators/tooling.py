@@ -117,39 +117,42 @@ def trec_eval_metrics(
     def _safe_div(num, den):
         return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
+    # Unrounded per-query metric expressions. trec_eval averages the
+    # UNROUNDED per-query values into its 'all' row and rounds only the
+    # display, so the summary must be computed from these raw columns —
+    # averaging the already-rounded display values can drift by ~5e-5.
+    raw: dict[str, object] = {
+        "map": _safe_div(F.coalesce("sum_prec", F.lit(0.0)), F.col("num_rel")),
+        "recip_rank": F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)),
+        "rprec": _safe_div(F.col("rel_in_top_r").cast("double"),
+                           F.col("num_rel")),
+    }
+    for c in cutoffs:
+        raw[f"p_at_{c}"] = F.col(f"rel_at_{c}") / float(c)
+    raw["recall"] = _safe_div(F.col("num_rel_ret").cast("double"),
+                              F.col("num_rel"))
+    metric_cols = list(raw)
+
     cols = [
         F.col("query_id").cast("string").alias("query_id"),
         F.lit(1).cast("long").alias("num_q"),
         "num_ret",
         "num_rel",
         "num_rel_ret",
-        F.round(_safe_div(F.coalesce("sum_prec", F.lit(0.0)), F.col("num_rel")), 4)
-        .alias("map"),
-        F.round(
-            F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 4
-        ).alias("recip_rank"),
-        F.round(_safe_div(F.col("rel_in_top_r").cast("double"), F.col("num_rel")), 4)
-        .alias("rprec"),
+        *[F.round(expr, 4).alias(m) for m, expr in raw.items()],
+        *[expr.alias(f"_{m}_raw") for m, expr in raw.items()],
     ]
-    for c in cutoffs:
-        cols.append(F.round(F.col(f"rel_at_{c}") / float(c), 4).alias(f"p_at_{c}"))
-    cols.append(
-        F.round(_safe_div(F.col("num_rel_ret").cast("double"), F.col("num_rel")), 4)
-        .alias("recall")
-    )
-    out = per_q.select(*cols)
+    with_raw = per_q.select(*cols)
+    out = with_raw.drop(*[f"_{m}_raw" for m in metric_cols])
     if not include_summary:
         return out
 
-    metric_cols = ["map", "recip_rank", "rprec"] + [
-        f"p_at_{c}" for c in cutoffs
-    ] + ["recall"]
-    summary = out.agg(
+    summary = with_raw.agg(
         F.count(F.lit(1)).cast("long").alias("num_q"),
         F.sum("num_ret").cast("long").alias("num_ret"),
         F.sum("num_rel").cast("long").alias("num_rel"),
         F.sum("num_rel_ret").cast("long").alias("num_rel_ret"),
-        *[F.round(F.avg(m), 4).alias(m) for m in metric_cols],
+        *[F.round(F.avg(f"_{m}_raw"), 4).alias(m) for m in metric_cols],
     ).select(
         F.lit("all").alias("query_id"), "num_q", "num_ret", "num_rel",
         "num_rel_ret", "map", "recip_rank", "rprec",

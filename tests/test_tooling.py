@@ -89,3 +89,26 @@ def test_salted_collect_matches_plain(spark):
     a = {r.term: (r.df, [(p.docid, p.tf) for p in r.postings]) for r in salted.collect()}
     b = {r.term: (r.df, [(p.docid, p.tf) for p in r.postings]) for r in plain.collect()}
     assert a == b
+
+
+def test_trec_eval_summary_averages_unrounded(spark):
+    """trec_eval's 'all' row averages UNROUNDED per-query values and
+    rounds only the final aggregate (ADVICE r2): with first-relevant
+    ranks 3 and 7, MRR_all must be round((1/3 + 1/7)/2, 4), computed from
+    the raw reciprocal ranks, not from the 4dp-rounded display values."""
+    run = spark.createDataFrame(
+        [("1", "a", 1, 1.0), ("1", "b", 2, 0.9), ("1", "c", 3, 0.8),
+         ("2", "x", 1, 1.0), ("2", "y", 2, 0.9), ("2", "z", 3, 0.8),
+         ("2", "w", 4, 0.7), ("2", "v", 5, 0.6), ("2", "u", 6, 0.5),
+         ("2", "t", 7, 0.4)],
+        "query_id string, docno string, rank long, rsv double",
+    )
+    qrels = spark.createDataFrame(
+        [("1", "c", 1), ("2", "t", 1)],
+        "query_id string, docno string, rel int",
+    )
+    rows = {r.query_id: r for r in trec_eval_metrics(run, qrels).collect()}
+    assert rows["1"].recip_rank == round(1 / 3, 4)
+    assert rows["2"].recip_rank == round(1 / 7, 4)
+    assert rows["all"].recip_rank == round((1 / 3 + 1 / 7) / 2, 4)
+    assert rows["all"].map == round((1 / 3 + 1 / 7) / 2, 4)

@@ -1072,6 +1072,49 @@ SELECT CAST(docid AS BIGINT) AS docid, {bitsum} AS simhash FROM votes
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-neighbor near-dup pairs over the SimHash fingerprints
+    (pigeonhole-banded block join + exact bit_count verify — the
+    scale-safe shape; VERDICT r2 Next #5)."""
+    docs = load_documents(spark, sf_dir)
+    return dedup.simhash_pairs(docs, bits=32, max_hamming=3).select(
+        F.col("docid_a").cast("long"), F.col("docid_b").cast("long"),
+        F.col("hamming").cast("int"),
+    )
+
+
+def _sql_dedup_simhash_pairs(bits: int = 32, max_hamming: int = 3) -> str:
+    base = _sql_dedup_simhash(bits).strip()
+    # reuse the fingerprint statement as a CTE body: strip its final SELECT
+    final = "SELECT CAST(docid AS BIGINT) AS docid"
+    assert final in base
+    idx = base.rindex(final)
+    n_blocks = max_hamming + 1
+    w = bits // n_blocks
+    return f"""{base[:idx]},
+sh AS ({base[idx:]}),
+blk AS (
+  SELECT docid, simhash, t.j,
+         (simhash >> CAST(t.j * {w} AS INT)) &
+         CASE WHEN t.j = {n_blocks - 1}
+              THEN {(1 << (bits - (n_blocks - 1) * w)) - 1}
+              ELSE {(1 << w) - 1} END AS val
+  FROM sh CROSS JOIN range({n_blocks}) t(j)
+),
+cand AS (
+  SELECT DISTINCT a.docid AS docid_a, b.docid AS docid_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM blk a JOIN blk b
+    ON a.j = b.j AND a.val = b.val AND a.docid < b.docid
+)
+SELECT docid_a, docid_b, hamming FROM (
+  SELECT docid_a, docid_b,
+         CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+  FROM cand
+) WHERE hamming <= {max_hamming}
+"""
+
+
 # ----------------------------------------------------------------- catalog
 
 
@@ -1096,6 +1139,8 @@ def catalog() -> dict[str, tuple]:
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
         "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
         "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
+        "dedup_simhash_pairs": (q_dedup_simhash_pairs,
+                                _sql_dedup_simhash_pairs()),
         "text_token_counts": (q_text_token_counts, SQL_TEXT_TOKEN_COUNTS),
         "text_winnow_fingerprints": (q_text_winnow, SQL_TEXT_WINNOW),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),

@@ -23,16 +23,31 @@ def _norm_tokens(content="content"):
     return F.regexp_extract_all(F.lower(content), F.lit(TOKEN_RE), 0)
 
 
-def exact_duplicates(docs: DataFrame) -> DataFrame:
+def exact_duplicates(docs: DataFrame, max_docids: int = 1000) -> DataFrame:
     """(docid, content) -> (sha, keep_docid, n_dups, docids): groups of
-    byte-identical documents (n_dups >= 2), keeper = min docid."""
+    byte-identical documents (n_dups >= 2), keeper = min docid.
+
+    ``docids`` is a SAMPLE capped at ``max_docids`` (the smallest docids):
+    an unbounded collect_list would concentrate a pathological
+    all-identical corpus into one task's memory. ``n_dups`` still counts
+    every duplicate. This operator is the *reporting* face (who are the
+    dups?); ``dedup_exact`` is the scale path for actually keeping one
+    row per group — it never materializes a group as an array.
+    """
+    hashed = docs.select("docid", F.sha2("content", 256).alias("sha"))
+    w = Window.partitionBy("sha").orderBy("docid")
     return (
-        docs.select("docid", F.sha2("content", 256).alias("sha"))
+        hashed.withColumn("rn", F.row_number().over(w))
         .groupBy("sha")
         .agg(
             F.min("docid").alias("keep_docid"),
             F.count(F.lit(1)).cast("long").alias("n_dups"),
-            F.sort_array(F.collect_list("docid")).alias("docids"),
+            # collect_list skips nulls: only the first max_docids survive
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rn") <= max_docids, F.col("docid"))
+                )
+            ).alias("docids"),
         )
         .filter(F.col("n_dups") >= 2)
     )
@@ -203,3 +218,66 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim + bit
     return agg.select("docid", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance:
+    (docid_a, docid_b, hamming) for all pairs with distance <= max_hamming.
+
+    Pigeonhole banding — the scale-safe shape, mirroring MinHash banding:
+    split the ``bits``-bit fingerprint into ``max_hamming + 1`` contiguous
+    bit blocks; two fingerprints within hamming distance t differ in at
+    most t blocks, so they must agree EXACTLY on at least one block.
+    Candidates come from an equi-join on (block_position, block_value) —
+    never an all-pairs cross join — and the exact distance is then
+    verified with bit_count(xor). No false negatives (pigeonhole is
+    exact), no false positives (verification is exact).
+
+    At 10^9+ docs raise ``bits`` (64) and keep ``max_hamming`` small so
+    block values stay selective: block width = bits/(t+1) bits, and a
+    block join bucket holds the docs sharing one width-bit value.
+    """
+    sh = simhash(docs, bits=bits)
+    n_blocks = max_hamming + 1
+    w = bits // n_blocks
+    blk_cols = []
+    for j in range(n_blocks):
+        lo = j * w
+        width = (bits - lo) if j == n_blocks - 1 else w
+        mask = (1 << width) - 1
+        blk_cols.append(
+            F.struct(
+                F.lit(j).alias("blk"),
+                F.shiftright("simhash", lo).bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+        )
+    e = sh.select(
+        "docid", "simhash", F.explode(F.array(*blk_cols)).alias("b")
+    ).select("docid", "simhash", "b.blk", "b.val")
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.docid") < F.col("b.docid")),
+        )
+        .select(
+            F.col("a.docid").alias("docid_a"),
+            F.col("b.docid").alias("docid_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .dropDuplicates(["docid_a", "docid_b"])  # pairs can share >1 block
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("docid_a", "docid_b", "hamming")
+    )

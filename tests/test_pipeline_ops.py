@@ -220,3 +220,38 @@ def test_streaming_search(spark, tmp_path):
         by_q.setdefault(r.query_id, []).append(r)
     assert len(by_q["0"]) == 1 and by_q["0"][0].docno == "0"
     assert len(by_q["51"]) == 10  # disjunctive: ten OR nine matches 1..10
+
+
+def test_simhash_pairs_equal_bruteforce(spark):
+    """Pigeonhole banding finds EXACTLY the pairs within max_hamming: no
+    false negatives (any pair differing in <= t bits shares a block), no
+    false positives (bit_count verify). Checked against all-pairs brute
+    force on a corpus with duplicate/near-dup/unrelated docs."""
+    rows = [(i, f"shared tokens alpha beta gamma delta doc{i % 4}")
+            for i in range(24)] + [(100, "totally unrelated content xyz")]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    for t in (1, 3):
+        got = {(r.docid_a, r.docid_b): r.hamming
+               for r in dedup.simhash_pairs(docs, bits=32,
+                                            max_hamming=t).collect()}
+        sh = {r.docid: r.simhash
+              for r in dedup.simhash(docs, bits=32).collect()}
+        ids = sorted(sh)
+        want = {
+            (a, b): bin(sh[a] ^ sh[b]).count("1")
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(sh[a] ^ sh[b]).count("1") <= t
+        }
+        assert got == want and len(want) > 0
+
+
+def test_exact_duplicates_caps_docids_sample(spark):
+    """A 10k-duplicate group must not materialize unbounded: docids is
+    capped at max_docids (smallest first) while n_dups counts all."""
+    rows = [(i, "same bytes") for i in range(10_000)] + [(10_000, "unique")]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    out = dedup.exact_duplicates(docs, max_docids=50).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.n_dups == 10_000 and g.keep_docid == 0
+    assert g.docids == list(range(50))

@@ -126,7 +126,21 @@ def append_documents(
     for df in staged:
         df.unpersist()
     batch.unpersist()
+    _refresh_reader_caches(spark, path)
     return n
+
+
+def _refresh_reader_caches(spark: SparkSession, path: str) -> None:
+    """Invalidate session caches over the segment tables after an
+    external file change (append/compaction): Spark's CacheManager
+    substitutes any matching cached plan into later queries, so a reader
+    that cached read_index() earlier in the session would silently keep
+    serving the pre-mutation snapshot (stale stats => wrong scores)."""
+    for t in _SEGMENT_TABLES + ("dictionary", "stats"):
+        try:
+            spark.catalog.refreshByPath(f"{path}/{t}")
+        except Exception:
+            pass  # table may not exist yet (fresh index)
 
 
 def refresh_derived(spark: SparkSession, path: str,
@@ -194,6 +208,7 @@ def refresh_derived(spark: SparkSession, path: str,
         )
     )
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+    _refresh_reader_caches(spark, path)
 
 
 def _exists(spark: SparkSession, p: str) -> bool:
@@ -245,3 +260,160 @@ def start_indexing_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------------------- compaction
+
+_SEGMENT_TABLES = ("postings", "doc_lengths", "docids")
+
+
+def _fs(spark: SparkSession, p: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _epoch_dirs(spark: SparkSession, table_path: str) -> list[int]:
+    fs, jvm = _fs(spark, table_path)
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("epoch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _compact_marker_table(spark: SparkSession, tpath: str) -> None:
+    """Collapse an append-per-epoch single-row marker table (one small
+    file per epoch) to one file holding its aggregate. Append-then-delete
+    ordering: the new file carries the max values, so a crash at any
+    point leaves a readable table whose aggregate is unchanged."""
+    fs, jvm = _fs(spark, tpath)
+    root = jvm.org.apache.hadoop.fs.Path(tpath)
+    if not fs.exists(root):
+        return
+    old_files = [
+        st.getPath() for st in fs.listStatus(root)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    ]
+    if len(old_files) <= 1:
+        return
+    df = spark.read.parquet(tpath)
+    agg = df.agg(*[F.max(c).alias(c) for c in df.columns])
+    agg.coalesce(1).write.mode("append").parquet(tpath)
+    for f in old_files:
+        fs.delete(f, False)
+
+
+def compact_segments(
+    spark: SparkSession, path: str, n_buckets: int | None = None
+) -> int:
+    """Merge epoch-named segment directories into one compacted segment;
+    returns how many epoch dirs were merged (0 = nothing to do).
+
+    The LSM append layout (append_documents) accumulates one directory
+    set PER EPOCH forever — at one epoch per minute that is ~500k
+    directories a year of small files, a failure mode the reference's
+    single contiguous postings file (JASSjr_index.cpp:201-218) does not
+    have. Compaction recovers that property over time: every epoch up to
+    the compaction cutoff is rewritten as ONE segment directory
+    (``epoch=<cutoff>``, bucket layout preserved, files re-sorted by
+    (term, docid)), and the ``_watermark``/``_refreshed`` marker tables
+    collapse to one file each.
+
+    The cutoff is min(last applied epoch, last *refreshed* epoch): never
+    past the watermark (a crashed in-flight epoch dir must stay separate
+    so its replay can overwrite it), and never past the dictionary
+    refresh marker (refresh_derived's incremental delta filters on
+    ``epoch > marker``; merging unrefreshed epochs below refreshed ones
+    would double-count their postings in the next delta). Epochs beyond
+    the cutoff are untouched. Call refresh_derived first to make
+    everything compactable.
+
+    Not concurrency-safe with an in-flight append: run it between
+    triggers (foreachBatch epochs are serialized — e.g. call it inside
+    the handler every N epochs, after append_documents returns).
+
+    Crash safety: the merged segment is staged under a hidden
+    ``_compact_tmp_<cutoff>`` directory (Spark's file listing ignores
+    underscore-prefixed paths), source epoch dirs are deleted only after
+    the staged write completed (_SUCCESS), and the rename to
+    ``epoch=<cutoff>`` is last. An interrupted compaction is finished (or
+    a half-written stage discarded) by the next call via _recover.
+    """
+    if n_buckets is None:
+        n_buckets = read_meta(spark, path)["n_buckets"] or DEFAULT_BUCKETS
+    for t in _SEGMENT_TABLES:
+        _recover_compaction(spark, f"{path}/{t}")
+
+    _, last_epoch = _read_watermark(spark, path)
+    marker = _read_refresh_marker(spark, path)
+    if last_epoch is None or marker is None:
+        return 0
+    cutoff = min(last_epoch, marker)
+    epochs = [e for e in _epoch_dirs(spark, f"{path}/postings") if e <= cutoff]
+    if len(epochs) < 2:
+        return 0
+    cutoff = max(epochs)
+
+    for t in _SEGMENT_TABLES:
+        tpath = f"{path}/{t}"
+        tmp = f"{tpath}/_compact_tmp_{cutoff}"
+        merged = (
+            spark.read.parquet(tpath)
+            .filter(F.col("epoch") <= cutoff)
+            .drop("epoch")
+        )
+        if t == "postings":
+            (
+                merged.repartition(n_buckets, "bucket")
+                .sortWithinPartitions("term", "docid")
+                .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+            )
+        else:
+            merged.coalesce(max(1, n_buckets // 4)).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+        _swap_in_segment(spark, tpath, tmp, cutoff)
+
+    _compact_marker_table(spark, f"{path}/_watermark")
+    _compact_marker_table(spark, f"{path}/_refreshed")
+    _refresh_reader_caches(spark, path)
+    return len(epochs)
+
+
+def _swap_in_segment(
+    spark: SparkSession, table_path: str, tmp: str, cutoff: int
+) -> None:
+    fs, jvm = _fs(spark, table_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    for e in _epoch_dirs(spark, table_path):
+        if e <= cutoff:
+            fs.delete(P(f"{table_path}/epoch={e}"), True)
+    fs.rename(P(tmp), P(f"{table_path}/epoch={cutoff}"))
+
+
+def _recover_compaction(spark: SparkSession, table_path: str) -> None:
+    """Finish (or discard) a compaction interrupted mid-swap: a leftover
+    _compact_tmp_<N> with a _SUCCESS marker supersedes every epoch <= N
+    (it is a complete merged snapshot of them); without _SUCCESS the
+    stage is a half-written discard."""
+    fs, jvm = _fs(spark, table_path)
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("_compact_tmp_")):
+            continue
+        n = int(name.rsplit("_", 1)[1])
+        ok = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}/_SUCCESS")
+        )
+        if ok:
+            _swap_in_segment(spark, table_path, f"{table_path}/{name}", n)
+        else:
+            fs.delete(st.getPath(), True)

@@ -291,3 +291,65 @@ def test_streaming_source_e2e(spark, tmp_path):
     ref = build_index(full).cache()
     qs = synth_queries(8)
     assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)
+
+
+def test_segment_compaction_bounds_files_and_preserves_search(spark, tmp_path):
+    """20 streamed epochs -> compaction merges every refreshed epoch into
+    ONE segment directory per table (recovering the reference's
+    contiguous-postings property over time, JASSjr_index.cpp:201-218),
+    collapses the marker tables to one file each, leaves search output
+    identical, and keeps accepting appends afterwards."""
+    import os
+
+    from jassjr_spark.sources.index_store import write_meta
+    from jassjr_spark.streaming.incremental import compact_segments
+
+    rows = _rows(110)
+    path = str(tmp_path / "lsm_idx")
+    write_meta(spark, path, n_buckets=8)
+    for e in range(20):
+        batch = spark.createDataFrame(
+            rows[e * 5:(e + 1) * 5], "docno string, content string"
+        )
+        append_documents(spark, batch, path, n_buckets=8, epoch_id=e)
+    refresh_derived(spark, path)
+    queries = synth_queries(6)
+    before_lines = search_lines(read_index(spark, path).cache(), spark, queries)
+
+    def n_files(p):
+        return sum(len(fs) for _, _, fs in os.walk(p))
+
+    def epoch_dirs(t):
+        return sorted(
+            d for d in os.listdir(f"{path}/{t}") if d.startswith("epoch=")
+        )
+
+    files_before = n_files(path)
+    assert len(epoch_dirs("postings")) == 20
+    # a half-written stage from a crashed compaction is discarded
+    os.makedirs(f"{path}/postings/_compact_tmp_5")
+    merged = compact_segments(spark, path)
+    assert merged == 20
+    assert not os.path.exists(f"{path}/postings/_compact_tmp_5")
+    for t in ("postings", "doc_lengths", "docids"):
+        assert epoch_dirs(t) == ["epoch=19"]
+    for marker in ("_watermark", "_refreshed"):
+        data = [f for f in os.listdir(f"{path}/{marker}")
+                if not f.startswith(("_", "."))]
+        assert len(data) == 1
+    assert n_files(path) < files_before / 3
+    after_lines = search_lines(read_index(spark, path).cache(), spark, queries)
+    assert after_lines == before_lines
+    assert compact_segments(spark, path) == 0  # idempotent: one segment left
+
+    # the index keeps accepting epochs after compaction, docids continue
+    batch = spark.createDataFrame(rows[100:], "docno string, content string")
+    append_documents(spark, batch, path, n_buckets=8, epoch_id=20)
+    refresh_derived(spark, path)
+    inc = read_index(spark, path).cache()
+    full = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(rows)],
+        "docid long, docno string, content string",
+    )
+    ref = build_index(full).cache()
+    assert search_lines(inc, spark, queries) == search_lines(ref, spark, queries)

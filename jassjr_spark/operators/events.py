@@ -21,7 +21,15 @@ from pyspark.sql import functions as F
 def _with_tz_ts(events: DataFrame) -> DataFrame:
     """Parquet event timestamps arrive as TimestampNTZ; unix_micros needs
     an instant. The session tz is UTC here, matching DuckDB's
-    naive-timestamp-as-UTC epoch_us — int64 micros agree across engines."""
+    naive-timestamp-as-UTC epoch_us — int64 micros agree across engines.
+
+    No-op when ts is already an instant: replacing the column would
+    produce a fresh attribute and silently DROP a withWatermark tag set
+    by a streaming caller (append-mode aggregation then fails)."""
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(events.schema["ts"].dataType, TimestampType):
+        return events
     return events.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

@@ -33,24 +33,45 @@ def start_windowed_counts_stream(
     window: str = "1 hour",
     watermark: str = "1 hour",
     trigger_available_now: bool = True,
+    sink: str = "parquet",
 ):
     """Streaming windowed event counts with a late-data watermark.
 
-    complete output mode: every trigger rewrites the full (bounded:
-    windows x types) aggregate — right for a finite window universe;
-    at unbounded horizons switch to append + watermark expiry and a sink
-    that upserts."""
+    sink="parquet" (default — the production shape for an unbounded
+    horizon): APPEND output mode. Spark holds state only for windows the
+    watermark has not yet passed; once the watermark crosses a window's
+    end the window is finalized, emitted exactly once to the parquet sink
+    at ``output_path``, and its state is dropped — state size and sink
+    writes stay bounded by the watermark horizon, not by the stream's
+    lifetime. Events later than the watermark are discarded by the
+    aggregation (proved in tests: a too-late event changes nothing).
+
+    sink="memory": complete mode into an in-memory table named
+    ``output_path`` — every trigger rewrites the whole aggregate. Only
+    for a finite window universe at test scale (state AND sink grow with
+    the number of distinct windows); kept for demos/diagnostics.
+    """
     stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     stream = stream.withWatermark("ts", watermark)
     agg = windowed_event_counts(stream, window=window)
-    return (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(output_path)  # memory sink table name
+    if sink == "memory":
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(output_path)  # memory sink table name
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=trigger_available_now)
+            .start()
+        )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=trigger_available_now)
-        .start()
     )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 DEDUP_OUT_SCHEMA = T.StructType(

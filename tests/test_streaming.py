@@ -211,7 +211,7 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
         "event_id long, ts timestamp, event_type string, value double"
     ).parquet(str(src / "b0"))
     q = start_windowed_counts_stream(
-        stream, "wc_sink", checkpoint=str(tmp_path / "ckpt")
+        stream, "wc_sink", checkpoint=str(tmp_path / "ckpt"), sink="memory"
     )
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("select * from wc_sink").collect()}
@@ -353,3 +353,76 @@ def test_segment_compaction_bounds_files_and_preserves_search(spark, tmp_path):
     )
     ref = build_index(full).cache()
     assert search_lines(inc, spark, queries) == search_lines(ref, spark, queries)
+
+
+def test_streaming_windowed_counts_parquet_append_drops_late(spark, tmp_path):
+    """The production sink (append mode + watermark expiry -> parquet):
+    on-time windows land exactly once and equal the batch aggregate of
+    the on-time subset; an event later than the watermark is dropped and
+    changes nothing; an unfinalized trailing window is not emitted."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jassjr_spark.operators.events import windowed_event_counts
+    from jassjr_spark.streaming.stateful import start_windowed_counts_stream
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def table(rows):
+        ids, tss, types, vals = zip(*rows)
+        return pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(list(tss), pa.timestamp("us", tz="UTC")),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        })
+
+    src = tmp_path / "evsrc"
+    src.mkdir()
+    # batch 0: on-time events 00:00-02:59
+    b0 = [(i, base + dt.timedelta(minutes=7 * i), ["view", "click"][i % 2],
+           float(i) / 4.0) for i in range(26)]
+    # batch 1: sentinel at 05:00 — the watermark (02:25, from batch 0's
+    # max event time) finalizes windows [0,1) and [1,2) and drops their
+    # state during this batch
+    b1 = [(100, base + dt.timedelta(hours=5), "view", 1.0)]
+    # batch 2: a TOO-LATE event at 00:10 — its window closed two batches
+    # ago (watermark is now 04:30, far past the 01:00 window end; the
+    # late-row filter lags the reported watermark by at most one batch,
+    # so the drop is deterministic here) — must change nothing
+    b2 = [(101, base + dt.timedelta(minutes=10), "click", 99.0)]
+    # batch 3: sentinel at 08:00 -> watermark 07:30 finalizes [2,3) and
+    # [5,6); its own window [8,9) stays in state, never emitted
+    b3 = [(102, base + dt.timedelta(hours=8), "view", 2.0)]
+    for i, rows in enumerate((b0, b1, b2, b3)):
+        f = str(src / f"b{i}.parquet")
+        pq.write_table(table(rows), f)
+        os.utime(f, (time.time() + i, time.time() + i))  # arrival order
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "wc_parquet")
+    q = start_windowed_counts_stream(
+        stream, out, checkpoint=str(tmp_path / "ckpt_p"),
+        watermark="30 minutes",
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    # expected: batch aggregate over on-time events whose windows were
+    # finalized — b0 plus the 05:00 sentinel; NOT the late event, NOT the
+    # trailing 08:00 window
+    on_time = spark.createDataFrame(
+        b0 + b1,
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    want = {tuple(r) for r in windowed_event_counts(on_time).collect()}
+    assert got == want and len(want) > 4

@@ -256,6 +256,37 @@ class InteractiveSearcher:
         self.shuffle_partitions = shuffle_partitions
         import math
 
+        # The searcher owns an ISOLATED session (same SparkContext): its
+        # latency confs (AQE off, narrow shuffle) are set once there and
+        # can never leak into plans another user compiles concurrently in
+        # the base session. The index tables are rebound through global
+        # temp views — the CacheManager lives in SharedState, so a cached
+        # index stays cached across the session boundary.
+        base = index.postings.sparkSession
+        self.spark = base.newSession()
+        # AQE would materialize every query stage as its own job — right
+        # for a petabyte shuffle, pure scheduling overhead for one tiny
+        # interactive query; same for a wide shuffle.
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        self.spark.conf.set("spark.sql.shuffle.partitions",
+                            str(shuffle_partitions))
+        tag = f"jassjr_repl_{id(self)}"
+        self._views: list[str] = []
+
+        def rebind(df, name):
+            vname = f"{tag}_{name}"
+            df.createOrReplaceGlobalTempView(vname)
+            self._views.append(vname)
+            return self.spark.table(f"global_temp.{vname}")
+
+        index = Index(
+            rebind(index.postings, "postings"),
+            rebind(index.dictionary, "dictionary"),
+            rebind(index.doc_lengths, "doc_lengths"),
+            rebind(index.docids, "docids"),
+            rebind(index.stats, "stats"),
+            n_buckets=index.n_buckets,
+        )
         self.index = index
         self.stats = stats or index.scalar_stats()
         self.local_dict = local_dictionary(index)
@@ -270,7 +301,7 @@ class InteractiveSearcher:
         )
 
     def search_line(self, line: str, k: int = TOP_K) -> list[str]:
-        spark = self.index.postings.sparkSession
+        spark = self.spark  # the searcher's isolated session
         toks = line.split()
         if not toks:
             return []
@@ -306,30 +337,25 @@ class InteractiveSearcher:
             .orderBy(F.col("rsv").desc(), F.col("docid").desc())
             .limit(k)
         )
-        # AQE materializes every query stage as its own job — right for a
-        # petabyte shuffle, pure scheduling overhead for one tiny query.
-        # Without it the collect drives broadcast + agg + TakeOrdered as
-        # ONE job. Narrow the shuffle for the same reason. NOTE: these are
-        # session-scoped confs — the searcher assumes the REPL owns its
-        # session (the reference's model); for a shared multi-tenant
-        # session, give the searcher its own spark.newSession() with the
-        # index registered as views so plans elsewhere keep their confs.
-        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(self.shuffle_partitions))
-        try:
-            rows = plan.collect()
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        # the plan compiles in the searcher's OWN session (AQE off, narrow
+        # shuffle, set once in __init__), so the collect drives broadcast
+        # + agg + TakeOrdered as one job without touching any conf another
+        # session is using
+        rows = plan.collect()
         return [
             "{} Q0 {} {} {:.4f} {}".format(
                 qid, self.docnos[r.docid], rank, r.rsv, RUN_NAME
             )
             for rank, r in enumerate(rows, start=1)
         ]
+
+    def close(self) -> None:
+        """Drop the searcher's global temp views (the isolated session
+        itself is just a SessionState handle; dropping the views is the
+        only shared-namespace cleanup needed)."""
+        for v in self._views:
+            self.spark.catalog.dropGlobalTempView(v)
+        self._views = []
 
 
 def to_trec_lines(run: DataFrame) -> list[str]:

@@ -258,5 +258,10 @@ def build_persisted_index(
 
 
 def load_persisted(spark: SparkSession, path: str) -> tuple[Index, DataFrame]:
-    """-> (Index, blocks) from a completed persisted build."""
+    """-> (Index, blocks) from a completed persisted build. Refuses a
+    blocks table whose recorded payload format differs from the decoder's
+    (clear 'rebuild blocks' error instead of a mid-query decode failure)."""
+    from jassjr_spark.sources.index_store import check_blocks_format, read_meta
+
+    check_blocks_format(read_meta(spark, path), path)
     return read_index(spark, path), spark.read.parquet(f"{path}/blocks")

@@ -58,13 +58,27 @@ def term_bucket_col(term_col, n_buckets: int = DEFAULT_BUCKETS):
     ).cast("int")
 
 
+# Version of the compressed blocks PAYLOAD layout (functions/compression):
+#   1 = varbyte(n) ++ varbyte(gaps) ++ varbyte(tfs)            (round 1)
+#   2 = format 1 ++ varbyte(dls)  (dl rides in the payload so the WAND
+#       kernel never joins doc_lengths)                        (round 2+)
+# Recorded in _meta so a reader can refuse a store written under an older
+# layout with a clear message instead of failing mid-decode with an
+# opaque array-length error (ADVICE r2).
+BLOCKS_FORMAT = 2
+
+
 def write_meta(
-    spark: SparkSession, path: str, n_buckets: int, block_span: int = 0
+    spark: SparkSession, path: str, n_buckets: int, block_span: int = 0,
+    blocks_format: int | None = None,
 ) -> None:
     """Layout metadata is part of the on-disk contract: a reader hashing
     query terms with a different modulus would prune the wrong buckets."""
+    if blocks_format is None:
+        blocks_format = BLOCKS_FORMAT if block_span else 0
     spark.createDataFrame(
-        [(n_buckets, block_span)], "n_buckets int, block_span int"
+        [(n_buckets, block_span, blocks_format)],
+        "n_buckets int, block_span int, blocks_format int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
 
 
@@ -72,12 +86,33 @@ def read_meta(spark: SparkSession, path: str) -> dict:
     """n_buckets=0 on a missing/corrupt ``_meta`` — a guessed modulus would
     make pruned_postings hash query terms into the WRONG bucket directories
     and silently drop matching postings; 0 disables bucket pruning and the
-    reader falls back to the (always-correct) term filter alone."""
+    reader falls back to the (always-correct) term filter alone.
+
+    A pre-versioning _meta (no blocks_format column) that has blocks is
+    format 1 by definition — it predates the column AND the dl payload."""
     try:
-        row = spark.read.parquet(f"{path}/_meta").first()
-        return {"n_buckets": row.n_buckets, "block_span": row.block_span}
+        df = spark.read.parquet(f"{path}/_meta")
+        row = df.first()
+        if "blocks_format" in df.columns:
+            fmt = row.blocks_format
+        else:
+            fmt = 1 if row.block_span else 0
+        return {"n_buckets": row.n_buckets, "block_span": row.block_span,
+                "blocks_format": fmt}
     except Exception:
-        return {"n_buckets": 0, "block_span": 0}
+        return {"n_buckets": 0, "block_span": 0, "blocks_format": 0}
+
+
+def check_blocks_format(meta: dict, path: str = "") -> None:
+    """Fail loudly (and actionably) when a persisted blocks table was
+    written under a different payload layout than this engine decodes."""
+    fmt = meta.get("blocks_format", 0)
+    if meta.get("block_span") and fmt != BLOCKS_FORMAT:
+        raise ValueError(
+            f"persisted blocks at {path!r} use payload format {fmt}; this "
+            f"engine decodes format {BLOCKS_FORMAT}. Rebuild the blocks "
+            "stage (plans/build_job.py) or query without --wand."
+        )
 
 
 def write_index(index: Index, path: str, n_buckets: int = DEFAULT_BUCKETS) -> None:

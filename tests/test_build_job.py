@@ -81,3 +81,34 @@ def test_wand_over_persisted(spark, tmp_path):
     assert f"{path}/blocks" in plan
     assert f"{path}/postings" not in plan
     assert "block_id" in plan.split("PushedFilters", 1)[1][:4000]
+
+
+def test_blocks_format_versioning(spark, tmp_path):
+    """A pre-dl-payload store (format 1, or a pre-versioning _meta with
+    blocks) must be refused with an actionable message, not fail with an
+    opaque decode error; current-format stores load fine."""
+    import pytest as _pytest
+
+    from jassjr_spark.plans.build_job import load_persisted
+    from jassjr_spark.sources.index_store import (
+        BLOCKS_FORMAT, read_meta, write_meta,
+    )
+
+    path = str(tmp_path / "old_store")
+    # legacy writer: _meta without a blocks_format column, blocks present
+    spark.createDataFrame(
+        [(8, 512)], "n_buckets int, block_span int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+    assert read_meta(spark, path)["blocks_format"] == 1
+    with _pytest.raises(ValueError, match="rebuild the blocks|Rebuild the blocks"):
+        load_persisted(spark, path)
+
+    # current writer records the live format and loads cleanly
+    path2 = str(tmp_path / "new_store")
+    write_meta(spark, path2, 8, block_span=512)
+    meta = read_meta(spark, path2)
+    assert meta["blocks_format"] == BLOCKS_FORMAT
+    # no blocks at all -> format irrelevant, nothing raised
+    path3 = str(tmp_path / "no_blocks")
+    write_meta(spark, path3, 8)
+    assert read_meta(spark, path3)["blocks_format"] == 0

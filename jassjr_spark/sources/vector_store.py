@@ -101,28 +101,39 @@ def lsh_probe_buckets(
     queries_local: list, n_planes: int, seed: int, dim: int,
     hamming: int = 0,
 ) -> dict[int, list[str]]:
-    """qvec_id -> bucket strings to probe (exact bucket, plus all 1-bit
-    flips when hamming=1 — multi-probe recall boost, still O(n_planes)
-    partitions instead of O(2^n_planes))."""
+    """qvec_id -> bucket strings to probe: the exact bucket plus every
+    bucket within ``hamming`` bit flips (multi-probe recall boost). The
+    probe count is sum_{t<=hamming} C(n_planes, t) — polynomial in
+    n_planes for small radii, never the O(2^n_planes) full space; at
+    n_planes=8, hamming=2 that is 37 of 256 buckets, the measured
+    recall>=0.95 sweet spot at 600k vectors (see BENCH/BASELINE.md)."""
+    from itertools import combinations
+
     planes = planes_for(n_planes, seed, dim)
     out: dict[int, list[str]] = {}
     for qvec_id, qvec in queries_local:
         b = _bucket_py(qvec, planes)
         probes = [b]
-        if hamming >= 1:
-            for j in range(n_planes):
-                probes.append(b[:j] + ("0" if b[j] == "1" else "1") + b[j + 1:])
+        for t in range(1, hamming + 1):
+            for idxs in combinations(range(n_planes), t):
+                bb = list(b)
+                for j in idxs:
+                    bb[j] = "0" if bb[j] == "1" else "1"
+                probes.append("".join(bb))
         out[int(qvec_id)] = probes
     return out
 
 
 def lsh_topk_persisted(
     spark: SparkSession, path: str, queries_local: list,
-    k: int = 5, hamming: int = 0,
+    k: int = 5, hamming: int = 1,
 ) -> DataFrame:
     """Top-k over the persisted LSH store: reads ONLY the probed bucket
     directories (partition pruning — plan-gated in tests). hamming=0
-    reproduces lsh_topk's bucket-equality semantics exactly."""
+    reproduces lsh_topk's bucket-equality semantics exactly; the default
+    hamming=1 multi-probe is the measured 600k sweet spot with the
+    default 8-plane store (recall 0.975 at 4.4x under brute-force cost —
+    BENCH/BASELINE.md grid)."""
     meta = read_vec_meta(spark, path)
     probes = lsh_probe_buckets(
         queries_local, meta["n_planes"], meta["seed"], meta["dim"],

@@ -161,3 +161,89 @@ def pruned_postings(index: Index, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket_py(t, index.n_buckets) for t in terms})
         p = p.filter(F.col("bucket").isin(buckets))
     return p.filter(F.col("term").isin(list(terms)))
+
+
+def merged_postings(a: Index, b: Index, offset: int) -> DataFrame:
+    """The zero-shuffle postings merge plan (see merge_indexes): union +
+    docid offset + in-task sort — no Exchange anywhere (plan-gated)."""
+    shift = (F.col("docid") + F.lit(offset)).cast("long").alias("docid")
+    return (
+        a.postings.unionByName(b.postings.withColumn("docid", shift))
+        .sortWithinPartitions("term", "docid")
+    )
+
+
+def merge_indexes(
+    spark: SparkSession, path_a: str, path_b: str, dst: str
+) -> None:
+    """Merge two persisted indexes into a third WITHOUT a global shuffle
+    on the postings — the payoff of the shared bucket layout (module
+    docstring: "two indexes with the same bucketing merge bucket-by-
+    bucket"). The sharded-build shape at 10^12 docs: index disjoint
+    corpus shards independently (each a spark-submit job), then merge —
+    the merge moves no postings row across the network.
+
+    * docids: shard B's are offset by shard A's n_docs, so the merged
+      docid space is the concatenation A ++ B (callers own docno
+      uniqueness across shards, as with any sharded build).
+    * postings/doc_lengths/docids: union + map (the offset), per-task
+      sort within files, written back under the same bucket dirs — scan
+      tasks are per-file, sortWithinPartitions is in-task, and the
+      partitionBy write needs no exchange: ZERO shuffles (plan-gated in
+      tests).
+    * dictionary: full-outer merge summing df/cf — the one shuffle, and
+      it is vocab-sized, not postings-sized.
+    * stats: recomputed from the merged scalars (exact: avgdl is a
+      weighted mean of the shard avgdls).
+
+    Requires both inputs bucketed with the same modulus (the on-disk
+    contract makes any other merge silently wrong, so it raises).
+    """
+    meta_a, meta_b = read_meta(spark, path_a), read_meta(spark, path_b)
+    if not meta_a["n_buckets"] or meta_a["n_buckets"] != meta_b["n_buckets"]:
+        raise ValueError(
+            f"bucket moduli differ or are unset ({meta_a['n_buckets']} vs "
+            f"{meta_b['n_buckets']}); rebuild one side with a matching "
+            "n_buckets — merging across moduli would interleave terms "
+            "into wrong bucket directories"
+        )
+    n_buckets = meta_a["n_buckets"]
+    a, b = read_index(spark, path_a), read_index(spark, path_b)
+    offset = int(a.stats.first().n_docs)
+
+    write_meta(spark, dst, n_buckets)
+    shift = (F.col("docid") + F.lit(offset)).cast("long").alias("docid")
+    (
+        merged_postings(a, b, offset)
+        .write.mode("overwrite").partitionBy("bucket").parquet(f"{dst}/postings")
+    )
+    (
+        a.doc_lengths.unionByName(b.doc_lengths.withColumn("docid", shift))
+        .write.mode("overwrite").parquet(f"{dst}/doc_lengths")
+    )
+    (
+        a.docids.unionByName(b.docids.withColumn("docid", shift))
+        .write.mode("overwrite").parquet(f"{dst}/docids")
+    )
+    (
+        a.dictionary.join(
+            b.dictionary.withColumnsRenamed({"df": "df_b", "cf": "cf_b"}),
+            "term", "full_outer",
+        )
+        .select(
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("df_b", F.lit(0)))
+            .alias("df"),
+            (F.coalesce("cf", F.lit(0)) + F.coalesce("cf_b", F.lit(0)))
+            .cast("long").alias("cf"),
+        )
+        .write.mode("overwrite").parquet(f"{dst}/dictionary")
+    )
+    sa, sb = a.stats.first(), b.stats.first()
+    n = int(sa.n_docs) + int(sb.n_docs)
+    total = int(sa.total_terms) + int(sb.total_terms)
+    vocab = spark.read.parquet(f"{dst}/dictionary").count()
+    spark.createDataFrame(
+        [(n, total / n if n else 0.0, total, vocab)],
+        "n_docs long, avgdl double, total_terms long, vocab_size long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{dst}/stats")

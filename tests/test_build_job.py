@@ -112,3 +112,59 @@ def test_blocks_format_versioning(spark, tmp_path):
     path3 = str(tmp_path / "no_blocks")
     write_meta(spark, path3, 8)
     assert read_meta(spark, path3)["blocks_format"] == 0
+
+
+def test_merge_indexes_matches_full_build(spark, tmp_path):
+    """Sharded build: two persisted shard indexes merged with
+    merge_indexes must answer queries identically to one batch build over
+    the concatenated corpus, and the postings merge plan must contain NO
+    Exchange (the bucket layout's zero-shuffle merge promise)."""
+    from jassjr_spark.fixtures import docno_of, synth_docs, synth_queries
+    from jassjr_spark.operators.index_build import build_index
+    from jassjr_spark.operators.search import search_lines
+    from jassjr_spark.sources.index_store import (
+        merge_indexes, merged_postings, read_index, read_meta, write_index,
+    )
+
+    raw = synth_docs(160)
+    rows = [(docno_of(r, p, c), t) for r, p, c, _, t in raw]
+    half = len(rows) // 2
+
+    def persisted(shard, name):
+        sdf = spark.createDataFrame(
+            [(i, d, c) for i, (d, c) in enumerate(shard)],
+            "docid long, docno string, content string",
+        )
+        path = str(tmp_path / name)
+        write_index(build_index(sdf), path, n_buckets=8)
+        return path
+
+    pa, pb = persisted(rows[:half], "shard_a"), persisted(rows[half:], "shard_b")
+    dst = str(tmp_path / "merged")
+    merge_indexes(spark, pa, pb, dst)
+    assert read_meta(spark, dst)["n_buckets"] == 8
+
+    merged = read_index(spark, dst).cache()
+    full = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(rows)],
+        "docid long, docno string, content string",
+    )
+    ref = build_index(full).cache()
+    queries = synth_queries(8)
+    assert search_lines(merged, spark, queries) == search_lines(ref, spark, queries)
+
+    # zero-shuffle plan gate on the postings merge
+    a, b = read_index(spark, pa), read_index(spark, pb)
+    plan = merged_postings(a, b, half)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # mismatched bucket moduli are refused
+    pc = str(tmp_path / "shard_c")
+    sdf = spark.createDataFrame(
+        [(0, "X", "one two")], "docid long, docno string, content string"
+    )
+    write_index(build_index(sdf), pc, n_buckets=4)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="moduli"):
+        merge_indexes(spark, pa, pc, str(tmp_path / "bad"))

@@ -242,17 +242,29 @@ def start_indexing_stream(
     prepend_docno: bool = True,
     n_buckets: int = DEFAULT_BUCKETS,
     trigger_available_now: bool = True,
+    compact_every: int = 0,
 ):
     """Attach the incremental indexer to a streaming documents source
-    (columns docno, content). Returns the StreamingQuery."""
+    (columns docno, content). Returns the StreamingQuery.
+
+    ``compact_every=N`` (0 = off) runs refresh_derived + compact_segments
+    inside the foreachBatch handler every N applied epochs — the
+    production maintenance hook: epochs are serialized by the streaming
+    engine, so maintenance between appends is the documented
+    concurrency-safe slot, and file counts stay bounded over the
+    stream's lifetime instead of growing one directory set per epoch.
+    """
     write_meta(spark, path, n_buckets)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        append_documents(
+        n = append_documents(
             spark, batch.select("docno", "content"), path,
             prepend_docno=prepend_docno, n_buckets=n_buckets,
             epoch_id=epoch_id,
         )
+        if compact_every and n and epoch_id % compact_every == 0:
+            refresh_derived(spark, path)
+            compact_segments(spark, path, n_buckets=n_buckets)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint

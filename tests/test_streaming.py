@@ -426,3 +426,47 @@ def test_streaming_windowed_counts_parquet_append_drops_late(spark, tmp_path):
     )
     want = {tuple(r) for r in windowed_event_counts(on_time).collect()}
     assert got == want and len(want) > 4
+
+
+def test_indexing_stream_auto_compaction(spark, tmp_path):
+    """compact_every=N wires maintenance into the stream itself: a
+    multi-epoch run (one file per trigger) ends with a bounded number of
+    epoch directories and byte-identical search output."""
+    import os
+
+    rows = _rows(96)
+    src = tmp_path / "src"
+    src.mkdir()
+    # 12 files -> 12 micro-batches (epochs) under maxFilesPerTrigger=1;
+    # arrival order = corpus order chunks (docno-sorted slices)
+    for i in range(12):
+        spark.createDataFrame(
+            rows[i * 8:(i + 1) * 8], "docno string, content string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i:02d}"))
+
+    stream = (
+        spark.readStream.schema("docno string, content string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    path = str(tmp_path / "auto_idx")
+    q = start_indexing_stream(
+        spark, stream, path, checkpoint=str(tmp_path / "ckpt"),
+        n_buckets=8, compact_every=4,
+    )
+    q.awaitTermination(240)
+    refresh_derived(spark, path)
+
+    epoch_dirs = [d for d in os.listdir(f"{path}/postings")
+                  if d.startswith("epoch=")]
+    # 12 epochs with compaction every 4 leaves far fewer than 12 dirs
+    assert 1 <= len(epoch_dirs) <= 5, epoch_dirs
+
+    inc = read_index(spark, path).cache()
+    full = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(rows)],
+        "docid long, docno string, content string",
+    )
+    ref = build_index(full).cache()
+    qs = synth_queries(8)
+    assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)

@@ -1037,23 +1037,35 @@ SELECT vec_id_a, vec_id_b, cosine FROM pairs WHERE cosine >= {threshold}
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (32-bit, md5-vote) per document — the
-    hamming-distance near-dup family's index column."""
+    """SimHash fingerprints (64-bit, md5-vote) per document — the
+    hamming-distance near-dup family's index column. 64 bits is the
+    scale-safe width for the banded pair join (operators/dedup.py
+    MIN_BLOCK_BITS): with max_hamming=3 block keys are 16 bits wide."""
     docs = load_documents(spark, sf_dir)
     return dedup.simhash(docs).select(
         F.col("docid").cast("long"), F.col("simhash").cast("long")
     )
 
 
-def _sql_dedup_simhash(bits: int = 32) -> str:
-    votes = ",\n         ".join(
-        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(bits)
-    )
-    bitsum = " + ".join(
-        f"(CASE WHEN b{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
-        for i in range(bits)
-    )
+def _sql_dedup_simhash(bits: int = 64) -> str:
+    # bit i < 32 reads md5 hex chars 1-8 (h_lo), bit i >= 32 chars 9-16
+    # (h_hi) — same layout as operators/dedup.simhash. Bit 63 is the sign
+    # bit: its weight is the min-BIGINT literal (spelled -(2^63-1)-1, a
+    # bare -9223372036854775808 overflows DuckDB's parser); bits are
+    # disjoint so the + fold never overflows.
+    def vote(i: int) -> str:
+        src, sh = ("h_lo", i) if i < 32 else ("h_hi", i - 32)
+        return (
+            f"sum(CASE WHEN ({src} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END)"
+            f" AS b{i}"
+        )
+
+    def weight(i: int) -> str:
+        w = "(-9223372036854775807 - 1)" if i == 63 else f"CAST({2 ** i} AS BIGINT)"
+        return f"(CASE WHEN b{i} > 0 THEN {w} ELSE 0 END)"
+
+    votes = ",\n         ".join(vote(i) for i in range(bits))
+    bitsum = " + ".join(weight(i) for i in range(bits))
     return f"""
 WITH toks AS (
   SELECT doc_id AS docid,
@@ -1061,7 +1073,8 @@ WITH toks AS (
   FROM documents
 ),
 h AS (
-  SELECT docid, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+  SELECT docid, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_lo,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_hi FROM toks
 ),
 votes AS (
   SELECT docid,
@@ -1075,15 +1088,15 @@ SELECT CAST(docid AS BIGINT) AS docid, {bitsum} AS simhash FROM votes
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-neighbor near-dup pairs over the SimHash fingerprints
     (pigeonhole-banded block join + exact bit_count verify — the
-    scale-safe shape; VERDICT r2 Next #5)."""
+    scale-safe shape; VERDICT r2 Next #5, 64-bit defaults r4 Next #2)."""
     docs = load_documents(spark, sf_dir)
-    return dedup.simhash_pairs(docs, bits=32, max_hamming=3).select(
+    return dedup.simhash_pairs(docs, bits=64, max_hamming=3).select(
         F.col("docid_a").cast("long"), F.col("docid_b").cast("long"),
         F.col("hamming").cast("int"),
     )
 
 
-def _sql_dedup_simhash_pairs(bits: int = 32, max_hamming: int = 3) -> str:
+def _sql_dedup_simhash_pairs(bits: int = 64, max_hamming: int = 3) -> str:
     base = _sql_dedup_simhash(bits).strip()
     # reuse the fingerprint statement as a CTE body: strip its final SELECT
     final = "SELECT CAST(docid AS BIGINT) AS docid"

@@ -195,33 +195,62 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+def _bit_literal(i: int):
+    """2**i as a signed-64 Column literal. Bit 63 is the sign bit — its
+    power does not fit a positive long, so it is the min-long literal
+    (same two's-complement bit pattern); combining with bitwiseOR keeps
+    every step overflow-free (bits are disjoint)."""
+    v = -(1 << 63) if i == 63 else (1 << i)
+    return F.lit(v).cast("long")
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """(docid, content) -> (docid, simhash long): bitwise-majority SimHash
     over token md5s. Each token votes +1/-1 per bit; sign of the sum sets
-    the bit. Pure Column math via bit ops on conv(md5-prefix)."""
+    the bit. Pure Column math via bit ops on conv(md5-prefix).
+
+    Default 64 bits (the scale-safe width for simhash_pairs banding —
+    see there). Bits 0-31 come from md5 hex chars 1-8 and bits 32-63 from
+    chars 9-16, so a 64-bit fingerprint's low half IS the 32-bit
+    fingerprint (back-compatible with stores written at bits=32)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     toks = docs.select("docid", F.explode(_norm_tokens()).alias("tok"))
-    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-    withbits = toks.select(
-        "docid",
-        *[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+    h_lo = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    h_hi = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+
+    def vote(i: int):
+        src, sh = (h_lo, i) if i < 32 else (h_hi, i - 32)
+        return (
+            F.when(F.shiftright(src, sh).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
             .alias(f"b{i}")
-            for i in range(bits)
-        ],
-    )
+        )
+
+    withbits = toks.select("docid", *[vote(i) for i in range(bits)])
     agg = withbits.groupBy("docid").agg(
         *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)]
     )
     sim = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim + bit
+        bit = (
+            F.when(F.col(f"b{i}") > 0, _bit_literal(i))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sim = bit if sim is None else sim.bitwiseOR(bit)
     return agg.select("docid", sim.alias("simhash"))
 
 
+# A block-join key narrower than this many bits cannot stay selective at
+# scale: k-bit block values give only 2^k distinct join keys, so bucket
+# size trends N/2^k and the candidate join toward N^2/2^k. 12 bits (4096
+# keys) is the floor below which simhash_pairs refuses its parameters.
+MIN_BLOCK_BITS = 12
+
+
 def simhash_pairs(
-    docs: DataFrame, bits: int = 32, max_hamming: int = 3
+    docs: DataFrame, bits: int = 64, max_hamming: int = 3,
+    allow_low_selectivity: bool = False, metrics: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance:
     (docid_a, docid_b, hamming) for all pairs with distance <= max_hamming.
@@ -235,10 +264,29 @@ def simhash_pairs(
     verified with bit_count(xor). No false negatives (pigeonhole is
     exact), no false positives (verification is exact).
 
-    At 10^9+ docs raise ``bits`` (64) and keep ``max_hamming`` small so
-    block values stay selective: block width = bits/(t+1) bits, and a
-    block join bucket holds the docs sharing one width-bit value.
+    Defaults are the scale-safe ones: 64 bits with max_hamming=3 gives
+    16-bit block keys (65k distinct values per block position), so block
+    buckets stay ~N/65k and the candidate join never trends O(N^2).
+    Narrower keys (< MIN_BLOCK_BITS bits, e.g. bits=32 with t=3) are
+    refused unless ``allow_low_selectivity=True`` (test scale only).
+
+    ``metrics``, when passed a dict, receives the banding's skew facts
+    after one extra aggregation job: ``max_block_bucket`` (largest
+    (blk, val) group — the worst join bucket) and ``n_fingerprints``.
+    The production guard: alert when max_block_bucket approaches the
+    candidate budget, the way index _metrics tracks postings skew.
     """
+    n_blocks_guard = max_hamming + 1
+    width_guard = bits // n_blocks_guard
+    if width_guard < MIN_BLOCK_BITS and not allow_low_selectivity:
+        raise ValueError(
+            f"simhash_pairs(bits={bits}, max_hamming={max_hamming}) gives "
+            f"{width_guard}-bit block join keys (< {MIN_BLOCK_BITS}): only "
+            f"2^{width_guard} distinct keys per block position, so candidate "
+            "buckets grow ~N/2^width and the join trends O(N^2) at scale. "
+            "Raise bits (64) or lower max_hamming; pass "
+            "allow_low_selectivity=True only at test scale."
+        )
     sh = simhash(docs, bits=bits)
     n_blocks = max_hamming + 1
     w = bits // n_blocks
@@ -257,6 +305,14 @@ def simhash_pairs(
     e = sh.select(
         "docid", "simhash", F.explode(F.array(*blk_cols)).alias("b")
     ).select("docid", "simhash", "b.blk", "b.val")
+    if metrics is not None:
+        row = (
+            e.groupBy("blk", "val").agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+            .first()
+        )
+        metrics["max_block_bucket"] = int(row.mx or 0)
+        metrics["n_fingerprints"] = int(row.tot or 0) // n_blocks
     a, b = e.alias("a"), e.alias("b")
     cand = (
         a.join(

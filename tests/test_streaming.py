@@ -264,6 +264,80 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
     assert got == {(0, "A"), (1, "B"), (4, "E")}
 
 
+def test_streaming_dedup_ttl_readmits_expired_keys(spark, tmp_path):
+    """ttl_ms bounds dedup state (VERDICT r4 Next #6): a key seen again
+    AFTER its TTL deadline re-emits (state forgotten); a key seen again
+    BEFORE the deadline stays suppressed."""
+    import glob
+    import shutil
+    import time
+
+    from jassjr_spark.streaming.stateful import start_streaming_dedup
+
+    src = tmp_path / "tsrc"
+    src.mkdir()
+    schema = "docid long, docno string, content string"
+
+    def land(rows, name):
+        tmp = tmp_path / f"tstage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        part = glob.glob(str(tmp / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    def run_once(tag, ttl_ms, expect_input_rows):
+        # availableNow restarts over one checkpoint: the periodic-job
+        # cadence the docstring prescribes for TTL'd dedup. With engine
+        # timeouts registered the query keeps scheduling timeout-
+        # processing batches (it never self-terminates and
+        # processAllAvailable never returns), so the driver polls
+        # progress until this run's NEW source rows are all processed,
+        # then stops the query explicitly.
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = start_streaming_dedup(
+            spark, stream, str(tmp_path / f"{tag}_out"),
+            checkpoint=str(tmp_path / f"{tag}_ckpt"),
+            trigger_available_now=True, ttl_ms=ttl_ms,
+        )
+        try:
+            t0, seen, data_rows = time.time(), set(), 0
+            while data_rows < expect_input_rows and time.time() - t0 < 150:
+                for p in q.recentProgress:
+                    if p["batchId"] not in seen:
+                        seen.add(p["batchId"])
+                        data_rows += p["numInputRows"]
+                time.sleep(0.5)
+            assert data_rows >= expect_input_rows, "source rows not processed"
+            time.sleep(2)  # grace: let the reported batch's sink commit land
+        finally:
+            q.stop()
+
+    def rows_of(tag):
+        return {(r.keep_docid, r.docno)
+                for r in spark.read.parquet(str(tmp_path / f"{tag}_out")).collect()}
+
+    # stream L (long TTL, far beyond the test's own run latency): a
+    # repeat within the TTL stays suppressed
+    land([(0, "A", "alpha text"), (1, "B", "beta text")], "f0")
+    run_once("long", 300_000, 2)
+    land([(2, "C", "alpha text")], "f1")
+    run_once("long", 300_000, 1)
+    assert rows_of("long") == {(0, "A"), (1, "B")}
+
+    # stream S (short TTL): a repeat after the deadline is re-admitted
+    # (same source files; its own checkpoint replays them from scratch)
+    run_once("short", 2_000, 3)
+    assert rows_of("short") == {(0, "A"), (1, "B")}  # C deduped in-run
+    time.sleep(2.5)
+    land([(3, "D", "alpha text")], "f2")
+    run_once("short", 2_000, 1)
+    assert rows_of("short") == {(0, "A"), (1, "B"), (3, "D")}
+    # ...and the long stream still suppresses that same repeat
+    run_once("long", 300_000, 1)
+    assert rows_of("long") == {(0, "A"), (1, "B")}
+
+
 def test_streaming_source_e2e(spark, tmp_path):
     """Real readStream (file source) -> foreachBatch indexer -> search."""
     rows = _rows(60)
@@ -470,3 +544,173 @@ def test_indexing_stream_auto_compaction(spark, tmp_path):
     ref = build_index(full).cache()
     qs = synth_queries(8)
     assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)
+
+
+# ---------------------------------------------------- tiered compaction
+
+
+def test_pick_compaction_run_policy():
+    """The size-tiered policy in isolation: bounded per-merge cost and
+    amortized total I/O (the r3 full-rewrite policy was O(index) per
+    call => quadratic over the stream's lifetime)."""
+    from jassjr_spark.streaming.incremental import pick_compaction_run
+
+    # equal-size segments merge fully (degenerates to the old behavior)
+    eq = {e: 100 for e in range(5)}
+    assert pick_compaction_run(list(range(5)), eq, 4.0, 8) == [0, 1, 2, 3, 4]
+
+    # a big old segment is NOT dragged into a merge of small young ones
+    sizes = {0: 10_000, 1: 100, 2: 100, 3: 100}
+    assert pick_compaction_run([0, 1, 2, 3], sizes, 4.0, 8) == [1, 2, 3]
+
+    # ...until the young pile grows to within the ratio
+    sizes = {0: 1_000, 1: 300, 2: 100}
+    assert pick_compaction_run([0, 1, 2], sizes, 4.0, 8) == [0, 1, 2]
+
+    # max_segments forces the run wide enough to bound live segments
+    many = {e: 100 * (10 - e) for e in range(10)}
+    many[0] = 10 ** 9  # ratio walk alone would stop before epoch 0
+    run = pick_compaction_run(list(range(10)), many, 0.001, 4)
+    assert len(list(range(10))) - len(run) + 1 <= 4
+
+    # single segment: nothing to merge
+    assert pick_compaction_run([7], {7: 5}, 4.0, 8) == []
+
+    # amortization: simulate 200 epochs of unit-size appends, compacting
+    # after every epoch. Full-rewrite policy would rewrite ~N^2/2 = 20000
+    # units; tiered must stay O(N log N).
+    segs: dict[int, int] = {}
+    rewritten = 0
+    for e in range(200):
+        segs[e] = 1
+        run = pick_compaction_run(sorted(segs), segs, 4.0, 8)
+        if run:
+            merged = sum(segs[x] for x in run)
+            rewritten += merged
+            for x in run:
+                del segs[x]
+            segs[run[-1]] = merged
+    assert len(segs) <= 8              # live segment count bounded
+    assert rewritten < 4_000, rewritten  # << 20000 (the quadratic policy)
+
+
+def test_tiered_compaction_bounds_bytes_and_preserves_search(spark, tmp_path):
+    """40 streamed epochs with periodic tiered compaction (VERDICT r4
+    Next #1): (a) bytes rewritten per compaction are bounded by the
+    merged segments' size, not the index size; (b) at least one
+    compaction leaves the big old segment untouched (the tiering
+    property); (c) live segment count stays bounded; (d) search output
+    equals the batch-built reference at the end."""
+    import os
+
+    from jassjr_spark.sources.index_store import write_meta
+    from jassjr_spark.streaming.incremental import compact_segments
+
+    def content(e, j):
+        # ~300 UNIQUE-per-doc words so parquet bytes track data volume
+        # (shared-vocab postings dictionary-encode away, which would let
+        # the ratio walk keep admitting the big segment), plus query
+        # words in SOME docs (df < N, so idf > 0 and they actually score)
+        extra = (" shared" if j == 0 else "") + (" common" if e % 3 == 0 else "")
+        return " ".join(f"w{e:02d}{j}{i:03d}" for i in range(300)) + extra
+
+    rows = [(f"D{e:02d}-{j}", content(e, j)) for e in range(40) for j in range(2)]
+    path = str(tmp_path / "tiered_idx")
+    write_meta(spark, path, n_buckets=4)
+
+    def seg_sizes():
+        out = {}
+        root = f"{path}/postings"
+        for d in os.listdir(root):
+            if d.startswith("epoch="):
+                e = int(d.split("=")[1])
+                out[e] = sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(os.path.join(root, d))
+                    for f in fs
+                )
+        return out
+
+    partial_merges = 0
+    for e in range(40):
+        batch = spark.createDataFrame(
+            rows[e * 2:(e + 1) * 2], "docno string, content string"
+        )
+        append_documents(spark, batch, path, n_buckets=4, epoch_id=e)
+        if e % 4 == 3:
+            refresh_derived(spark, path)
+            before = seg_sizes()
+            merged = compact_segments(spark, path, n_buckets=4,
+                                      size_ratio=1.5, max_segments=8)
+            after = seg_sizes()
+            assert len(after) <= 8  # (c) live segments bounded
+            if merged:
+                run = sorted(before, reverse=True)[:merged]
+                inputs = sum(before[x] for x in run)
+                rewritten = after[max(run)]
+                # (a) cost ~ merged inputs (parquet re-encode slack), and
+                # strictly below the whole index when a partial merge
+                assert rewritten <= 1.6 * inputs + 65536, (rewritten, inputs)
+                if inputs < 0.6 * sum(before.values()):
+                    partial_merges += 1
+    assert partial_merges >= 2, "tiering never skipped the big segment"  # (b)
+
+    refresh_derived(spark, path)
+    inc = read_index(spark, path).cache()
+    full = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(rows)],
+        "docid long, docno string, content string",
+    )
+    ref = build_index(full).cache()
+    qs = ["1 shared", "2 common w050010", "3 w121200 shared",
+          "4 w391100 w000000", "5 common", "6 w200150 w331299"]
+    assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)  # (d)
+
+
+def test_compaction_refresh_append_interleavings_random(spark, tmp_path):
+    """Property test (VERDICT r4 Next #8): random (seeded) interleavings
+    of append / refresh / compact must keep the dictionary df/cf equal to
+    a full recompute — the incremental delta + tiered compaction
+    interaction is where a silent double-count would hide."""
+    import random
+
+    from jassjr_spark.sources.index_store import write_meta
+    from jassjr_spark.streaming.incremental import compact_segments
+
+    all_rows = _rows(80)
+    for seed in range(5):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"prop_{seed}")
+        write_meta(spark, path, n_buckets=4)
+        pos, epoch = 0, 0
+        while pos < len(all_rows):
+            op = rng.choice(["append", "append", "refresh", "compact"])
+            if op == "append":
+                n = rng.randint(8, 20)
+                batch = spark.createDataFrame(
+                    all_rows[pos:pos + n], "docno string, content string"
+                )
+                append_documents(spark, batch, path, n_buckets=4,
+                                 epoch_id=epoch)
+                pos += n
+                epoch += 1
+            elif op == "refresh":
+                refresh_derived(spark, path)
+            else:
+                compact_segments(
+                    spark, path, n_buckets=4,
+                    size_ratio=rng.choice([1.0, 4.0]),
+                    max_segments=rng.choice([2, 4, 8]),
+                )
+        refresh_derived(spark, path)
+        got = {
+            r.term: (r.df, r.cf)
+            for r in spark.read.parquet(f"{path}/dictionary").collect()
+        }
+        full = (
+            spark.read.parquet(f"{path}/postings")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        )
+        want = {r.term: (r.df, r.cf) for r in full.collect()}
+        assert got == want, f"seed {seed}: dictionary diverged from recompute"

@@ -115,10 +115,11 @@ def test_blocks_format_versioning(spark, tmp_path):
 
 
 def test_merge_indexes_matches_full_build(spark, tmp_path):
-    """Sharded build: two persisted shard indexes merged with
-    merge_indexes must answer queries identically to one batch build over
-    the concatenated corpus, and the postings merge plan must contain NO
-    Exchange (the bucket layout's zero-shuffle merge promise)."""
+    """Sharded build: FOUR persisted shard indexes merged with one k-way
+    merge_indexes call must answer queries identically to one batch build
+    over the concatenated corpus, and the postings merge plan must
+    contain NO Exchange (the bucket layout's zero-shuffle merge promise —
+    a 1000-shard build is one merge generation, not a binary tree)."""
     from jassjr_spark.fixtures import docno_of, synth_docs, synth_queries
     from jassjr_spark.operators.index_build import build_index
     from jassjr_spark.operators.search import search_lines
@@ -128,7 +129,7 @@ def test_merge_indexes_matches_full_build(spark, tmp_path):
 
     raw = synth_docs(160)
     rows = [(docno_of(r, p, c), t) for r, p, c, _, t in raw]
-    half = len(rows) // 2
+    q = len(rows) // 4
 
     def persisted(shard, name):
         sdf = spark.createDataFrame(
@@ -139,9 +140,10 @@ def test_merge_indexes_matches_full_build(spark, tmp_path):
         write_index(build_index(sdf), path, n_buckets=8)
         return path
 
-    pa, pb = persisted(rows[:half], "shard_a"), persisted(rows[half:], "shard_b")
+    shards = [rows[i * q:(i + 1) * q] for i in range(4)]
+    paths = [persisted(s, f"shard_{i}") for i, s in enumerate(shards)]
     dst = str(tmp_path / "merged")
-    merge_indexes(spark, pa, pb, dst)
+    merge_indexes(spark, paths, dst, check_docnos=True)
     assert read_meta(spark, dst)["n_buckets"] == 8
 
     merged = read_index(spark, dst).cache()
@@ -152,12 +154,25 @@ def test_merge_indexes_matches_full_build(spark, tmp_path):
     ref = build_index(full).cache()
     queries = synth_queries(8)
     assert search_lines(merged, spark, queries) == search_lines(ref, spark, queries)
+    assert merged.scalar_stats() == ref.scalar_stats()
 
-    # zero-shuffle plan gate on the postings merge
-    a, b = read_index(spark, pa), read_index(spark, pb)
-    plan = merged_postings(a, b, half)._jdf.queryExecution() \
-        .executedPlan().toString()
+    # zero-shuffle plan gate on the 4-way postings merge
+    idxs = [read_index(spark, p) for p in paths]
+    plan = merged_postings(idxs, offsets=[0, q, 2 * q, 3 * q])._jdf \
+        .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+    # legacy 2-ary form still works and matches the k-way result
+    dst2 = str(tmp_path / "merged2")
+    merge_indexes(spark, paths[0], paths[1], dst2)
+    m2 = read_index(spark, dst2)
+    assert m2.scalar_stats()["n_docs"] == 2 * q
+
+    # duplicate docnos across shards are refused under check_docnos
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="docnos"):
+        merge_indexes(spark, [paths[0], paths[0]],
+                      str(tmp_path / "dup"), check_docnos=True)
 
     # mismatched bucket moduli are refused
     pc = str(tmp_path / "shard_c")
@@ -165,6 +180,5 @@ def test_merge_indexes_matches_full_build(spark, tmp_path):
         [(0, "X", "one two")], "docid long, docno string, content string"
     )
     write_index(build_index(sdf), pc, n_buckets=4)
-    import pytest as _pytest
     with _pytest.raises(ValueError, match="moduli"):
-        merge_indexes(spark, pa, pc, str(tmp_path / "bad"))
+        merge_indexes(spark, [paths[0], pc], str(tmp_path / "bad"))

@@ -77,19 +77,30 @@ def main() -> None:
         search(idx, qall, k=k, stats=stats, qterms=allterms).count()
         batch_wall = time.perf_counter() - t0
         # interactive regime: driver-side dict+docno snapshots, one Spark
-        # action per query line (operators/search.py InteractiveSearcher)
+        # action per query line (operators/search.py InteractiveSearcher).
+        # Pass 1 is COLD (each new term's posting list is collected once);
+        # pass 2 is CACHED — the driver-local numpy fast path, zero Spark
+        # jobs per query (the reference's 80 ms single-query regime).
         it = InteractiveSearcher(idx, stats=stats)
         it.search_line(lines[0], k=k)  # warmup
-        inter = []
+        inter, cached, n_local = [], [], 0
         for line in lines:
             t0 = time.perf_counter()
             it.search_line(line, k=k)
             inter.append(time.perf_counter() - t0)
+        for line in lines:
+            t0 = time.perf_counter()
+            it.search_line(line, k=k)
+            cached.append(time.perf_counter() - t0)
+            n_local += it.last_path == "local"
         out[f"k{k}"] = {
             "single_p50_ms": round(pct(singles, 50) * 1000, 1),
             "single_p99_ms": round(pct(singles, 99) * 1000, 1),
             "interactive_p50_ms": round(pct(inter, 50) * 1000, 1),
             "interactive_p99_ms": round(pct(inter, 99) * 1000, 1),
+            "interactive_cached_p50_ms": round(pct(cached, 50) * 1000, 2),
+            "interactive_cached_p99_ms": round(pct(cached, 99) * 1000, 2),
+            "cached_local_fraction": round(n_local / len(lines), 3),
             "batch_total_s": round(batch_wall, 3),
             "batch_per_query_ms": round(batch_wall / len(lines) * 1000, 2),
         }

@@ -228,3 +228,45 @@ def test_interactive_searcher_confs_do_not_leak(spark):
     iso_plan = iso_df.groupBy("term").count()._jdf.queryExecution()         .executedPlan().toString()
     assert "AdaptiveSparkPlan" not in iso_plan
     it.close()
+
+
+def test_interactive_local_fast_path_zero_jobs_and_identical(spark):
+    """The driver-local scoring fast path (VERDICT r4 Next #5): once a
+    query's posting lists are cached driver-side, a repeat query runs
+    ZERO Spark jobs and still emits byte-identical lines; a zero budget
+    forces the Spark path with identical output."""
+    from jassjr_spark.operators.search import InteractiveSearcher, search_lines
+
+    docs = _rows(250)
+    sdf = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(docs)],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(sdf).cache()
+    idx.postings.count()
+
+    it = InteractiveSearcher(idx)
+    lines = synth_queries(6) + ["ten nine", "7 the x"]
+    for ln in lines:
+        want = search_lines(idx, spark, [ln])
+        got = it.search_line(ln)
+        assert got == want, ln
+        assert it.last_path == "local"
+
+    # repeat query: all lists cached -> no Spark job at all
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("local_fast_path_probe", "zero-job contract")
+    got = it.search_line(lines[0])
+    jobs = tracker.getJobIdsForGroup("local_fast_path_probe") or []
+    sc.setJobGroup(None, None)
+    assert got == search_lines(idx, spark, [lines[0]])
+    assert it.last_path == "local" and len(jobs) == 0, jobs
+
+    # budget too small for any list -> automatic Spark fallback, same bytes
+    it2 = InteractiveSearcher(idx, local_postings_budget=0)
+    for ln in lines[:3]:
+        assert it2.search_line(ln) == search_lines(idx, spark, [ln])
+        assert it2.last_path == "spark"
+    it.close()
+    it2.close()

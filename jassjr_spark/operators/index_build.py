@@ -72,6 +72,39 @@ class Index:
         return {k: row[k] for k in ("n_docs", "avgdl", "total_terms", "vocab_size")}
 
 
+class _StagedCleanup:
+    """Cleanup handle for a checkpointed staged frame (see assign_docids):
+    frees the checkpoint's actual storage, which ``DataFrame.unpersist``
+    does not touch. Call ``unpersist()`` only after every action over the
+    assign_docids result has completed — the pinned partitions are what
+    make repeated passes see one docid assignment."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            # after Dataset.checkpoint()/localCheckpoint() the analyzed
+            # plan is a LogicalRDD holding the checkpointed internal RDD;
+            # df.rdd would derive a NEW RDD whose unpersist frees nothing
+            jrdd = self.df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            self.df.unpersist(blocking)
+            return
+        try:
+            opt = jrdd.getCheckpointFile()
+            if opt.isDefined():  # reliable checkpoint: delete its files
+                sc = self.df.sparkSession.sparkContext
+                p = sc._jvm.org.apache.hadoop.fs.Path(opt.get())
+                p.getFileSystem(sc._jsc.hadoopConfiguration()).delete(p, True)
+        except Exception:
+            pass
+        try:
+            jrdd.unpersist(blocking)  # localCheckpoint block storage
+        except Exception:
+            pass
+
+
 def assign_docids(
     docs: DataFrame, order_cols: list[str], base: int = 0,
     cleanup: list | None = None,
@@ -90,12 +123,19 @@ def assign_docids(
     sort parallelizes across the cluster instead of funnelling 10^12 rows
     through one task.
 
-    ``cleanup``: the internal staged DataFrame must stay materialized until
+    ``cleanup``: the internal staged frame must stay materialized until
     the RESULT is fully computed (range-partition bounds are sampled; the
     counts pass and the final pass must see the same assignment).
-    Repeated callers (streaming micro-batches) pass a list to receive it
-    and unpersist after their action — otherwise each call would pin one
-    batch-sized entry for the session's lifetime.
+    Repeated callers (streaming micro-batches) pass a list to receive a
+    handle and call its ``unpersist()`` after their action — otherwise
+    each call would pin one batch-sized entry for the session's lifetime.
+    The handle releases the REAL storage: it unpersists the checkpointed
+    internal RDD's blocks (a plain ``DataFrame.unpersist`` is a
+    CacheManager no-op on a checkpointed frame) and deletes the reliable-
+    checkpoint files, which Spark never cleans by default
+    (spark.cleaner.referenceTracking.cleanCheckpoints=false) — without
+    this, a long-running indexing stream with a checkpoint dir leaks one
+    batch-sized checkpoint directory per epoch (ADVICE r3).
     """
     spark = docs.sparkSession
     # Partition membership must be IDENTICAL between the counts job and
@@ -124,7 +164,7 @@ def assign_docids(
     else:
         staged = staged.localCheckpoint(eager=False)
     if cleanup is not None:
-        cleanup.append(staged)
+        cleanup.append(_StagedCleanup(staged))
     counts = {
         r._pid: r.n
         for r in staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()

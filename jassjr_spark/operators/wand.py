@@ -224,33 +224,37 @@ def wand_search(
     )
 
     # --- phase B: keep blocks whose UB clears θ − ε, decode+score, top-k
-    # localCheckpoint, not cache: the kept set outlives this function (it
-    # is referenced lazily by the returned plan on the blocks path), so an
-    # explicit unpersist here would race the caller's action, and cache()
-    # would pin an entry per call for the session's lifetime (REPL /
-    # driver). Checkpointed partitions are freed by the ContextCleaner as
-    # soon as the result plan is garbage-collected; loss of a stored
-    # partition fails the query loudly instead of recomputing under a
-    # different θ.
-    kept = (
+    # The kept-fraction gate counts the UNPERSISTED plan first, so a
+    # fallback decision leaves nothing behind (the r3 shape checkpointed
+    # before deciding and the materialized blocks outlived the fallback —
+    # ADVICE r3). Only the blocks path localCheckpoints: the kept set is
+    # consumed by TWO actions (_exact_scores' ids collect, then the
+    # caller's), which must see ONE materialization; cache() would pin an
+    # entry per call for the session's lifetime (REPL / driver), while
+    # checkpointed partitions are freed by the ContextCleaner when the
+    # result plan is garbage-collected. Loss of a stored partition fails
+    # the query loudly instead of recomputing under a different θ.
+    kept_plan = (
         ub.join(F.broadcast(kth), "query_id", "left")
         .filter(
             F.col("ub") >= F.coalesce(F.col("theta"), F.lit(0.0)) - EPSILON
         )
         .select("query_id", "block_id")
-    ).localCheckpoint(eager=False)
+    )
     n_total = ub.count()
-    n_kept = kept.count()  # materializes kept; ub is no longer needed
-    ub.unpersist()
+    n_kept = kept_plan.count()
     if n_total > 0 and n_kept / n_total > fallback_keep_frac:
         # θ turned out weaker than the probe predicted: pruning still
         # won't pay for the decode — same JVM-kernel fallback
+        ub.unpersist()
         if path_out is not None:
             path_out.append("postings")
         final_scores = _postings_scores(index, queries, qterms, s)
     else:
         if path_out is not None:
             path_out.append("blocks")
+        kept = kept_plan.localCheckpoint(eager=True)
+        ub.unpersist()  # kept is materialized; ub no longer needed
         final_scores = _exact_scores(q_idf, blocks_q, kept, s["avgdl"],
                                      block_span)
     return resolve_docnos(index, top_k(final_scores, k), s["n_docs"])

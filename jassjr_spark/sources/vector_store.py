@@ -126,14 +126,17 @@ def lsh_probe_buckets(
 
 def lsh_topk_persisted(
     spark: SparkSession, path: str, queries_local: list,
-    k: int = 5, hamming: int = 1,
+    k: int = 5, hamming: int = 0,
 ) -> DataFrame:
     """Top-k over the persisted LSH store: reads ONLY the probed bucket
-    directories (partition pruning — plan-gated in tests). hamming=0
-    reproduces lsh_topk's bucket-equality semantics exactly; the default
-    hamming=1 multi-probe is the measured 600k sweet spot with the
-    default 8-plane store (recall 0.975 at 4.4x under brute-force cost —
-    BENCH/BASELINE.md grid)."""
+    directories (partition pruning — plan-gated in tests).
+
+    The default hamming=0 is the documented bucket-equality semantics
+    (stable for existing callers — ADVICE r3 flagged the brief r3 default
+    change to 1 as a silent behavior shift). Opt INTO multi-probe at the
+    call site: hamming=1 with the default 8-plane store is the measured
+    600k sweet spot (recall 0.975 at ~4x under brute-force cost,
+    BENCH/BASELINE.md grid) at a larger, slower result set."""
     meta = read_vec_meta(spark, path)
     probes = lsh_probe_buckets(
         queries_local, meta["n_planes"], meta["seed"], meta["dim"],

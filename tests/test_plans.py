@@ -136,8 +136,23 @@ def test_assign_docids_partitioning_is_pinned(spark, tmp_path):
     assert not sc.getCheckpointDir()
     sc.setCheckpointDir(str(tmp_path / "ckpt"))
     try:
-        reliable = assign_docids(docs, ["docno"])
+        staged: list = []
+        reliable = assign_docids(docs, ["docno"], cleanup=staged)
         assert {(r.docid, r.docno) for r in reliable.collect()} == want
+
+        # Spark never deletes reliable-checkpoint files by default, so a
+        # streaming caller leaks one batch-sized dir per epoch unless the
+        # cleanup handle removes them (ADVICE r3): after unpersist the
+        # checkpoint dir must hold no rdd-* data dirs
+        def rdd_dirs():
+            import glob
+
+            return glob.glob(str(tmp_path / "ckpt" / "*" / "rdd-*"))
+
+        assert rdd_dirs(), "expected reliable checkpoint files on disk"
+        for h in staged:
+            h.unpersist()
+        assert not rdd_dirs(), "checkpoint files leaked after cleanup"
     finally:
         # unset so the shared session's later tests keep the (faster)
         # localCheckpoint path

@@ -62,3 +62,36 @@ def test_cli_interactive_matches_library(spark, titles_index):
     got = _run_cli(["--index", path, "--queries", QFILE, "--k", "20",
                     "--interactive"])
     assert got == want and len(got) > 100
+
+
+def test_indexer_cli_end_to_end(tmp_path):
+    """index_job.py driven as a subprocess over the reference's own corpus
+    (VERDICT r4 Next #4): the progress lines match the reference indexer's
+    format byte-for-byte (JASSjr_index.py:40-41,79 — the contract
+    tools/verify_indexer.sh scrapes), and the persisted index answers the
+    golden queries (tests/10_search.bats) byte-exactly through
+    search_job.py."""
+    from jassjr_spark.fixtures import GOLDEN_EXPECTED, NUMBER_WORDS
+
+    out_idx = str(tmp_path / "ref_index")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jassjr_spark", "index_job.py"),
+         "--input", "/root/reference/test_documents.xml",
+         "--output", out_idx, "--buckets", "8"],
+        capture_output=True, text=True, cwd=REPO, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    # reference format: "<docid> documents indexed" every 1000 docs (the
+    # 11-doc corpus prints exactly one), then the serialising line
+    assert lines[0] == "0 documents indexed"
+    assert "Indexed 11 documents. Serialising..." in lines
+
+    qfile = tmp_path / "golden_queries.txt"
+    qfile.write_text("".join(w + "\n" for w in ["zero"] + NUMBER_WORDS))
+    got = _run_cli(["--index", out_idx, "--queries", str(qfile)])
+    # all five golden blocks appear byte-exactly and contiguously
+    for q, want in GOLDEN_EXPECTED.items():
+        n = len(want)
+        found = [got[i:i + n] == want for i in range(len(got) - n + 1)]
+        assert any(found), f"golden block for {q!r} missing"

@@ -81,7 +81,13 @@ def main() -> None:
         # Pass 1 is COLD (each new term's posting list is collected once);
         # pass 2 is CACHED — the driver-local numpy fast path, zero Spark
         # jobs per query (the reference's 80 ms single-query regime).
-        it = InteractiveSearcher(idx, stats=stats)
+        # this synthetic corpus is ~480 terms ALL stopword-class (df up
+        # to 0.9N): a query's lists alone are millions of entries, so the
+        # budget is sized to hold the full workload's lists (~1 GB driver
+        # memory at 600k docs) — the "snapshot-sized index" regime the
+        # fast path targets; real Zipf text needs far less
+        it = InteractiveSearcher(idx, stats=stats,
+                                 local_postings_budget=40_000_000)
         it.search_line(lines[0], k=k)  # warmup
         inter, cached, n_local = [], [], 0
         for line in lines:

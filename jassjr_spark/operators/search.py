@@ -378,27 +378,35 @@ class InteractiveSearcher:
         if not missing:
             return True
         need = sum(self.local_dict.get(t, 0) for t in missing)
-        if need > self.local_postings_budget:
+        if sum(self.local_dict.get(t, 0) for t in terms) \
+                > self.local_postings_budget:
             return False  # this query's lists can never fit: Spark path
-        # LRU-evict until the new lists fit
-        while (self._cached_entries + need > self.local_postings_budget
-               and self._postings_cache):
-            _, (d, _, _) = self._postings_cache.popitem(last=False)
+        # LRU-evict (oldest first) until the new lists fit — but never a
+        # term THIS query needs: evicting one would be refetched-or-miss
+        protected = set(terms)
+        while self._cached_entries + need > self.local_postings_budget:
+            victim = next(
+                (t for t in self._postings_cache if t not in protected), None
+            )
+            if victim is None:
+                break
+            d, _, _ = self._postings_cache.pop(victim)
             self._cached_entries -= len(d)
-        rows = (
+        # Arrow columnar transfer (toPandas), not row collect: a
+        # stopword-class list is 10^5-10^6 rows and Row objects cost
+        # ~10x the bytes and time of an Arrow batch
+        pdf = (
             pruned_postings(self.index, missing)
-            .select("term", "docid", "tf", "dl").collect()
+            .select("term", "docid", "tf", "dl").toPandas()
         )
-        by_term: dict[str, list] = {t: [] for t in missing}
-        for r in rows:
-            by_term[r.term].append((r.docid, r.tf, r.dl))
+        terms_col = pdf["term"].to_numpy()
+        docid_col = pdf["docid"].to_numpy(np.int64)
+        tf_col = pdf["tf"].to_numpy(np.float64)
+        dl_col = pdf["dl"].to_numpy(np.float64)
         for t in missing:
-            lst = by_term[t]
-            docids = np.fromiter((x[0] for x in lst), np.int64, len(lst))
-            tfs = np.fromiter((x[1] for x in lst), np.float64, len(lst))
-            dls = np.fromiter((x[2] for x in lst), np.float64, len(lst))
-            self._postings_cache[t] = (docids, tfs, dls)
-            self._cached_entries += len(lst)
+            m = terms_col == t
+            self._postings_cache[t] = (docid_col[m], tf_col[m], dl_col[m])
+            self._cached_entries += int(m.sum())
         return True
 
     def _search_local(self, qid: str, qrows: list, k: int) -> list[str] | None:
@@ -433,7 +441,8 @@ class InteractiveSearcher:
         # the 0.0 seed is exact: 0.0 + c == c). NOT np.add.reduceat,
         # whose pairwise summation can differ in the last ulp.
         rsv_vec = np.zeros(n_docs, np.float64)
-        touched: list = []
+        touched = np.zeros(n_docs, bool)
+        hit = False
         for _, pos, t, idf in qrows:  # qrows are in ascending pos order
             docids, tfs, dls = self._postings_cache[t]
             if len(docids) == 0:
@@ -444,13 +453,22 @@ class InteractiveSearcher:
                 / (tfs + K1 * (1.0 - B + B * (dls / avgdl)))
             )
             rsv_vec[docids] += contrib
-            touched.append(docids)
-        if not touched:
+            touched[docids] = True
+            hit = True
+        if not hit:
             return []
-        uniq = np.unique(np.concatenate(touched))
+        uniq = np.flatnonzero(touched)  # O(n_docs) scan beats a sort-unique
         rsv = rsv_vec[uniq]
         pos_mask = rsv > 0.0
         rsv, uniq = rsv[pos_mask], uniq[pos_mask]
+        if len(rsv) > k:
+            # select-then-sort: partition to the k-th largest rsv, keep
+            # everything >= it (ties included — the docid-desc tiebreak
+            # below needs ALL boundary ties present to be exact), and
+            # only lexsort that small candidate set
+            thresh = np.partition(rsv, len(rsv) - k)[len(rsv) - k]
+            sel = rsv >= thresh
+            rsv, uniq = rsv[sel], uniq[sel]
         top = np.lexsort((uniq, rsv))[::-1][:k]  # rsv desc, docid desc
         return [
             "{} Q0 {} {} {:.4f} {}".format(

@@ -268,5 +268,14 @@ def test_interactive_local_fast_path_zero_jobs_and_identical(spark):
     for ln in lines[:3]:
         assert it2.search_line(ln) == search_lines(idx, spark, [ln])
         assert it2.last_path == "spark"
+
+    # thrash regime: a budget that fits roughly ONE query's lists forces
+    # eviction between queries — the current query's own terms must never
+    # be evicted mid-fetch (LRU KeyError regression from the 600k bench)
+    it3 = InteractiveSearcher(idx, local_postings_budget=700)
+    for _ in range(2):
+        for ln in lines:
+            assert it3.search_line(ln) == search_lines(idx, spark, [ln]), ln
     it.close()
     it2.close()
+    it3.close()

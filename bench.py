@@ -84,6 +84,21 @@ def main() -> None:
     # would time a plan the engine never chooses (VERDICT r2).
     run("bm25_wand_top10",
         lambda: dq.q_ft_bm25_wand_adaptive(spark, SF_DIR, k=10).collect())
+    # interactive regime: the driver-local numpy fast path over cached
+    # posting lists — one value = the WHOLE 7-query workload, repeat
+    # queries, zero Spark jobs per line (see BENCH/BASELINE.md latency
+    # table for the 600k-doc p50s)
+    from jassjr_spark.operators.search import InteractiveSearcher
+
+    searcher = InteractiveSearcher(dq.corpus_index(spark, SF_DIR))
+    qlines = [f"{qid} " + " ".join(terms) for qid, terms in dq.BM25_QUERIES]
+    for ln in qlines:
+        searcher.search_line(ln)  # warm the postings cache once
+
+    def interactive_pass():
+        return [searcher.search_line(ln) for ln in qlines]
+
+    run("bm25_interactive_cached", interactive_pass)
     run("dictionary", lambda: dq.q_ft_dictionary(spark, SF_DIR).count())
     run("dedup_exact", lambda: dq.q_dedup_exact(spark, SF_DIR).count())
     run("dedup_minhash_pairs",

@@ -246,6 +246,8 @@ def start_indexing_stream(
     n_buckets: int = DEFAULT_BUCKETS,
     trigger_available_now: bool = True,
     compact_every: int = 0,
+    size_ratio: float = 4.0,
+    max_segments: int = 8,
 ):
     """Attach the incremental indexer to a streaming documents source
     (columns docno, content). Returns the StreamingQuery.
@@ -256,6 +258,9 @@ def start_indexing_stream(
     engine, so maintenance between appends is the documented
     concurrency-safe slot, and file counts stay bounded over the
     stream's lifetime instead of growing one directory set per epoch.
+    ``size_ratio``/``max_segments`` tune the tiered policy
+    (pick_compaction_run): per-compaction I/O is bounded by the merged
+    run's size, live segments by ``max_segments``.
     """
     write_meta(spark, path, n_buckets)
 
@@ -267,7 +272,9 @@ def start_indexing_stream(
         )
         if compact_every and n and epoch_id % compact_every == 0:
             refresh_derived(spark, path)
-            compact_segments(spark, path, n_buckets=n_buckets)
+            compact_segments(spark, path, n_buckets=n_buckets,
+                             size_ratio=size_ratio,
+                             max_segments=max_segments)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint

@@ -714,3 +714,55 @@ def test_compaction_refresh_append_interleavings_random(spark, tmp_path):
         )
         want = {r.term: (r.df, r.cf) for r in full.collect()}
         assert got == want, f"seed {seed}: dictionary diverged from recompute"
+
+
+def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The stateful.py docstring prescribes the RocksDB state store for
+    unbounded distinct corpora (state spills to executor-local disk
+    instead of heap); prove the dedup operator actually runs — and keeps
+    exact first-seen semantics across batches — under that provider."""
+    import glob
+    import shutil
+
+    from jassjr_spark.streaming.stateful import start_streaming_dedup
+
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    schema = "docid long, docno string, content string"
+
+    def land(rows, name):
+        tmp = tmp_path / f"rstage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        part = glob.glob(str(tmp / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocks)
+    try:
+        land([(0, "A", "alpha text"), (1, "B", "beta text")], "f0")
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src))
+        out = str(tmp_path / "rocks_out")
+        q = start_streaming_dedup(
+            spark, stream, out, checkpoint=str(tmp_path / "rckpt"),
+            trigger_available_now=False,
+        )
+        try:
+            q.processAllAvailable()
+            land([(2, "C", "alpha text"), (3, "D", "gamma text")], "f1")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    got = {(r.keep_docid, r.docno) for r in spark.read.parquet(out).collect()}
+    assert got == {(0, "A"), (1, "B"), (3, "D")}

@@ -591,11 +591,12 @@ FROM agg
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing surface: frame-sample grid over the synthetic
-    media table (payloads are deterministic; decode is stubbed — no
-    imaging libs in this environment). The media table is deterministic
+    media table (image/audio payloads are REAL PNG/BMP/WAV decoded by the
+    stdlib codecs in functions/codecs.py; video stays a declared stub —
+    container demux needs external libs). The media table is deterministic
     (media_id i, video iff i%3==2, duration 1000+i ms), so the sample grid
     is a generate_series oracle; payload-level assertions live in
-    tests/test_pipeline_ops.py."""
+    tests/test_pipeline_ops.py and tests/test_codecs.py."""
     from jassjr_spark.operators import multimodal
 
     media = multimodal.synth_media(spark, 48)

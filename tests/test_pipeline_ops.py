@@ -136,11 +136,23 @@ def test_similarity_exact_vs_lsh_recall(spark):
 
 
 def test_multimodal_plumbing(spark):
+    """Media pipeline with REAL stdlib decodes (PNG/BMP/WAV via
+    functions/codecs.py); video payloads exercise the declared byte-fold
+    fallback path."""
+    import numpy as np
+
+    from jassjr_spark.functions import codecs
+
     media = multimodal.synth_media(spark, 12)
     feats = multimodal.extract_features(media, dim=8).collect()
     assert len(feats) == 12
     assert all(len(r.feature) == 8 for r in feats)
-    assert all(r.n_bytes == 128 for r in feats)
+    # the sniffer sees real formats: image rows alternate png/bmp, audio
+    # rows are wav, video rows are the declared-fallback opaque bytes
+    fmts = {r.media_id: r.format for r in feats}
+    assert fmts[0] == "png" and fmts[3] == "bmp" and fmts[6] == "png"
+    assert fmts[1] == "wav" and fmts[4] == "wav"
+    assert fmts[2] == "unknown" and fmts[5] == "unknown"
     # deterministic: same payload -> same features
     again = {r.media_id: r.feature for r in
              multimodal.extract_features(media, dim=8).collect()}
@@ -151,13 +163,36 @@ def test_multimodal_plumbing(spark):
     assert len(frames) >= vids * 3
     with pytest.raises(ValueError):
         multimodal.decode_image(b"")
-    # resize: image rows only, payload sized to the target grid,
-    # deterministic, metadata rewritten
+
+    # the image features are REAL pixel statistics: a constant-grey PNG
+    # pools to exactly grey/255 in every band
+    grey = multimodal.decode_image(
+        codecs.encode_png(np.full((16, 16, 3), 120, np.uint8)), dim=8
+    )
+    assert np.allclose(grey, 120.0 / 255.0)
+    # ...and the audio features real RMS energy: silence pools to 0
+    silent = multimodal.decode_audio(
+        codecs.encode_wav(np.zeros(800, np.float32), 8000), dim=8
+    )
+    assert np.allclose(silent, 0.0)
+
+    # resize: image rows only, REALLY resampled and re-encoded in the
+    # same format, deterministic, metadata rewritten
     resized = multimodal.resize_images(media, 16, 12).collect()
     n_images = media.filter("kind = 'image'").count()
     assert len(resized) == n_images and n_images > 0
-    assert all(len(r.payload) == 16 * 12 for r in resized)
     assert all((r.width, r.height) == (16, 12) for r in resized)
+    for r in resized:
+        fmt = codecs.sniff(bytes(r.payload))
+        assert fmt == fmts[r.media_id]  # format preserved
+        px = (codecs.decode_png if fmt == "png" else codecs.decode_bmp)(
+            bytes(r.payload)
+        )
+        assert px.shape == (12, 16, 3)
+    # nearest-neighbor is exact: resizing a constant image stays constant
+    const = codecs.encode_bmp(np.full((9, 7, 3), 33, np.uint8))
+    rs = codecs.resize_nearest(codecs.decode_bmp(const), 5, 4)
+    assert (rs == 33).all() and rs.shape == (4, 5, 3)
     again_rs = {r.media_id: bytes(r.payload) for r in
                 multimodal.resize_images(media, 16, 12).collect()}
     for r in resized:

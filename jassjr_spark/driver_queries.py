@@ -950,6 +950,44 @@ def q_sim_lsh_persisted_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_persisted(spark, path, queries_local, k=5, hamming=0)
 
 
+def q_sim_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted cluster-partitioned IVF store, probed EXHAUSTIVELY
+    (nprobe == n_clusters): every inverted list is scanned, so the result
+    is exactly brute-force cosine top-5 and shares its oracle — this
+    oracle-verifies the store layout, the driver-side centroid probe, the
+    cluster-pruned scan, and the scoring kernel end-to-end regardless of
+    where KMeans happened to place the centroids. The scale path
+    (nprobe << n_clusters; recall 1.0 at nprobe=4/16 on 600k vectors) is
+    measured in BENCH/ann_600k.json and asserted in pytest.
+
+    Store write memoized per (application, corpus) like the LSH store —
+    the entry measures probing, not re-clustering."""
+    import hashlib as _h
+    import tempfile
+
+    from jassjr_spark.sources.vector_store import (
+        ivf_topk_persisted,
+        write_ivf_store,
+    )
+
+    n_clusters = 8
+    emb = load_embeddings(spark, sf_dir)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/jassjr_ivf_store_{tag}"
+    skey = (spark.sparkContext.applicationId, sf_dir, "ivf_store")
+    if _INDEX_MEMO.get(skey) != path:
+        write_ivf_store(emb.select("vec_id", "embedding"), path,
+                        n_clusters=n_clusters, seed=42)
+        _INDEX_MEMO[skey] = path
+    queries_local = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding").collect()
+    ]
+    return ivf_topk_persisted(spark, path, queries_local, k=5,
+                              nprobe=n_clusters)
+
+
 # -------------------------------------------------------- event-time queries
 
 
@@ -1162,6 +1200,7 @@ def catalog() -> dict[str, tuple]:
         "sim_cosine_top5": (q_sim_cosine_top5, SQL_SIM_COSINE_TOP5),
         "sim_lsh_top5": (q_sim_lsh_top5, _sql_sim_lsh()),
         "sim_lsh_persisted_top5": (q_sim_lsh_persisted_top5, _sql_sim_lsh()),
+        "sim_ivf_top5": (q_sim_ivf_top5, SQL_SIM_COSINE_TOP5),
         "sim_neardup_pairs": (q_sim_neardup_pairs, _sql_sim_neardup()),
         "ev_windowed_counts": (q_ev_windowed_counts, SQL_EV_WINDOWED_COUNTS),
         "ev_user_sessions": (q_ev_user_sessions, SQL_EV_USER_SESSIONS),

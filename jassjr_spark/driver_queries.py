@@ -988,6 +988,46 @@ def q_sim_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                               nprobe=n_clusters)
 
 
+def q_del_masked_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-tombstone masking end-to-end through the persisted store:
+    persist the corpus index once (memoized like the ANN stores),
+    tombstone-delete every docno with doc_id % 20 == 3
+    (streaming/incremental.delete_documents), and return the SURVIVING
+    doc lengths through the masked read_index path — the oracle applies
+    the same victim filter to its recompute. Verifies the docno->docid
+    tombstone resolution and the docid anti-join masking that every
+    reader inherits; purge-at-compaction is covered in
+    tests/test_deletes.py."""
+    import hashlib as _h
+    import tempfile
+
+    from jassjr_spark.sources.index_store import read_index, write_index
+    from jassjr_spark.streaming.incremental import delete_documents
+
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/jassjr_del_store_{tag}"
+    skey = (spark.sparkContext.applicationId, sf_dir, "del_store")
+    if _INDEX_MEMO.get(skey) != path:
+        write_index(corpus_index(spark, sf_dir), path, n_buckets=8)
+        victims = [
+            str(r.docid)
+            for r in load_documents(spark, sf_dir)
+            .filter(F.col("docid") % 20 == 3)
+            .select("docid").collect()
+        ]
+        delete_documents(spark, path, victims)
+        _INDEX_MEMO[skey] = path
+    idx = read_index(spark, path)
+    return idx.doc_lengths.select(
+        "docid", F.col("len").cast("long").alias("len")
+    )
+
+
+SQL_DEL_MASKED_DOC_LENGTHS = f"""{_INDEX_CTES}
+SELECT docid, CAST(len AS BIGINT) AS len FROM alldl WHERE docid % 20 <> 3
+"""
+
+
 # -------------------------------------------------------- event-time queries
 
 
@@ -1174,6 +1214,8 @@ def catalog() -> dict[str, tuple]:
     """name -> (spark_fn, oracle_sql | None)."""
     return {
         "ft_doc_lengths": (q_ft_doc_lengths, SQL_FT_DOC_LENGTHS),
+        "del_masked_doc_lengths": (q_del_masked_doc_lengths,
+                                   SQL_DEL_MASKED_DOC_LENGTHS),
         "ft_dictionary": (q_ft_dictionary, SQL_FT_DICTIONARY),
         "ft_index_stats": (q_ft_index_stats, SQL_FT_INDEX_STATS),
         "ft_postings": (q_ft_postings, SQL_FT_POSTINGS),

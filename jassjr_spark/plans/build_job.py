@@ -260,8 +260,22 @@ def build_persisted_index(
 def load_persisted(spark: SparkSession, path: str) -> tuple[Index, DataFrame]:
     """-> (Index, blocks) from a completed persisted build. Refuses a
     blocks table whose recorded payload format differs from the decoder's
-    (clear 'rebuild blocks' error instead of a mid-query decode failure)."""
-    from jassjr_spark.sources.index_store import check_blocks_format, read_meta
+    (clear 'rebuild blocks' error instead of a mid-query decode failure),
+    and refuses pending delete tombstones: the compressed blocks payloads
+    bake docids in, so the row-table masking read_index applies cannot
+    reach them — a WAND query would resurrect deleted docs."""
+    from jassjr_spark.sources.index_store import (
+        check_blocks_format,
+        read_meta,
+        tombstones_df,
+    )
 
     check_blocks_format(read_meta(spark, path), path)
+    if tombstones_df(spark, path) is not None:
+        raise ValueError(
+            f"index at {path!r} has pending delete tombstones; compressed "
+            "blocks cannot be masked. Compact (streaming.incremental."
+            "compact_segments) and rebuild the blocks stage, or query "
+            "without --wand."
+        )
     return read_index(spark, path), spark.read.parquet(f"{path}/blocks")

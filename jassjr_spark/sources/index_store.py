@@ -135,13 +135,68 @@ def write_index(index: Index, path: str, n_buckets: int = DEFAULT_BUCKETS) -> No
     index.stats.write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def tombstones_df(spark: SparkSession, path: str) -> DataFrame | None:
+    """The delete-tombstone table (docno, tomb_epoch) at ``{path}/_tombstones``
+    (written by streaming.incremental.delete_documents), or None when the
+    index has no deletes pending. Underscore-prefixed, so segment-table
+    partition discovery never sees it."""
+    try:
+        t = spark.read.parquet(f"{path}/_tombstones")
+        t.schema  # force resolution now, not at first action
+        return t
+    except Exception:
+        return None
+
+
+def masked_docid_set(spark: SparkSession, path: str) -> DataFrame | None:
+    """docids masked by pending tombstones, or None when there are none.
+
+    LSM versioned-delete semantics: a tombstone written when the index's
+    last applied epoch was E masks occurrences of its docno in segments
+    with epoch <= E only — a LATER re-append of the same docno gets a new
+    docid in a newer epoch and stays visible. Resolution is docno -> docid
+    through the docids table, so masking downstream tables is a docid
+    anti-join (every segment table is keyed by docid). On an epoch-less
+    (batch write_index) store the mask is by docno alone: no epochs means
+    no re-append ordering to preserve.
+    """
+    tombs = tombstones_df(spark, path)
+    if tombs is None:
+        return None
+    docids = spark.read.parquet(f"{path}/docids")
+    if "epoch" in docids.columns:
+        cond = (docids["docno"] == tombs["docno"]) & (
+            docids["epoch"] <= tombs["tomb_epoch"]
+        )
+        hit = docids.join(tombs, cond, "left_semi")
+    else:
+        hit = docids.join(tombs.select("docno"), "docno", "left_semi")
+    return hit.select("docid").distinct()
+
+
 def read_index(spark: SparkSession, path: str) -> Index:
+    """Load the persisted index; when delete tombstones are pending the
+    row tables come back masked (docid anti-join against the resolved
+    masked set — per-doc BM25 independence means surviving docs' scores
+    are unchanged by masking). Dictionary/stats stay as written: deleted
+    docs keep counting toward df/N/avgdl until a compaction physically
+    purges them — the documented deleted-docs-in-stats staleness every
+    segmented search engine accepts between delete and merge. The masked
+    set is deletes-sized, so AQE broadcasts the anti-joins at scale."""
     meta = read_meta(spark, path)
+    postings = spark.read.parquet(f"{path}/postings")
+    doc_lengths = spark.read.parquet(f"{path}/doc_lengths")
+    docids = spark.read.parquet(f"{path}/docids")
+    masked = masked_docid_set(spark, path)
+    if masked is not None:
+        postings = postings.join(masked, "docid", "left_anti")
+        doc_lengths = doc_lengths.join(masked, "docid", "left_anti")
+        docids = docids.join(masked, "docid", "left_anti")
     return Index(
-        postings=spark.read.parquet(f"{path}/postings"),
+        postings=postings,
         dictionary=spark.read.parquet(f"{path}/dictionary"),
-        doc_lengths=spark.read.parquet(f"{path}/doc_lengths"),
-        docids=spark.read.parquet(f"{path}/docids"),
+        doc_lengths=doc_lengths,
+        docids=docids,
         stats=spark.read.parquet(f"{path}/stats"),
         n_buckets=meta["n_buckets"],
     )
@@ -279,20 +334,49 @@ def merge_indexes(
                 f"duplicate docnos across shards ({row.n - row.u} "
                 "collisions); shard corpora must be disjoint"
             )
-    dicts = shards[0].dictionary
-    for s in shards[1:]:
-        dicts = dicts.unionByName(s.dictionary)
-    (
-        dicts.groupBy("term")
-        .agg(F.sum("df").cast("int").alias("df"),
-             F.sum("cf").cast("long").alias("cf"))
-        .write.mode("overwrite").parquet(f"{dst}/dictionary")
-    )
-    n = sum(int(r.n_docs) for r in stats_rows)
-    total = sum(int(r.total_terms) for r in stats_rows)
-    vocab = spark.read.parquet(f"{dst}/dictionary").count()
-    spark.createDataFrame(
-        [(n, total / n if n else 0.0, total, vocab)],
-        "n_docs long, avgdl double, total_terms long, vocab_size long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{dst}/stats")
+    # a shard with pending delete tombstones loads MASKED (read_index), so
+    # the merged row tables above are already physically purged — the merge
+    # doubles as the compaction that applies deletes. Its dictionary/stats,
+    # though, can no longer be the shard-scalar sum (those still count the
+    # purged docs): recompute from the merged tables. That one
+    # postings-sized aggregation is the price of purging; tombstone-free
+    # merges keep the cheap scalar path.
+    any_tombs = any(tombstones_df(spark, p) is not None for p in srcs)
+    if any_tombs:
+        (
+            spark.read.parquet(f"{dst}/postings")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("int").alias("df"),
+                 F.sum("tf").cast("long").alias("cf"))
+            .write.mode("overwrite").parquet(f"{dst}/dictionary")
+        )
+        dl = spark.read.parquet(f"{dst}/doc_lengths")
+        vocab = spark.read.parquet(f"{dst}/dictionary").count()
+        (
+            dl.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg("len").alias("avgdl"),
+                F.sum("len").cast("long").alias("total_terms"),
+            )
+            .select("n_docs", "avgdl", "total_terms",
+                    F.lit(vocab).cast("long").alias("vocab_size"))
+            .coalesce(1).write.mode("overwrite").parquet(f"{dst}/stats")
+        )
+    else:
+        dicts = shards[0].dictionary
+        for s in shards[1:]:
+            dicts = dicts.unionByName(s.dictionary)
+        (
+            dicts.groupBy("term")
+            .agg(F.sum("df").cast("int").alias("df"),
+                 F.sum("cf").cast("long").alias("cf"))
+            .write.mode("overwrite").parquet(f"{dst}/dictionary")
+        )
+        n = sum(int(r.n_docs) for r in stats_rows)
+        total = sum(int(r.total_terms) for r in stats_rows)
+        vocab = spark.read.parquet(f"{dst}/dictionary").count()
+        spark.createDataFrame(
+            [(n, total / n if n else 0.0, total, vocab)],
+            "n_docs long, avgdl double, total_terms long, vocab_size long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{dst}/stats")
     write_meta(spark, dst, n_buckets)  # last: certifies a complete merge

@@ -37,6 +37,7 @@ from jassjr_spark.sources.index_store import (
     DEFAULT_BUCKETS,
     read_meta,
     term_bucket_col,
+    tombstones_df,
     write_meta,
 )
 
@@ -128,6 +129,47 @@ def append_documents(
     batch.unpersist()
     _refresh_reader_caches(spark, path)
     return n
+
+
+def delete_documents(spark: SparkSession, path: str,
+                     docnos: list[str]) -> int:
+    """Tombstone-delete documents by docno — the LSM delete the append/
+    compact lifecycle was missing (a training-data pipeline must be able
+    to pull contaminated docs without a rebuild). Returns len(docnos).
+
+    A tombstone is (docno, tomb_epoch) appended to ``{path}/_tombstones``;
+    tomb_epoch is the index's last APPLIED epoch at delete time, so the
+    tombstone masks every occurrence of the docno in segments with
+    epoch <= tomb_epoch and nothing after — a later re-append of the same
+    docno (new docid, newer epoch) is visible again, the standard
+    versioned-delete ordering. On an epoch-less batch store the mask is
+    by docno alone (sources/index_store.masked_docid_set).
+
+    Deletion is MASKING, immediately visible to every read_index reader:
+    deleted docs vanish from results while surviving docs' scores are
+    byte-unchanged (BM25 is per-doc; only the global df/N/avgdl still
+    count the deleted docs, the documented staleness every segmented
+    engine accepts between delete and merge). The physical purge — and
+    the dictionary/stats correction — happens in compact_segments.
+    Persisted WAND ``blocks`` tables do not see masks; load_persisted
+    refuses a store with pending tombstones + blocks (rebuild blocks
+    after compacting).
+
+    Tombstone-table size is bounded by deletes since the last compaction
+    that covered them (compact_segments GCs fully-applied tombstones).
+    Concurrency: like compaction, call between triggers — the
+    foreachBatch slot — never during an in-flight append."""
+    _, last_epoch = _read_watermark(spark, path)
+    tomb_epoch = -1 if last_epoch is None else int(last_epoch)
+    spark.createDataFrame(
+        [(d, tomb_epoch) for d in docnos], "docno string, tomb_epoch long"
+    ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
+    try:
+        spark.catalog.refreshByPath(f"{path}/_tombstones")
+    except Exception:
+        pass
+    _refresh_reader_caches(spark, path)
+    return len(docnos)
 
 
 def _refresh_reader_caches(spark: SparkSession, path: str) -> None:
@@ -428,6 +470,13 @@ def compact_segments(
         n_buckets = read_meta(spark, path)["n_buckets"] or DEFAULT_BUCKETS
     for t in _SEGMENT_TABLES:
         _recover_compaction(spark, f"{path}/{t}")
+    # stale purge staging from a crashed previous compaction: discard.
+    # NOT applying an orphaned delta is always safe — the dictionary/stats
+    # merely keep overcounting the deleted docs (the documented staleness)
+    # and the tombstones that produced it are still in place, so no reader
+    # ever sees a deleted doc; the next purging compaction re-derives it.
+    for tmp in (f"{path}/_purge_delta_tmp", f"{path}/_purge_docids_tmp"):
+        _rm_dir(spark, tmp)
 
     _, last_epoch = _read_watermark(spark, path)
     marker = _read_refresh_marker(spark, path)
@@ -444,6 +493,38 @@ def compact_segments(
         return 0
     lo, hi = run[0], run[-1]
 
+    # ---- delete purge: resolve which docids in the run are tombstoned,
+    # and stage (a) that docid set and (b) its per-term postings counts
+    # BEFORE the swaps delete the source files (Spark reads are lazy).
+    tombs = tombstones_df(spark, path)
+    purge = None
+    if tombs is not None:
+        in_run = (F.col("epoch") >= lo) & (F.col("epoch") <= hi)
+        dmask = spark.read.parquet(f"{path}/docids").filter(in_run)
+        cond = (dmask["docno"] == tombs["docno"]) & (
+            dmask["epoch"] <= tombs["tomb_epoch"]
+        )
+        masked_run = dmask.join(tombs, cond, "left_semi").select(
+            "docid"
+        ).distinct()
+        masked_run.write.mode("overwrite").parquet(
+            f"{path}/_purge_docids_tmp"
+        )
+        purge = spark.read.parquet(f"{path}/_purge_docids_tmp")
+        if purge.limit(1).count() == 0:
+            purge = None
+            _rm_dir(spark, f"{path}/_purge_docids_tmp")
+        else:
+            (
+                spark.read.parquet(f"{path}/postings").filter(in_run)
+                .join(purge, "docid", "left_semi")
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("d_df"),
+                     F.sum("tf").cast("long").alias("d_cf"))
+                .write.mode("overwrite")
+                .parquet(f"{path}/_purge_delta_tmp")
+            )
+
     for t in _SEGMENT_TABLES:
         tpath = f"{path}/{t}"
         tmp = f"{tpath}/_compact_tmp_{lo}_{hi}"
@@ -452,6 +533,8 @@ def compact_segments(
             .filter((F.col("epoch") >= lo) & (F.col("epoch") <= hi))
             .drop("epoch")
         )
+        if purge is not None:
+            merged = merged.join(purge, "docid", "left_anti")
         if t == "postings":
             (
                 merged.repartition(n_buckets, "bucket")
@@ -464,10 +547,81 @@ def compact_segments(
             ).parquet(tmp)
         _swap_in_segment(spark, tpath, tmp, lo, hi)
 
+    if tombs is not None:
+        _apply_purge_and_gc(spark, path, purged=purge is not None)
     _compact_marker_table(spark, f"{path}/_watermark")
     _compact_marker_table(spark, f"{path}/_refreshed")
     _refresh_reader_caches(spark, path)
     return len(run)
+
+
+def _apply_purge_and_gc(spark: SparkSession, path: str, purged: bool) -> None:
+    """After a purging swap: subtract the purged postings' per-term counts
+    from the dictionary (delta-sized, never an index scan), recompute the
+    scalar stats from the live doc_lengths, and GC tombstones no live
+    segment can match. Runs AFTER the segment swaps — a crash in between
+    leaves the stats conservatively stale (purged docs still counted, the
+    same staleness every reader already tolerates pre-compaction) and the
+    tombstones in place, so results are never wrong; the staging is
+    discarded on the next compaction."""
+    if purged:
+        if _exists(spark, f"{path}/dictionary"):
+            delta = spark.read.parquet(f"{path}/_purge_delta_tmp")
+            old = spark.read.parquet(f"{path}/dictionary")
+            patched = (
+                old.join(delta, "term", "left")
+                .select(
+                    "term",
+                    (F.col("df") - F.coalesce("d_df", F.lit(0)))
+                    .cast("long").alias("df"),
+                    (F.col("cf") - F.coalesce("d_cf", F.lit(0)))
+                    .cast("long").alias("cf"),
+                )
+                .filter(F.col("df") > 0)
+            )
+            # the old dictionary is an input of its own overwrite: stage
+            patched.write.mode("overwrite").parquet(f"{path}/dictionary_next")
+            spark.read.parquet(f"{path}/dictionary_next").write.mode(
+                "overwrite"
+            ).parquet(f"{path}/dictionary")
+            _rm_dir(spark, f"{path}/dictionary_next")
+        if _exists(spark, f"{path}/stats"):
+            dl = spark.read.parquet(f"{path}/doc_lengths")
+            stats = dl.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg("len").alias("avgdl"),
+                F.sum("len").cast("long").alias("total_terms"),
+            ).crossJoin(
+                spark.read.parquet(f"{path}/dictionary").agg(
+                    F.count(F.lit(1)).alias("vocab_size")
+                )
+            )
+            stats.write.mode("overwrite").parquet(f"{path}/stats")
+    # GC: a tombstone masks only segments with epoch <= tomb_epoch; once
+    # every live epoch is newer it can never match again (the compaction
+    # that removed those epochs purged whatever it matched).
+    live = _epoch_dirs(spark, f"{path}/postings")
+    tombs = tombstones_df(spark, path)
+    if tombs is not None and live:
+        lo_live = min(live)
+        keep = tombs.filter(F.col("tomb_epoch") >= lo_live)
+        if keep.limit(1).count() == 0:
+            _rm_dir(spark, f"{path}/_tombstones")
+        elif keep.count() < tombs.count():
+            keep.write.mode("overwrite").parquet(f"{path}/_tombstones_next")
+            spark.read.parquet(f"{path}/_tombstones_next").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/_tombstones")
+            _rm_dir(spark, f"{path}/_tombstones_next")
+    for tmp in (f"{path}/_purge_delta_tmp", f"{path}/_purge_docids_tmp"):
+        _rm_dir(spark, tmp)
+
+
+def _rm_dir(spark: SparkSession, p: str) -> None:
+    fs, jvm = _fs(spark, p)
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
 
 
 def _swap_in_segment(

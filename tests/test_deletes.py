@@ -1,0 +1,269 @@
+"""Delete tombstones for the persisted/LSM index: masking semantics,
+versioned re-append, physical purge + stats correction at compaction,
+tombstone GC, and the blocks guard.
+
+Reference parity note: the reference engine has no deletes at all (its
+index is write-once, JASSjr_index.cpp:201-218); this is an additive
+production capability — contract documented in
+streaming/incremental.delete_documents.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from jassjr_spark.fixtures import docno_of, synth_docs, synth_queries
+from jassjr_spark.operators.index_build import build_index
+from jassjr_spark.operators.search import search_lines
+from jassjr_spark.sources.index_store import (
+    masked_docid_set,
+    read_index,
+    write_index,
+    write_meta,
+)
+from jassjr_spark.streaming.incremental import (
+    append_documents,
+    compact_segments,
+    delete_documents,
+    refresh_derived,
+)
+
+
+def _rows(n):
+    raw = synth_docs(n)
+    return [(docno_of(r, p, c), t) for r, p, c, _, t in raw]
+
+
+def _score_map(lines):
+    """run lines -> {(qid, docno): score-string}"""
+    out = {}
+    for ln in lines:
+        qid, _, docno, _rank, score, _tag = ln.split()
+        out[(qid, docno)] = score
+    return out
+
+
+def _docnos(lines):
+    return {ln.split()[2] for ln in lines}
+
+
+def _batch_df(spark, rows, base=0):
+    return spark.createDataFrame(
+        [(base + i, d, c) for i, (d, c) in enumerate(rows)],
+        "docid long, docno string, content string",
+    )
+
+
+def _append(spark, rows, path, n_buckets, epoch):
+    batch = spark.createDataFrame(rows, "docno string, content string")
+    append_documents(spark, batch, path, n_buckets=n_buckets, epoch_id=epoch)
+
+
+def _dict_matches_raw(spark, path):
+    """The maintained dictionary must always equal a recompute over the
+    RAW physical postings files (masked-but-unpurged rows included — the
+    documented staleness; purged rows subtracted by the compaction
+    patch)."""
+    raw = (
+        spark.read.parquet(f"{path}/postings")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"),
+             F.sum("tf").cast("long").alias("cf"))
+    )
+    got = {
+        r.term: (int(r.df), int(r.cf))
+        for r in spark.read.parquet(f"{path}/dictionary").collect()
+    }
+    want = {r.term: (int(r.df), int(r.cf)) for r in raw.collect()}
+    assert got == want
+
+
+def test_batch_store_delete_masks_without_rescoring(spark, tmp_path):
+    """Mask-only semantics on a batch store: deleted docs vanish from
+    results, surviving docs' scores are byte-unchanged (df/N/avgdl still
+    count the deleted docs until a purge — per-doc BM25 independence)."""
+    rows = _rows(60)
+    path = str(tmp_path / "bidx")
+    write_index(build_index(_batch_df(spark, rows)), path, n_buckets=8)
+    qs = synth_queries(8)
+    before = search_lines(read_index(spark, path), spark, qs)
+
+    victims = [rows[3][0], rows[17][0], rows[41][0]]
+    assert delete_documents(spark, path, victims) == 3
+    after = search_lines(read_index(spark, path), spark, qs)
+
+    assert _docnos(after).isdisjoint(victims)
+    b, a = _score_map(before), _score_map(after)
+    shared = set(b) & set(a)
+    assert shared, "masked search lost every result"
+    for k in shared:
+        assert a[k] == b[k], f"surviving doc rescored: {k}"
+    # every pre-delete result that wasn't a victim is still reachable
+    # (deeper k admits new tail docs; it never loses survivors)
+    deep = _score_map(search_lines(read_index(spark, path), spark, qs, k=60))
+    for (qid, docno), score in b.items():
+        if docno not in victims:
+            assert deep[(qid, docno)] == score
+
+
+def test_delete_then_reappend_resurrects(spark, tmp_path):
+    """Versioned-delete ordering: a tombstone masks only segments with
+    epoch <= tomb_epoch, so re-appending the docno later makes it visible
+    again under a NEW docid."""
+    rows = _rows(30)
+    path = str(tmp_path / "inc")
+    write_meta(spark, path, n_buckets=4)
+    _append(spark, rows[:20], path, 4, epoch=0)
+    refresh_derived(spark, path)
+
+    victim, gone = rows[0][0], rows[5][0]
+    delete_documents(spark, path, [victim, gone])  # tomb_epoch = 0
+    idx = read_index(spark, path)
+    live = {r.docno for r in idx.docids.collect()}
+    assert victim not in live and gone not in live
+
+    _append(spark, [rows[0]], path, 4, epoch=1)  # resurrect victim
+    refresh_derived(spark, path)
+    idx = read_index(spark, path)
+    hits = idx.docids.filter(F.col("docno") == victim).collect()
+    assert len(hits) == 1 and hits[0].docid == 20  # the NEW docid
+    assert idx.docids.filter(F.col("docno") == gone).count() == 0
+    qs = synth_queries(10)
+    seen = _docnos(search_lines(idx, spark, qs, k=30))
+    assert gone not in seen
+
+
+def test_full_compaction_purges_and_corrects_stats(spark, tmp_path):
+    """Full compaction physically removes tombstoned rows, patches the
+    dictionary by the purged per-term delta, recomputes stats from the
+    live doc_lengths — after which search is byte-identical to a fresh
+    batch build of the surviving corpus (victims sit at the docid tail so
+    surviving docids line up). Tombstones GC once every live segment is
+    newer than their horizon."""
+    rows = _rows(80)
+    path = str(tmp_path / "cidx")
+    write_meta(spark, path, n_buckets=8)
+    for e, chunk in enumerate((rows[:30], rows[30:60], rows[60:])):
+        _append(spark, chunk, path, 8, epoch=e)
+    refresh_derived(spark, path)
+
+    victims = [d for d, _ in rows[75:]]  # tail of the docid space
+    delete_documents(spark, path, victims)  # tomb_epoch = 2
+    assert compact_segments(spark, path, full=True) == 3
+
+    raw_docids = spark.read.parquet(f"{path}/docids")
+    assert raw_docids.filter(F.col("docno").isin(victims)).count() == 0
+    assert raw_docids.count() == 75
+    _dict_matches_raw(spark, path)
+    stats = spark.read.parquet(f"{path}/stats").first()
+    dl = spark.read.parquet(f"{path}/doc_lengths")
+    assert stats.n_docs == 75
+    assert stats.total_terms == dl.agg(F.sum("len")).first()[0]
+
+    fresh = build_index(_batch_df(spark, rows[:75]))
+    qs = synth_queries(12)
+    assert search_lines(read_index(spark, path), spark, qs) == search_lines(
+        fresh, spark, qs
+    )
+
+    # tombstones survive this compaction (tomb_epoch == merged label);
+    # one more epoch + full compaction lifts min(live) past them => GC
+    assert masked_docid_set(spark, path) is not None
+    _append(spark, [("zfresh-1", "alpha beta gamma"),
+                    ("zfresh-2", "delta epsilon")], path, 8, epoch=3)
+    refresh_derived(spark, path)
+    assert compact_segments(spark, path, full=True) == 2
+    assert masked_docid_set(spark, path) is None  # _tombstones GC'd
+
+
+def test_partial_compaction_purges_only_the_run(spark, tmp_path):
+    """Tiered compaction purges tombstoned rows inside the merged run
+    only; masked docs in untouched old segments stay physically present
+    but masked, their tombstones retained, and the dictionary invariant
+    (== raw postings aggregate) holds throughout."""
+    rows = _rows(215)
+    path = str(tmp_path / "pidx")
+    write_meta(spark, path, n_buckets=4)
+    _append(spark, rows[:200], path, 4, epoch=0)  # the big old segment
+    for e, chunk in enumerate(
+        (rows[200:205], rows[205:210], rows[210:215]), start=1
+    ):
+        _append(spark, chunk, path, 4, epoch=e)
+    refresh_derived(spark, path)
+
+    old_victim, run_victim = rows[2][0], rows[211][0]  # e0 and e3
+    delete_documents(spark, path, [old_victim, run_victim])
+    # ratio 1.5 at this scale: parquet per-file overhead compresses the
+    # big/small byte gap (same calibration as the tiered-compaction test)
+    merged = compact_segments(spark, path, size_ratio=1.5)
+    assert merged == 3  # e1..e3 merged; the big e0 stays out of the run
+
+    raw_docids = spark.read.parquet(f"{path}/docids")
+    assert raw_docids.filter(F.col("docno") == run_victim).count() == 0
+    assert raw_docids.filter(F.col("docno") == old_victim).count() == 1
+    idx = read_index(spark, path)
+    live = {r.docno for r in idx.docids.collect()}
+    assert old_victim not in live and run_victim not in live
+    assert masked_docid_set(spark, path) is not None  # tombstones retained
+    _dict_matches_raw(spark, path)
+    stats = spark.read.parquet(f"{path}/stats").first()
+    assert stats.n_docs == 214  # run victim purged; old victim still counted
+
+
+def test_blocks_load_refuses_pending_tombstones(spark, tmp_path):
+    import pytest
+
+    from jassjr_spark.plans.build_job import load_persisted
+
+    rows = _rows(20)
+    path = str(tmp_path / "widx")
+    write_index(build_index(_batch_df(spark, rows)), path, n_buckets=4)
+    write_meta(spark, path, n_buckets=4, block_span=128)
+    delete_documents(spark, path, [rows[0][0]])
+    with pytest.raises(ValueError, match="tombstones"):
+        load_persisted(spark, path)
+
+
+def test_random_delete_interleavings_hold_invariants(spark, tmp_path):
+    """Seeded random interleavings of append / delete / refresh / compact:
+    the live-docno set matches a driver-side model applying the same LSM
+    semantics, and the dictionary always equals the raw-postings
+    recompute (purge patches included)."""
+    all_rows = _rows(200)
+    for seed in range(3):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"rnd_{seed}")
+        write_meta(spark, path, n_buckets=4)
+        live, deleted, cursor, epoch = {}, [], 0, 0
+        for _ in range(10):
+            op = rng.choice(["append", "append", "delete", "refresh",
+                             "compact"])
+            if op == "append":
+                chunk = all_rows[cursor:cursor + rng.randint(2, 6)]
+                cursor += len(chunk)
+                if deleted and rng.random() < 0.5:
+                    back = deleted.pop()
+                    chunk = chunk + [(back, dict(all_rows)[back])]
+                if not chunk:
+                    continue
+                _append(spark, chunk, path, 4, epoch=epoch)
+                epoch += 1
+                live.update(chunk)
+            elif op == "delete" and live:
+                victims = rng.sample(sorted(live), min(2, len(live)))
+                delete_documents(spark, path, victims)
+                for v in victims:
+                    live.pop(v)
+                    deleted.append(v)
+            elif op == "refresh" and epoch:
+                refresh_derived(spark, path)
+            elif op == "compact" and epoch:
+                refresh_derived(spark, path)
+                compact_segments(spark, path, size_ratio=1.5)
+        if not epoch:
+            continue
+        refresh_derived(spark, path)
+        idx = read_index(spark, path)
+        got = {r.docno for r in idx.docids.collect()}
+        assert got == set(live), f"seed {seed}: live set diverged"
+        _dict_matches_raw(spark, path)

@@ -224,6 +224,39 @@ def test_blocks_load_refuses_pending_tombstones(spark, tmp_path):
         load_persisted(spark, path)
 
 
+def test_merge_with_tombstoned_shard_purges(spark, tmp_path):
+    """merge_indexes doubles as the purge for tombstoned shards: the
+    masked shard reads feed the merge, and dictionary/stats are
+    recomputed from the merged tables instead of summed from shard
+    scalars — so the destination equals a fresh build of the surviving
+    corpus (victims at the shard tail keep surviving docids aligned)."""
+    from jassjr_spark.sources.index_store import merge_indexes
+
+    rows = _rows(120)
+    a_rows, b_rows = rows[:60], rows[60:]
+    paths = []
+    for name, shard in (("sha", a_rows), ("shb", b_rows)):
+        p = str(tmp_path / name)
+        write_index(build_index(_batch_df(spark, shard)), p, n_buckets=8)
+        paths.append(p)
+    victims = [d for d, _ in b_rows[-6:]]
+    delete_documents(spark, paths[1], victims)
+
+    dst = str(tmp_path / "merged")
+    merge_indexes(spark, paths, dst)
+    merged = read_index(spark, dst)
+    assert spark.read.parquet(f"{dst}/docids").filter(
+        F.col("docno").isin(victims)
+    ).count() == 0
+    assert masked_docid_set(spark, dst) is None  # no tombstones copied
+    _dict_matches_raw(spark, dst)
+
+    ref = build_index(_batch_df(spark, a_rows + b_rows[:-6]))
+    qs = synth_queries(10)
+    assert search_lines(merged, spark, qs) == search_lines(ref, spark, qs)
+    assert merged.scalar_stats() == ref.scalar_stats()
+
+
 def test_random_delete_interleavings_hold_invariants(spark, tmp_path):
     """Seeded random interleavings of append / delete / refresh / compact:
     the live-docno set matches a driver-side model applying the same LSM

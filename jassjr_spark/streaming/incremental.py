@@ -132,7 +132,7 @@ def append_documents(
 
 
 def delete_documents(spark: SparkSession, path: str,
-                     docnos: list[str]) -> int:
+                     docnos: "list[str] | DataFrame") -> int:
     """Tombstone-delete documents by docno — the LSM delete the append/
     compact lifecycle was missing (a training-data pipeline must be able
     to pull contaminated docs without a rebuild). Returns len(docnos).
@@ -158,9 +158,25 @@ def delete_documents(spark: SparkSession, path: str,
     Tombstone-table size is bounded by deletes since the last compaction
     that covered them (compact_segments GCs fully-applied tombstones).
     Concurrency: like compaction, call between triggers — the
-    foreachBatch slot — never during an in-flight append."""
+    foreachBatch slot — never during an in-flight append.
+
+    ``docnos`` is a list of docno strings, or a DataFrame with a
+    ``docno`` column for large delete sets (written distributed — no
+    driver-side collect)."""
     _, last_epoch = _read_watermark(spark, path)
     tomb_epoch = -1 if last_epoch is None else int(last_epoch)
+    if isinstance(docnos, DataFrame):
+        tomb = docnos.select("docno").distinct().select(
+            "docno", F.lit(tomb_epoch).cast("long").alias("tomb_epoch")
+        )
+        n = tomb.count()
+        tomb.write.mode("append").parquet(f"{path}/_tombstones")
+        try:
+            spark.catalog.refreshByPath(f"{path}/_tombstones")
+        except Exception:
+            pass
+        _refresh_reader_caches(spark, path)
+        return n
     spark.createDataFrame(
         [(d, tomb_epoch) for d in docnos], "docno string, tomb_epoch long"
     ).coalesce(1).write.mode("append").parquet(f"{path}/_tombstones")
@@ -170,6 +186,39 @@ def delete_documents(spark: SparkSession, path: str,
         pass
     _refresh_reader_caches(spark, path)
     return len(docnos)
+
+
+def upsert_documents(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    epoch_id: int,
+    prepend_docno: bool = True,
+    n_buckets: int | None = None,
+) -> int:
+    """Delete-then-append upsert: re-ingesting a batch of (docno, content)
+    replaces any existing version of each docno — the old version is
+    tombstone-masked immediately and physically purged at the next
+    compaction, the new one lands in this epoch. Completes the index's
+    CRUD lifecycle (append / delete / upsert / compact) for pipelines
+    that re-crawl or re-clean documents in place.
+
+    Requires the epoch-named layout (``epoch_id`` mandatory): the
+    tombstone's horizon is the PRE-append watermark, so it masks old
+    epochs and never this batch's — on an epoch-less store it would mask
+    the new version too. Effectively-once like append_documents: a replay
+    of an applied epoch is skipped before writing anything; a replay of a
+    crashed one re-writes duplicate tombstones (harmless — the mask
+    distincts) and overwrites its own segment. Caller owns intra-batch
+    docno uniqueness (as with append)."""
+    _, last_epoch = _read_watermark(spark, path)
+    if last_epoch is not None and epoch_id <= last_epoch:
+        return 0  # replay of an already-applied epoch
+    delete_documents(spark, path, batch.select("docno"))
+    return append_documents(
+        spark, batch, path, prepend_docno=prepend_docno,
+        n_buckets=n_buckets, epoch_id=epoch_id,
+    )
 
 
 def _refresh_reader_caches(spark: SparkSession, path: str) -> None:

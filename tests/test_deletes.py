@@ -224,6 +224,43 @@ def test_blocks_load_refuses_pending_tombstones(spark, tmp_path):
         load_persisted(spark, path)
 
 
+def test_upsert_replaces_in_place(spark, tmp_path):
+    """upsert = tombstone old version + append new in one epoch: the new
+    version is immediately visible, the old docid is gone from every
+    reader, a replay of the applied epoch is a no-op, and the next full
+    compaction physically purges the replaced rows."""
+    from jassjr_spark.streaming.incremental import upsert_documents
+
+    rows = _rows(40)
+    path = str(tmp_path / "uidx")
+    write_meta(spark, path, n_buckets=4)
+    _append(spark, rows[:30], path, 4, epoch=0)
+    refresh_derived(spark, path)
+
+    batch = [(rows[5][0], "zzreplacement alpha"),
+             (rows[12][0], "zzreplacement beta"),
+             ("brandnew-doc", "zzreplacement gamma")]
+    bdf = spark.createDataFrame(batch, "docno string, content string")
+    assert upsert_documents(spark, bdf, path, epoch_id=1, n_buckets=4) == 3
+    assert upsert_documents(spark, bdf, path, epoch_id=1, n_buckets=4) == 0
+    refresh_derived(spark, path)
+
+    idx = read_index(spark, path)
+    for docno, _ in batch:
+        hits = idx.docids.filter(F.col("docno") == docno).collect()
+        assert len(hits) == 1 and hits[0].docid >= 30  # the NEW docid
+    assert idx.docids.count() == 31  # 30 - 2 replaced + 3 upserted
+    seen = _docnos(search_lines(idx, spark, ["zzreplacement"], k=10))
+    assert seen == {d for d, _ in batch}
+    _dict_matches_raw(spark, path)
+
+    assert compact_segments(spark, path, full=True) == 2
+    raw = spark.read.parquet(f"{path}/docids")
+    assert raw.count() == 31  # replaced docids physically purged
+    assert spark.read.parquet(f"{path}/stats").first().n_docs == 31
+    _dict_matches_raw(spark, path)
+
+
 def test_merge_with_tombstoned_shard_purges(spark, tmp_path):
     """merge_indexes doubles as the purge for tombstoned shards: the
     masked shard reads feed the merge, and dictionary/stats are

@@ -137,6 +137,23 @@ def main() -> None:
     out["ivf_probe_s"] = round(time.perf_counter() - t0, 2)
     ivf_set = {(r.qvec_id, r.vec_id) for r in ivf}
     out["ivf_recall_at_10"] = round(len(ivf_set & exact_set) / len(exact_set), 3)
+
+    # SQ8 two-phase probe: int8 codes phase-1 (embedding column pruned
+    # from the scan) + full-precision rerank of the top-C survivors
+    sq8_path = "/tmp/jassjr_ann_ivf_sq8"
+    shutil.rmtree(sq8_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_ivf_store(vecs, sq8_path, n_clusters=64, seed=42, quantize=True)
+    out["sq8_store_write_s"] = round(time.perf_counter() - t0, 2)
+    for rerank in (50, 200):
+        t0 = time.perf_counter()
+        got = ivf_topk_persisted(spark, sq8_path, queries_local, k=10,
+                                 nprobe=8, rerank=rerank).collect()
+        out[f"sq8_rerank{rerank}_probe_s"] = round(
+            time.perf_counter() - t0, 2)
+        got_set = {(r.qvec_id, r.vec_id) for r in got}
+        out[f"sq8_rerank{rerank}_recall_at_10"] = round(
+            len(got_set & exact_set) / len(exact_set), 3)
     print(json.dumps(out))
 
 

@@ -26,7 +26,9 @@ query vector's driver-computed bucket equals the bucket the engine would
 assign it.
 """
 
-from __future__ import annotations
+# NO `from __future__ import annotations` here: the SQ8 pandas_udfs rely
+# on their pd.Series type hints being REAL objects (stringified hints are
+# an unsupported signature for pandas_udf)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,16 +65,22 @@ def write_vec_meta(spark: SparkSession, path: str, **kv) -> None:
         "seed": int(kv.get("seed", 0)),
         "dim": int(kv.get("dim", 0)),
         "n_clusters": int(kv.get("n_clusters", 0)),
+        "sq8": int(kv.get("sq8", 0)),
     }
     spark.createDataFrame(
         [tuple(row.values())],
-        "method string, n_planes int, seed int, dim int, n_clusters int",
+        "method string, n_planes int, seed int, dim int, n_clusters int, "
+        "sq8 int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_vec_meta")
 
 
 def read_vec_meta(spark: SparkSession, path: str) -> dict:
-    r = spark.read.parquet(f"{path}/_vec_meta").first()
-    return {k: r[k] for k in ("method", "n_planes", "seed", "dim", "n_clusters")}
+    df = spark.read.parquet(f"{path}/_vec_meta")
+    r = df.first()
+    out = {k: r[k] for k in ("method", "n_planes", "seed", "dim", "n_clusters")}
+    # stores written before scalar quantization existed have no sq8 column
+    out["sq8"] = int(r["sq8"]) if "sq8" in df.columns else 0
+    return out
 
 
 # ------------------------------------------------------------------- LSH
@@ -173,13 +181,79 @@ def lsh_topk_persisted(
 # ------------------------------------------------------------------- IVF
 
 
+def _sq8_encode_col():
+    """embedding array<float> + scale float -> int8 codes as binary.
+    Arrow-batched; rint-to-nearest, clipped to [-127, 127]."""
+    import pandas as pd
+
+    @F.pandas_udf("binary")
+    def encode(emb: pd.Series, scale: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for v, s in zip(emb, scale):
+            a = np.asarray(v, dtype=np.float64)
+            s = float(s) if s and s > 0 else 1.0
+            out.append(
+                np.clip(np.rint(a / s), -127, 127).astype(np.int8).tobytes()
+            )
+        return pd.Series(out)
+
+    return encode
+
+
+def _sq8_cosine_col():
+    """Approximate cosine directly on the int8 codes: cosine is
+    scale-invariant (cos(q, s*c) == cos(q, c)), so the per-vector scale
+    never enters phase-1 scoring — the codes ARE the geometry."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def approx_cos(code: pd.Series, qvec: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(code) == 0:
+            return pd.Series([], dtype="float64")
+        C = np.stack([
+            np.frombuffer(b, dtype=np.int8).astype(np.float64) for b in code
+        ])
+        Q = np.stack([np.asarray(q, dtype=np.float64) for q in qvec])
+        num = np.einsum("ij,ij->i", C, Q)
+        den = np.linalg.norm(C, axis=1) * np.linalg.norm(Q, axis=1) + 1e-12
+        return pd.Series(num / den)
+
+    return approx_cos
+
+
 def write_ivf_store(
     vectors: DataFrame, path: str, n_clusters: int = 16, seed: int = 42,
+    quantize: bool = False,
 ) -> None:
-    """KMeans-fit ONCE, persist cluster-partitioned vectors + centroids."""
+    """KMeans-fit ONCE, persist cluster-partitioned vectors + centroids.
+
+    ``quantize=True`` additionally stores int8 scalar-quantized codes
+    (``code`` binary + per-vector ``scale``) alongside the full-precision
+    embeddings, rows sorted by vec_id within each cluster. The probe's
+    phase-1 scan then reads ~1/4 the bytes (column pruning keeps the
+    float embedding column on disk) and the phase-2 rerank fetches full
+    precision for only the top-C candidates via vec_id pushdown into the
+    row-group stats the sort created — see ivf_topk_persisted(rerank=)."""
     assigned, centroids = ivf_index(vectors, n_clusters=n_clusters, seed=seed)
+    if quantize:
+        assigned = assigned.withColumn(
+            "scale",
+            (
+                F.array_max(
+                    F.transform(F.col("embedding"),
+                                lambda x: F.abs(x.cast("double")))
+                ) / F.lit(127.0)
+            ).cast("float"),
+        ).withColumn(
+            "code", _sq8_encode_col()(F.col("embedding"), F.col("scale"))
+        )
     (
         assigned.repartition("cluster")
+        .sortWithinPartitions("vec_id")
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(f"{path}/vectors")
@@ -189,15 +263,28 @@ def write_ivf_store(
         [(i, c) for i, c in enumerate(centroids)],
         "cluster int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    write_vec_meta(spark, path, method="ivf", n_clusters=n_clusters, seed=seed)
+    write_vec_meta(spark, path, method="ivf", n_clusters=n_clusters,
+                   seed=seed, sq8=int(quantize))
 
 
 def ivf_topk_persisted(
     spark: SparkSession, path: str, queries_local: list,
-    k: int = 5, nprobe: int = 4,
+    k: int = 5, nprobe: int = 4, rerank: int = 0,
+    plans_out: list | None = None,
 ) -> DataFrame:
     """Top-k probing the nprobe nearest inverted lists of the persisted
-    store; only those cluster directories are read."""
+    store; only those cluster directories are read.
+
+    ``rerank=C`` (requires a quantize=True store) switches to the
+    two-phase SQ8 plan: phase 1 scans ONLY (vec_id, code) of the probed
+    clusters — the float embedding column never leaves disk (column
+    pruning; ~4x fewer bytes at 64-dim float32) — and ranks by int8
+    cosine; phase 2 re-reads full precision for just the top-C candidates
+    per query (vec_id IN pushdown against the row-group stats the
+    write-time sort created) and scores them exactly, so the k returned
+    cosines are full-precision. Recall is bounded by whether the true
+    top-k survive phase 1's top-C — C >= ~10k is the standard SQ8 margin
+    (measured in tests/BENCH)."""
     import numpy as np
 
     cents_rows = sorted(
@@ -217,6 +304,51 @@ def ivf_topk_persisted(
         rows, "qvec_id long, qvec array<float>, cluster int"
     )
     clusters = sorted({r[2] for r in rows})
+    if rerank:
+        if not read_vec_meta(spark, path)["sq8"]:
+            raise ValueError(
+                f"ivf store at {path!r} has no int8 codes; rewrite with "
+                "write_ivf_store(..., quantize=True) or probe with rerank=0"
+            )
+        from pyspark.sql import Window
+
+        codes = (
+            spark.read.parquet(f"{path}/vectors")
+            .filter(F.col("cluster").isin(clusters))
+            .select("cluster", "vec_id", "code")
+        )
+        approx = (
+            codes.join(F.broadcast(probes), "cluster")
+            .filter(F.col("vec_id") != F.col("qvec_id"))
+            .withColumn("acos",
+                        _sq8_cosine_col()(F.col("code"), F.col("qvec")))
+        )
+        w = Window.partitionBy("qvec_id").orderBy(
+            F.col("acos").desc(), F.col("vec_id").asc()
+        )
+        phase1 = (
+            approx.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= rerank)
+            .select("qvec_id", "vec_id")
+        )
+        if plans_out is not None:  # test hook: gate phase-1's scan shape
+            plans_out.append(phase1)
+        cand_rows = [(r.qvec_id, r.vec_id) for r in phase1.collect()]
+        ids = sorted({v for _, v in cand_rows})
+        qmap = {int(q): [float(x) for x in v] for q, v in queries_local}
+        cdf = spark.createDataFrame(
+            [(q, qmap[int(q)], v) for q, v in cand_rows],
+            "qvec_id long, qvec array<float>, vec_id long",
+        )
+        full = (
+            spark.read.parquet(f"{path}/vectors")
+            .filter(F.col("cluster").isin(clusters)
+                    & F.col("vec_id").isin(ids))
+            .select("vec_id", "embedding")
+        )
+        scored = with_cosine(full.join(F.broadcast(cdf), "vec_id"))
+        scored = scored.withColumn("cosine", F.round("cosine", 6))
+        return rank_topk(scored, k)
     store = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cluster").isin(clusters)
     )

@@ -142,6 +142,52 @@ def test_ivf_store_recall_and_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "cluster" in plan
 
 
+def test_ivf_sq8_rerank_matches_exact_and_prunes_columns(spark, tmp_path):
+    """SQ8 two-phase probe: with a generous rerank margin the result set
+    equals full-precision brute force EXACTLY (phase 2 rescores the
+    survivors at full precision, and cosine is scale-invariant so the
+    int8 phase ranks on real geometry). Plan gates: the phase-1 codes
+    scan must NOT read the float embedding column, and the phase-2 full
+    scan must push the candidate vec_id set into the parquet scan."""
+    import pytest
+
+    rows, vecs = _vectors(spark, n=150, dim=16)
+    path = str(tmp_path / "ivf_sq8")
+    write_ivf_store(vecs, path, n_clusters=6, seed=42, quantize=True)
+    assert read_vec_meta(spark, path)["sq8"] == 1
+    queries_local = rows[:3]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries_local], "qvec_id long, qvec array<float>"
+    )
+    exact = {(r.qvec_id, r.rank): (r.vec_id, r.cosine)
+             for r in cosine_topk(vecs, qdf, k=5).collect()}
+    plans = []
+    got_df = ivf_topk_persisted(spark, path, queries_local, k=5,
+                                nprobe=6, rerank=60, plans_out=plans)
+    got = {(r.qvec_id, r.rank): (r.vec_id, r.cosine)
+           for r in got_df.collect()}
+    assert got == exact
+
+    # phase 1 never materializes the float column: column pruning holds
+    p1 = plans[0]._jdf.queryExecution().executedPlan().toString()
+    p1_scans = [ln for ln in p1.splitlines() if "FileScan parquet" in ln]
+    assert p1_scans and all("ReadSchema" in ln and
+                            "embedding" not in ln.split("ReadSchema", 1)[1]
+                            for ln in p1_scans)
+    # phase 2 pushes the candidate vec_id set into the full-precision scan
+    p2 = got_df._jdf.queryExecution().executedPlan().toString()
+    p2_scans = [ln for ln in p2.splitlines() if "FileScan parquet" in ln]
+    assert any("embedding" in ln and "vec_id" in
+               ln.split("PushedFilters", 1)[-1] for ln in p2_scans)
+
+    # a rerank probe against an unquantized store must refuse, not
+    # silently return approximate scores
+    path2 = str(tmp_path / "ivf_plain")
+    write_ivf_store(vecs, path2, n_clusters=6, seed=42)
+    with pytest.raises(ValueError, match="quantize"):
+        ivf_topk_persisted(spark, path2, queries_local, k=5, rerank=10)
+
+
 def test_persisted_lsh_driver_entry_memoizes_store(spark):
     """The driver entry measures PROBING a store written once: a repeat
     invocation in the same application must perform no store write

@@ -47,6 +47,14 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("n", T.IntegerType(), False),
         T.StructField("first_docid", T.LongType(), False),
         T.StructField("max_impact", T.DoubleType(), False),
+        # avgdl-free bound ingredients: contrib is monotone increasing in
+        # tf and decreasing in dl, so idf * contrib(max_tf, min_dl) upper-
+        # bounds every posting in the block under ANY avgdl — what makes
+        # blocks safe on an incrementally growing index whose avgdl has
+        # drifted since the block was written (operators/wand.py picks
+        # these over the baked max_impact when present)
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("min_dl", T.IntegerType(), False),
         T.StructField("payload", T.BinaryType(), False),
     ]
 )
@@ -141,6 +149,8 @@ def build_blocks(
                 F.collect_list(F.struct("docid", "tf", "dl"))
             ).alias("pl"),
             F.max("impact").alias("max_impact"),
+            F.max("tf").cast("int").alias("max_tf"),
+            F.min("dl").cast("int").alias("min_dl"),
         )
         .select(
             "term",
@@ -149,15 +159,18 @@ def build_blocks(
             F.col("pl.tf").alias("pl_tfs"),
             F.col("pl.dl").alias("pl_dls"),
             "max_impact",
+            "max_tf",
+            "min_dl",
         )
     )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for term, block_id, ds, ts, ls, mx in zip(
+            for term, block_id, ds, ts, ls, mx, mtf, mdl in zip(
                 pdf["term"], pdf["block_id"], pdf["pl_docids"],
-                pdf["pl_tfs"], pdf["pl_dls"], pdf["max_impact"]
+                pdf["pl_tfs"], pdf["pl_dls"], pdf["max_impact"],
+                pdf["max_tf"], pdf["min_dl"]
             ):
                 docids = np.asarray(ds, dtype=np.int64)
                 tfs = np.asarray(ts, dtype=np.int64)
@@ -165,12 +178,13 @@ def build_blocks(
                 base = int(block_id) * block_span
                 rows.append(
                     (term, int(block_id), len(docids), int(docids[0]),
-                     float(mx), encode_block(docids, tfs, dls, base))
+                     float(mx), int(mtf), int(mdl),
+                     encode_block(docids, tfs, dls, base))
                 )
             yield pd.DataFrame(
                 rows,
                 columns=["term", "block_id", "n", "first_docid",
-                         "max_impact", "payload"],
+                         "max_impact", "max_tf", "min_dl", "payload"],
             )
 
     return grouped.mapInPandas(pack, schema=BLOCK_SCHEMA)

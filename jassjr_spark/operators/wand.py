@@ -88,22 +88,42 @@ PUSHDOWN_MAX_BLOCK_IDS = 10_000
 
 
 def _block_upper_bounds(
-    q_idf: DataFrame, blocks_meta: DataFrame
+    q_idf: DataFrame, blocks_meta: DataFrame, avgdl: float | None = None,
 ) -> DataFrame:
     """-> (query_id, block_id, ub, cand_docs).
 
     cand_docs = max_t n(t, block): a lower bound on the distinct docids in
     the block, used to guarantee the seed set covers >= k docs.
-    """
+
+    When the blocks carry (max_tf, min_dl) — every store written since
+    the columns were added — and ``avgdl`` is given, the bound is
+    recomputed at QUERY time as idf * contrib(max_tf, min_dl, avgdl_now):
+    contrib is monotone increasing in tf and decreasing in dl, so this
+    bounds every posting in the block under the CURRENT avgdl. The baked
+    max_impact froze the avgdl of its build — on an incrementally grown
+    index whose avgdl has since risen, real contributions can exceed it
+    (rank-UNSAFE pruning); the recomputed bound cannot be exceeded.
+    Legacy stores without the columns keep the baked value (their avgdl
+    cannot have drifted: batch stores are written with their stats)."""
+    from jassjr_spark.constants import B, K1
+
     weights = q_idf.groupBy("query_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("w"),
         F.first("idf").alias("idf"),
     )
+    if avgdl is not None and "max_tf" in blocks_meta.columns:
+        mtf = F.col("max_tf").cast("double")
+        impact = (mtf * (K1 + 1.0)) / (
+            mtf + K1 * (1.0 - B + B * (F.col("min_dl").cast("double")
+                                       / F.lit(float(avgdl))))
+        )
+    else:
+        impact = F.col("max_impact")
     return (
         blocks_meta.join(F.broadcast(weights), "term")
         .groupBy("query_id", "block_id")
         .agg(
-            F.sum(F.col("w") * F.col("idf") * F.col("max_impact")).alias("ub"),
+            F.sum(F.col("w") * F.col("idf") * impact).alias("ub"),
             F.max("n").cast("long").alias("cand_docs"),
         )
     )
@@ -166,8 +186,11 @@ def wand_search(
 
     # --- phase A: UB per (query, block) from metadata columns only (the
     # payload column is never materialized here — column pruning)
-    meta = blocks_q.select("term", "block_id", "n", "max_impact")
-    ub = _block_upper_bounds(q_idf, meta).cache()
+    meta_cols = ["term", "block_id", "n", "max_impact"]
+    if "max_tf" in blocks_q.columns:  # avgdl-robust bound ingredients
+        meta_cols += ["max_tf", "min_dl"]
+    meta = blocks_q.select(*meta_cols)
+    ub = _block_upper_bounds(q_idf, meta, avgdl=s["avgdl"]).cache()
 
     # Prunability probe BEFORE paying for seed scoring: θ can never exceed
     # a query's max block UB, so only blocks with UB well under that max

@@ -227,7 +227,7 @@ def _refresh_reader_caches(spark: SparkSession, path: str) -> None:
     substitutes any matching cached plan into later queries, so a reader
     that cached read_index() earlier in the session would silently keep
     serving the pre-mutation snapshot (stale stats => wrong scores)."""
-    for t in _SEGMENT_TABLES + ("dictionary", "stats"):
+    for t in _SEGMENT_TABLES + ("dictionary", "stats", "blocks"):
         try:
             spark.catalog.refreshByPath(f"{path}/{t}")
         except Exception:
@@ -303,6 +303,77 @@ def refresh_derived(spark: SparkSession, path: str,
     )
     stats.write.mode("overwrite").parquet(f"{path}/stats")
     _refresh_reader_caches(spark, path)
+
+
+def refresh_blocks(
+    spark: SparkSession, path: str, block_span: int | None = None,
+) -> int:
+    """Bring the compressed WAND ``blocks`` table up to date with the
+    epoch-segmented postings: build blocks for every postings epoch that
+    has none (one pass over the NEW postings only — never the index), and
+    drop orphaned blocks epochs a compaction superseded. Returns how many
+    epoch block segments were built.
+
+    This makes block-max WAND serve the LIVE streaming index: blocks are
+    per-epoch directories (``blocks/epoch=N/bucket=M``), so the maintained
+    cost tracks the append rate. Docid-range block ids stay globally
+    aligned across epochs (docids are globally increasing), and a block id
+    that spans an epoch boundary simply yields one partial row per epoch —
+    every WAND phase operates per row with per-row bounds, so partial
+    rows only loosen pruning, never correctness. Rank safety under avgdl
+    drift comes from the (max_tf, min_dl) metadata build_blocks records:
+    wand recomputes the bound under the CURRENT avgdl at query time, so a
+    block written when the corpus was younger can never under-bound a
+    posting (operators/wand.py:_block_upper_bounds).
+
+    Call after refresh_derived (needs current stats; raises without them),
+    in the same between-triggers maintenance slot as compaction. Pending
+    delete tombstones still gate the WAND load (blocks bake docids);
+    compact first, then refresh_blocks rebuilds the merged run's blocks.
+    """
+    from jassjr_spark.functions.compression import (
+        DEFAULT_BLOCK_SPAN,
+        build_blocks,
+    )
+
+    meta = read_meta(spark, path)
+    n_buckets = meta["n_buckets"] or DEFAULT_BUCKETS
+    if block_span is None:
+        block_span = meta["block_span"] or DEFAULT_BLOCK_SPAN
+    if not _exists(spark, f"{path}/stats"):
+        raise ValueError(
+            f"index at {path!r} has no stats table; run refresh_derived "
+            "before refresh_blocks (block impacts need avgdl)"
+        )
+    avgdl = float(spark.read.parquet(f"{path}/stats").first().avgdl)
+    post_epochs = set(_epoch_dirs(spark, f"{path}/postings"))
+    blk_epochs = set(_epoch_dirs(spark, f"{path}/blocks"))
+    for e in sorted(blk_epochs - post_epochs):  # superseded by compaction
+        _rm_dir(spark, f"{path}/blocks/epoch={e}")
+    built = 0
+    for e in sorted(post_epochs - blk_epochs):
+        seg = spark.read.parquet(f"{path}/postings/epoch={e}")
+        blocks = build_blocks(
+            seg.select("term", "docid", "tf", "dl"), avgdl, block_span
+        )
+        (
+            blocks.withColumn(
+                "bucket", term_bucket_col(F.col("term"), n_buckets)
+            )
+            .repartition(n_buckets, "bucket")
+            .sortWithinPartitions("term", "block_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/blocks/epoch={e}")
+        )
+        built += 1
+    if built or (blk_epochs - post_epochs):
+        write_meta(spark, path, n_buckets, block_span=block_span)
+        try:
+            spark.catalog.refreshByPath(f"{path}/blocks")
+        except Exception:
+            pass
+    return built
 
 
 def _exists(spark: SparkSession, p: str) -> bool:
@@ -595,6 +666,13 @@ def compact_segments(
                 "overwrite"
             ).parquet(tmp)
         _swap_in_segment(spark, tpath, tmp, lo, hi)
+
+    # blocks epochs covering the merged run are superseded (and, after a
+    # purge, would resurrect deleted docs through the WAND path): drop
+    # them — refresh_blocks rebuilds ONE segment from the merged postings
+    for e in _epoch_dirs(spark, f"{path}/blocks"):
+        if lo <= e <= hi:
+            _rm_dir(spark, f"{path}/blocks/epoch={e}")
 
     if tombs is not None:
         _apply_purge_and_gc(spark, path, purged=purge is not None)

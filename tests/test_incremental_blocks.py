@@ -1,0 +1,80 @@
+"""Block-max WAND over the LIVE incremental index: per-epoch blocks
+segments (refresh_blocks), avgdl-drift rank safety via the
+(max_tf, min_dl) query-time bound, and compaction invalidation."""
+
+import random
+
+from jassjr_spark.fixtures import docno_of, synth_docs, synth_queries
+from jassjr_spark.operators.search import parse_queries, search, to_trec_lines
+from jassjr_spark.operators.wand import wand_search
+from jassjr_spark.plans.build_job import load_persisted
+from jassjr_spark.sources.index_store import write_meta
+from jassjr_spark.streaming.incremental import (
+    _epoch_dirs,
+    append_documents,
+    compact_segments,
+    refresh_blocks,
+    refresh_derived,
+)
+
+SPAN = 64  # epochs of 50 docs => block ids span epoch boundaries
+
+
+def _rows(n):
+    raw = synth_docs(n)
+    return [(docno_of(r, p, c), t) for r, p, c, _, t in raw]
+
+
+def _append(spark, rows, path, epoch):
+    batch = spark.createDataFrame(rows, "docno string, content string")
+    append_documents(spark, batch, path, n_buckets=4, epoch_id=epoch)
+
+
+def _wand_equals_naive(spark, path, k=20):
+    idx, blocks = load_persisted(spark, path)
+    s = idx.scalar_stats()
+    q = parse_queries(spark, synth_queries(8))
+    naive = to_trec_lines(search(idx, q, k=k, stats=s))
+    wand = to_trec_lines(
+        wand_search(idx, blocks, q, k=k, stats=s, block_span=SPAN,
+                    fallback_keep_frac=1.0)  # force the blocks I/O path
+    )
+    assert wand == naive
+    return naive
+
+
+def test_wand_over_live_incremental_index(spark, tmp_path):
+    rows = _rows(150)
+    path = str(tmp_path / "inc_blocks")
+    write_meta(spark, path, n_buckets=4)
+    for e in range(3):
+        _append(spark, rows[e * 50:(e + 1) * 50], path, epoch=e)
+    refresh_derived(spark, path)
+    assert refresh_blocks(spark, path, block_span=SPAN) == 3
+    assert refresh_blocks(spark, path) == 0  # idempotent; span from _meta
+    _wand_equals_naive(spark, path)
+
+    # avgdl drift: a fourth epoch of much longer docs raises avgdl, so
+    # the three existing block segments' baked max_impact UNDER-bounds
+    # current contributions — the recomputed (max_tf, min_dl) bound keeps
+    # WAND == naive byte-identical anyway
+    rng = random.Random(9)
+    vocab = [t for _, c in rows[:5] for t in c.split()][:40] or ["filler"]
+    long_docs = [
+        (f"zlong-{i:04d}", " ".join(rng.choice(vocab) for _ in range(400)))
+        for i in range(30)
+    ]
+    _append(spark, long_docs, path, epoch=3)
+    refresh_derived(spark, path)
+    assert refresh_blocks(spark, path) == 1  # only the new epoch is built
+    _wand_equals_naive(spark, path)
+
+    # compaction supersedes the merged run's blocks segments; refresh
+    # rebuilds exactly one from the merged postings and WAND still agrees
+    assert compact_segments(spark, path, full=True) == 4
+    assert _epoch_dirs(spark, f"{path}/blocks") == []
+    assert refresh_blocks(spark, path) == 1
+    assert _epoch_dirs(spark, f"{path}/blocks") == _epoch_dirs(
+        spark, f"{path}/postings"
+    )
+    _wand_equals_naive(spark, path)

@@ -410,6 +410,8 @@ def start_indexing_stream(
     compact_every: int = 0,
     size_ratio: float = 4.0,
     max_segments: int = 8,
+    maintain_blocks: bool = False,
+    block_span: int | None = None,
 ):
     """Attach the incremental indexer to a streaming documents source
     (columns docno, content). Returns the StreamingQuery.
@@ -423,6 +425,13 @@ def start_indexing_stream(
     ``size_ratio``/``max_segments`` tune the tiered policy
     (pick_compaction_run): per-compaction I/O is bounded by the merged
     run's size, live segments by ``max_segments``.
+
+    ``maintain_blocks=True`` keeps the compressed WAND blocks current:
+    after every applied epoch (and after each compaction, which drops
+    the merged run's block segments) refresh_blocks builds the missing
+    per-epoch block segments — one pass over that epoch's postings, so
+    maintenance cost tracks the append rate. Implies a refresh_derived
+    per epoch (block impacts need current stats), which is delta-sized.
     """
     write_meta(spark, path, n_buckets)
 
@@ -432,11 +441,17 @@ def start_indexing_stream(
             prepend_docno=prepend_docno, n_buckets=n_buckets,
             epoch_id=epoch_id,
         )
+        compacted = False
         if compact_every and n and epoch_id % compact_every == 0:
             refresh_derived(spark, path)
             compact_segments(spark, path, n_buckets=n_buckets,
                              size_ratio=size_ratio,
                              max_segments=max_segments)
+            compacted = True
+        if maintain_blocks and n:
+            if not compacted:
+                refresh_derived(spark, path)
+            refresh_blocks(spark, path, block_span=block_span)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint

@@ -43,6 +43,39 @@ def _wand_equals_naive(spark, path, k=20):
     return naive
 
 
+def test_stream_maintains_blocks(spark, tmp_path):
+    """start_indexing_stream(maintain_blocks=True) keeps per-epoch WAND
+    blocks current without any manual maintenance call: after the stream
+    drains, every postings epoch has a blocks segment and forced-blocks
+    WAND equals naive byte-for-byte."""
+    from jassjr_spark.streaming.incremental import start_indexing_stream
+
+    rows = _rows(90)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, chunk in enumerate((rows[:30], rows[30:60], rows[60:])):
+        spark.createDataFrame(
+            chunk, "docno string, content string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("docno string, content string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    path = str(tmp_path / "stream_blk")
+    q = start_indexing_stream(
+        spark, stream, path, checkpoint=str(tmp_path / "ckpt"),
+        n_buckets=4, maintain_blocks=True, block_span=SPAN,
+    )
+    q.awaitTermination(180)
+
+    assert _epoch_dirs(spark, f"{path}/blocks") == _epoch_dirs(
+        spark, f"{path}/postings"
+    ) != []
+    _wand_equals_naive(spark, path)
+
+
 def test_wand_over_live_incremental_index(spark, tmp_path):
     rows = _rows(150)
     path = str(tmp_path / "inc_blocks")

@@ -988,6 +988,40 @@ def q_sim_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
                               nprobe=n_clusters)
 
 
+def q_sim_sq8_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8-quantized two-phase probe (int8 codes phase 1 with the
+    float column pruned from the scan, full-precision rerank of the
+    top-C): probed exhaustively with a generous margin it returns exactly
+    the brute-force top-5, so it shares that oracle — verifying the
+    quantizer, the code-ranking kernel, and the vec_id-pushdown rerank
+    end-to-end. The byte-savings plan gates live in
+    tests/test_vector_store.py; 600k recall/time in BENCH/ann_600k_sq8."""
+    import hashlib as _h
+    import tempfile
+
+    from jassjr_spark.sources.vector_store import (
+        ivf_topk_persisted,
+        write_ivf_store,
+    )
+
+    n_clusters = 8
+    emb = load_embeddings(spark, sf_dir)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/jassjr_sq8_store_{tag}"
+    skey = (spark.sparkContext.applicationId, sf_dir, "sq8_store")
+    if _INDEX_MEMO.get(skey) != path:
+        write_ivf_store(emb.select("vec_id", "embedding"), path,
+                        n_clusters=n_clusters, seed=42, quantize=True)
+        _INDEX_MEMO[skey] = path
+    queries_local = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding").collect()
+    ]
+    return ivf_topk_persisted(spark, path, queries_local, k=5,
+                              nprobe=n_clusters, rerank=100)
+
+
 def q_del_masked_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delete-tombstone masking end-to-end through the persisted store:
     persist the corpus index once (memoized like the ANN stores),
@@ -1243,6 +1277,7 @@ def catalog() -> dict[str, tuple]:
         "sim_lsh_top5": (q_sim_lsh_top5, _sql_sim_lsh()),
         "sim_lsh_persisted_top5": (q_sim_lsh_persisted_top5, _sql_sim_lsh()),
         "sim_ivf_top5": (q_sim_ivf_top5, SQL_SIM_COSINE_TOP5),
+        "sim_sq8_top5": (q_sim_sq8_top5, SQL_SIM_COSINE_TOP5),
         "sim_neardup_pairs": (q_sim_neardup_pairs, _sql_sim_neardup()),
         "ev_windowed_counts": (q_ev_windowed_counts, SQL_EV_WINDOWED_COUNTS),
         "ev_user_sessions": (q_ev_user_sessions, SQL_EV_USER_SESSIONS),

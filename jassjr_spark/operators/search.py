@@ -246,6 +246,12 @@ class InteractiveSearcher:
 
     Scores are produced by the identical kernel + ordered fold, so output
     lines are byte-identical to ``search_lines`` (asserted in tests).
+
+    Snapshot semantics: the driver-side dictionary/docno snapshots and the
+    LRU postings cache are bound at construction — external index
+    mutations (streaming appends, delete_documents tombstones,
+    compaction) are NOT reflected until a new searcher is built over a
+    fresh ``read_index``. Same contract as the reference's load-once REPL.
     """
 
     def __init__(self, index: Index, stats: dict | None = None,

@@ -47,14 +47,17 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("n", T.IntegerType(), False),
         T.StructField("first_docid", T.LongType(), False),
         T.StructField("max_impact", T.DoubleType(), False),
-        # avgdl-free bound ingredients: contrib is monotone increasing in
-        # tf and decreasing in dl, so idf * contrib(max_tf, min_dl) upper-
-        # bounds every posting in the block under ANY avgdl — what makes
-        # blocks safe on an incrementally growing index whose avgdl has
-        # drifted since the block was written (operators/wand.py picks
-        # these over the baked max_impact when present)
+        # avgdl-drift-safe bound ingredients: contrib is monotone
+        # increasing in tf and decreasing in dl, so idf * contrib(max_tf,
+        # min_dl) upper-bounds every posting under ANY avgdl; avgdl0
+        # records the avgdl the baked max_impact froze, letting the query
+        # rescale it safely (contrib growth under avgdl a1 > a0 is capped
+        # by a1/a0) and take the TIGHTER of the two bounds — exactly the
+        # baked bound on an undrifted batch store, still rank-safe on an
+        # incrementally grown one (operators/wand.py:_block_upper_bounds)
         T.StructField("max_tf", T.IntegerType(), False),
         T.StructField("min_dl", T.IntegerType(), False),
+        T.StructField("avgdl0", T.DoubleType(), False),
         T.StructField("payload", T.BinaryType(), False),
     ]
 )
@@ -178,13 +181,14 @@ def build_blocks(
                 base = int(block_id) * block_span
                 rows.append(
                     (term, int(block_id), len(docids), int(docids[0]),
-                     float(mx), int(mtf), int(mdl),
+                     float(mx), int(mtf), int(mdl), float(avgdl),
                      encode_block(docids, tfs, dls, base))
                 )
             yield pd.DataFrame(
                 rows,
                 columns=["term", "block_id", "n", "first_docid",
-                         "max_impact", "max_tf", "min_dl", "payload"],
+                         "max_impact", "max_tf", "min_dl", "avgdl0",
+                         "payload"],
             )
 
     return grouped.mapInPandas(pack, schema=BLOCK_SCHEMA)

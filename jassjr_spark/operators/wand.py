@@ -95,16 +95,25 @@ def _block_upper_bounds(
     cand_docs = max_t n(t, block): a lower bound on the distinct docids in
     the block, used to guarantee the seed set covers >= k docs.
 
-    When the blocks carry (max_tf, min_dl) — every store written since
-    the columns were added — and ``avgdl`` is given, the bound is
-    recomputed at QUERY time as idf * contrib(max_tf, min_dl, avgdl_now):
-    contrib is monotone increasing in tf and decreasing in dl, so this
-    bounds every posting in the block under the CURRENT avgdl. The baked
-    max_impact froze the avgdl of its build — on an incrementally grown
-    index whose avgdl has since risen, real contributions can exceed it
-    (rank-UNSAFE pruning); the recomputed bound cannot be exceeded.
-    Legacy stores without the columns keep the baked value (their avgdl
-    cannot have drifted: batch stores are written with their stats)."""
+    When the blocks carry (max_tf, min_dl, avgdl0) — every store written
+    since the columns were added — and ``avgdl`` is given, the per-block
+    impact bound is the TIGHTER of two avgdl-drift-safe bounds under the
+    CURRENT avgdl:
+
+    * recomputed: contrib(max_tf, min_dl, avgdl_now) — contrib is
+      monotone increasing in tf and decreasing in dl, so this bounds
+      every posting under any avgdl (but is loose when max_tf and min_dl
+      come from different postings);
+    * rescaled baked: max_impact * max(1, avgdl_now/avgdl0) — the baked
+      bound froze its build-time avgdl0, which a grown corpus can push
+      past (rank-UNSAFE raw), but contribution growth under
+      avgdl_now > avgdl0 is capped by the avgdl ratio, so the scaled
+      value is safe — and on an undrifted batch store the factor is 1,
+      i.e. exactly the original tight bound (no pruning regression).
+
+    Legacy stores without the columns keep the raw baked value (their
+    avgdl cannot have drifted: batch stores are written with their
+    stats)."""
     from jassjr_spark.constants import B, K1
 
     weights = q_idf.groupBy("query_id", "term").agg(
@@ -113,10 +122,17 @@ def _block_upper_bounds(
     )
     if avgdl is not None and "max_tf" in blocks_meta.columns:
         mtf = F.col("max_tf").cast("double")
-        impact = (mtf * (K1 + 1.0)) / (
+        recomputed = (mtf * (K1 + 1.0)) / (
             mtf + K1 * (1.0 - B + B * (F.col("min_dl").cast("double")
                                        / F.lit(float(avgdl))))
         )
+        if "avgdl0" in blocks_meta.columns:
+            scaled = F.col("max_impact") * F.greatest(
+                F.lit(1.0), F.lit(float(avgdl)) / F.col("avgdl0")
+            )
+            impact = F.least(recomputed, scaled)
+        else:
+            impact = recomputed
     else:
         impact = F.col("max_impact")
     return (
@@ -187,8 +203,10 @@ def wand_search(
     # --- phase A: UB per (query, block) from metadata columns only (the
     # payload column is never materialized here — column pruning)
     meta_cols = ["term", "block_id", "n", "max_impact"]
-    if "max_tf" in blocks_q.columns:  # avgdl-robust bound ingredients
+    if "max_tf" in blocks_q.columns:  # avgdl-drift-safe bound ingredients
         meta_cols += ["max_tf", "min_dl"]
+        if "avgdl0" in blocks_q.columns:
+            meta_cols.append("avgdl0")
     meta = blocks_q.select(*meta_cols)
     ub = _block_upper_bounds(q_idf, meta, avgdl=s["avgdl"]).cache()
 

@@ -294,6 +294,33 @@ def test_merge_with_tombstoned_shard_purges(spark, tmp_path):
     assert merged.scalar_stats() == ref.scalar_stats()
 
 
+def test_search_stream_respects_deletes(spark, tmp_path):
+    """A streaming query evaluator bound to a masked read_index never
+    emits tombstoned docs — deletion reaches every consumer of the Index
+    handle, including the continuous-search path."""
+    from jassjr_spark.streaming.search_stream import start_search_stream
+
+    rows = _rows(40)
+    path = str(tmp_path / "sidx")
+    write_index(build_index(_batch_df(spark, rows)), path, n_buckets=4)
+    victims = [rows[1][0], rows[9][0]]
+    delete_documents(spark, path, victims)
+    idx = read_index(spark, path).cache()
+
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    (src / "queries.txt").write_text("\n".join(synth_queries(6)) + "\n")
+    stream = spark.readStream.schema("line string").text(str(src))
+    out = str(tmp_path / "runs")
+    q = start_search_stream(
+        spark, stream.withColumnRenamed("value", "line"), idx, out,
+        checkpoint=str(tmp_path / "sckpt"), k=40,
+    )
+    q.awaitTermination(120)
+    emitted = {r.docno for r in spark.read.parquet(out).collect()}
+    assert emitted and emitted.isdisjoint(victims)
+
+
 def test_random_delete_interleavings_hold_invariants(spark, tmp_path):
     """Seeded random interleavings of append / delete / refresh / compact:
     the live-docno set matches a driver-side model applying the same LSM

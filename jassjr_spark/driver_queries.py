@@ -334,6 +334,35 @@ def q_ft_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+def q_ft_bm25_maxscore(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """The flagship BM25 workload evaluated through the MaxScore
+    term-granular pruned path (operators/maxscore.py) — must match the
+    SAME DuckDB oracle as ft_bm25_top10, proving the essential/
+    non-essential split is rank-safe end-to-end. Same wide-margin +
+    rounded re-rank shape as q_ft_bm25_wand (MaxScore ranks by unrounded
+    scores internally)."""
+    from jassjr_spark.operators.maxscore import maxscore_search
+
+    idx = corpus_index(spark, sf_dir).cache()
+    s = idx.scalar_stats()
+    blocks = corpus_blocks(spark, sf_dir, idx, s)
+    queries = _bm25_queries_df(spark)
+    run = maxscore_search(idx, blocks, queries, k=100, stats=s)
+    rounded = (
+        run.withColumn("docid", F.col("docno").cast("long"))
+        .withColumn("rsv", F.round("rsv", 4))
+        .filter(F.col("rsv") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
 def q_ft_bm25_saat(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Flagship workload through the impact-ordered score-at-a-time path
     (operators/impact.py), full budget. The quantizer integerizes the
@@ -1256,6 +1285,7 @@ def catalog() -> dict[str, tuple]:
         "ft_idf": (q_ft_idf, _sql_ft_idf()),
         "ft_bm25_top10": (q_ft_bm25_top10, _sql_ft_bm25()),
         "ft_bm25_wand": (q_ft_bm25_wand, _sql_ft_bm25()),
+        "ft_bm25_maxscore": (q_ft_bm25_maxscore, _sql_ft_bm25()),
         "ft_bm25_saat": (q_ft_bm25_saat, _sql_ft_saat()),
         "ft_top_terms": (q_ft_top_terms, SQL_FT_TOP_TERMS),
         "ft_show_document": (q_ft_show_document, SQL_FT_SHOW_DOCUMENT),

@@ -87,6 +87,28 @@ SEED_BLOCKS_MAX = 32
 PUSHDOWN_MAX_BLOCK_IDS = 10_000
 
 
+def impact_bound_expr(meta_columns: list[str], avgdl: float | None):
+    """The per-block avgdl-drift-safe impact upper-bound Column (see
+    _block_upper_bounds for the safety argument). Shared with the
+    term-granular MaxScore pruner (operators/maxscore.py), whose per-term
+    bound is the max of this expression over a term's blocks."""
+    from jassjr_spark.constants import B, K1
+
+    if avgdl is not None and "max_tf" in meta_columns:
+        mtf = F.col("max_tf").cast("double")
+        recomputed = (mtf * (K1 + 1.0)) / (
+            mtf + K1 * (1.0 - B + B * (F.col("min_dl").cast("double")
+                                       / F.lit(float(avgdl))))
+        )
+        if "avgdl0" in meta_columns:
+            scaled = F.col("max_impact") * F.greatest(
+                F.lit(1.0), F.lit(float(avgdl)) / F.col("avgdl0")
+            )
+            return F.least(recomputed, scaled)
+        return recomputed
+    return F.col("max_impact")
+
+
 def _block_upper_bounds(
     q_idf: DataFrame, blocks_meta: DataFrame, avgdl: float | None = None,
 ) -> DataFrame:
@@ -114,27 +136,11 @@ def _block_upper_bounds(
     Legacy stores without the columns keep the raw baked value (their
     avgdl cannot have drifted: batch stores are written with their
     stats)."""
-    from jassjr_spark.constants import B, K1
-
     weights = q_idf.groupBy("query_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("w"),
         F.first("idf").alias("idf"),
     )
-    if avgdl is not None and "max_tf" in blocks_meta.columns:
-        mtf = F.col("max_tf").cast("double")
-        recomputed = (mtf * (K1 + 1.0)) / (
-            mtf + K1 * (1.0 - B + B * (F.col("min_dl").cast("double")
-                                       / F.lit(float(avgdl))))
-        )
-        if "avgdl0" in blocks_meta.columns:
-            scaled = F.col("max_impact") * F.greatest(
-                F.lit(1.0), F.lit(float(avgdl)) / F.col("avgdl0")
-            )
-            impact = F.least(recomputed, scaled)
-        else:
-            impact = recomputed
-    else:
-        impact = F.col("max_impact")
+    impact = impact_bound_expr(blocks_meta.columns, avgdl)
     return (
         blocks_meta.join(F.broadcast(weights), "term")
         .groupBy("query_id", "block_id")

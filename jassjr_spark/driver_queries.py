@@ -334,6 +334,68 @@ def q_ft_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+def q_ft_bm25_and(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Conjunctive (boolean-AND) BM25 top-k (operators/search.py:
+    search_conjunctive, lenient mode: OOV / df==N terms are
+    non-constraining). Same rounded re-rank shape as the other ranked
+    entries; the matched==need conjunctive filter is integer-exact so
+    both engines agree on the candidate set by construction."""
+    from jassjr_spark.operators.search import search_conjunctive
+
+    idx = corpus_index(spark, sf_dir).cache()
+    s = idx.scalar_stats()
+    queries = _bm25_queries_df(spark)
+    run = search_conjunctive(idx, queries, k=100, stats=s)
+    rounded = (
+        run.withColumn("docid", F.col("docno").cast("long"))
+        .withColumn("rsv", F.round("rsv", 4))
+        .filter(F.col("rsv") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
+def _sql_ft_bm25_and(k: int = 10) -> str:
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_values_queries()}),
+scored AS (
+  SELECT q.query_id, q.term, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+need AS (
+  SELECT q.query_id, count(DISTINCT q.term) AS need
+  FROM queries q JOIN dict d USING (term) CROSS JOIN stats s
+  WHERE d.df < s.n GROUP BY q.query_id
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv,
+         count(DISTINCT term) AS matched
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(acc.query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY acc.query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc JOIN need USING (query_id)
+WHERE matched = need AND rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 def q_ft_bm25_maxscore(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """The flagship BM25 workload evaluated through the MaxScore
     term-granular pruned path (operators/maxscore.py) — must match the
@@ -1286,6 +1348,7 @@ def catalog() -> dict[str, tuple]:
         "ft_bm25_top10": (q_ft_bm25_top10, _sql_ft_bm25()),
         "ft_bm25_wand": (q_ft_bm25_wand, _sql_ft_bm25()),
         "ft_bm25_maxscore": (q_ft_bm25_maxscore, _sql_ft_bm25()),
+        "ft_bm25_and": (q_ft_bm25_and, _sql_ft_bm25_and()),
         "ft_bm25_saat": (q_ft_bm25_saat, _sql_ft_saat()),
         "ft_top_terms": (q_ft_top_terms, SQL_FT_TOP_TERMS),
         "ft_show_document": (q_ft_show_document, SQL_FT_SHOW_DOCUMENT),

@@ -215,6 +215,77 @@ def search(
     return resolve_docnos(index, ranked, s["n_docs"])
 
 
+def search_conjunctive(
+    index: Index, queries: DataFrame, k: int = TOP_K,
+    stats: dict | None = None, strict: bool = False,
+) -> DataFrame:
+    """Conjunctive (boolean-AND) BM25 top-k: a document qualifies only if
+    it matches EVERY scorable query term; qualifying docs are ranked by
+    the same BM25 sum (identical kernel + ordered fold) as the
+    disjunctive engine. The reference is disjunctive-only
+    (JASSjr_search.py:64-88); AND semantics is the standard companion
+    mode every production engine ships.
+
+    "Scorable" = in the dictionary with df < N. Terms that are OOV or
+    df==N cannot constrain a postings engine (the former match nothing,
+    the latter match everything); by default they are dropped from the
+    requirement — the stopword-removal convention. ``strict=True``
+    instead empties any query containing an OOV term (classic boolean
+    semantics).
+
+    Plan shape: the disjunctive scored stream keeps its ``term`` column;
+    the accumulate adds one ``count(DISTINCT term)`` to the SAME
+    aggregation (no extra shuffle), and the per-query required count is
+    a driver-known broadcast. At scale the matched==need filter runs
+    before top-k, so the window sees only the (far smaller) conjunctive
+    candidate set.
+    """
+    from jassjr_spark.sources.index_store import pruned_postings
+
+    s = stats or index.scalar_stats()
+    n_docs = s["n_docs"]
+    spark = queries.sparkSession
+    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    q = attach_idf(queries, index.dictionary, n_docs, qterms=qterms)
+
+    # per-query required distinct-term count, driver-side (queries are tiny)
+    need_rows = (
+        q.groupBy("query_id")
+        .agg(F.countDistinct("term").cast("long").alias("need"))
+    )
+    if strict:
+        # a term absent from the DICTIONARY (OOV) matches nothing, so the
+        # conjunction is unsatisfiable; df==N terms stay non-constraining
+        vocab = {
+            r.term for r in index.dictionary
+            .filter(F.col("term").isin(qterms)).select("term").collect()
+        }
+        dead = queries.filter(~F.col("term").isin(list(vocab))) \
+            .select("query_id").distinct()
+        need_rows = need_rows.join(F.broadcast(dead), "query_id", "left_anti")
+
+    postings = pruned_postings(index, qterms)
+    scored = postings.join(
+        F.broadcast(q.select("query_id", "pos", "term", "idf")), "term"
+    ).select("query_id", "docid", "term", "pos",
+             bm25_contrib(s["avgdl"]).alias("contrib"))
+    acc = (
+        scored.groupBy("query_id", "docid")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("pos", "contrib"))),
+                F.lit(0.0),
+                lambda a, x: a + x["contrib"],
+            ).alias("rsv"),
+            F.countDistinct("term").cast("long").alias("matched"),
+        )
+        .join(F.broadcast(need_rows), "query_id")
+        .filter(F.col("matched") == F.col("need"))
+        .select("query_id", "docid", "rsv")
+    )
+    return resolve_docnos(index, top_k(acc, k), n_docs)
+
+
 def resolve_docnos(index: Index, ranked: DataFrame, n_docs: int) -> DataFrame:
     """docno resolution, shared by every search path: under ~5M docs
     broadcasting docids keeps the whole query one unbroken pipeline

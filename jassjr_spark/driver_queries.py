@@ -1210,6 +1210,100 @@ GROUP BY user_id, session_id
 """
 
 
+def q_hybrid_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/hybrid.py): RRF-fuse the BM25 lexical
+    ranking (documents index, BM25_QUERIES, top-50) with an exact cosine
+    vector ranking (embeddings table, probe vector = embedding of
+    vec_id == query_id, top-50), joined on docid == vec_id — the driver
+    tables share the id domain by construction (TESTDATA.md). The rrf
+    double is a fixed-order two-term IEEE chain, so it hash-matches the
+    SQL oracle without rounding."""
+    from jassjr_spark.operators.hybrid import rrf_fuse
+
+    qids = [qid for qid, _ in BM25_QUERIES]
+    lex = q_ft_bm25_top10(spark, sf_dir, k=50)
+    emb = load_embeddings(spark, sf_dir)
+    queries = (
+        emb.filter(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("qvec_id"), F.col("embedding").alias("qvec"))
+    )
+    vec = (
+        similarity.cosine_topk(emb.select("vec_id", "embedding"), queries, k=50)
+        .select(F.col("qvec_id").alias("query_id"),
+                F.col("vec_id").alias("docid"), "rank")
+    )
+    return rrf_fuse([lex.select("query_id", "docid", "rank"), vec], k=10)
+
+
+def _sql_hybrid_rrf(k: int = 10) -> str:
+    qids = ", ".join(str(qid) for qid, _ in BM25_QUERIES)
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_values_queries()}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+),
+lex AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank
+  FROM acc WHERE rsv > 0
+  QUALIFY rank <= 50
+),
+qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id IN ({qids})
+),
+vscored AS (
+  SELECT qv.query_id, e.vec_id AS docid,
+         round(list_dot_product(qv.qvec, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv.qvec, qv.qvec))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM qv CROSS JOIN embeddings e
+  WHERE e.vec_id <> qv.query_id
+),
+vec AS (
+  SELECT query_id, docid,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, docid ASC) AS BIGINT) AS rank
+  FROM vscored
+  QUALIFY rank <= 50
+),
+ids AS (
+  SELECT query_id, docid FROM lex
+  UNION
+  SELECT query_id, docid FROM vec
+),
+fused AS (
+  SELECT i.query_id, i.docid,
+         COALESCE(1.0 / (60.0 + l.rank), 0.0)
+           + COALESCE(1.0 / (60.0 + v.rank), 0.0) AS rrf
+  FROM ids i
+  LEFT JOIN lex l ON l.query_id = i.query_id AND l.docid = i.docid
+  LEFT JOIN vec v ON v.query_id = i.query_id AND v.docid = i.docid
+)
+SELECT query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, docid DESC) AS BIGINT) AS rank,
+       rrf
+FROM fused
+QUALIFY rank <= {k}
+"""
+
+
 def q_sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket-scoped (the
     10^12-row path: candidates = same-bucket pairs only, never all-pairs).
@@ -1372,6 +1466,7 @@ def catalog() -> dict[str, tuple]:
         "sim_ivf_top5": (q_sim_ivf_top5, SQL_SIM_COSINE_TOP5),
         "sim_sq8_top5": (q_sim_sq8_top5, SQL_SIM_COSINE_TOP5),
         "sim_neardup_pairs": (q_sim_neardup_pairs, _sql_sim_neardup()),
+        "hybrid_rrf_top10": (q_hybrid_rrf_top10, _sql_hybrid_rrf()),
         "ev_windowed_counts": (q_ev_windowed_counts, SQL_EV_WINDOWED_COUNTS),
         "ev_user_sessions": (q_ev_user_sessions, SQL_EV_USER_SESSIONS),
     }

@@ -918,6 +918,82 @@ FROM r
 # ------------------------------------------------------ similarity queries
 
 
+STRATA_FRACTIONS = {"en": 0.5, "zh": 1.0, "es": 0.75, "de": 0.25}
+SAMPLE_SEED = 42
+SAMPLE_DEFAULT_FRACTION = 0.1
+
+
+def q_samp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-independent stratified corpus sample
+    (operators/sampling.py): per-language keep-fractions, membership a
+    pure function of (doc_id, seed) — the reproducible corpus-balancing
+    pass of a training pipeline. The md5-hash rule is engine-portable so
+    the oracle reproduces the EXACT member set, not just its size."""
+    from jassjr_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        sampling.stratified_sample(
+            docs, "lang", STRATA_FRACTIONS, key_col="doc_id",
+            seed=SAMPLE_SEED, default_fraction=SAMPLE_DEFAULT_FRACTION,
+        )
+        .select("doc_id", "lang")
+    )
+
+
+def _sql_samp_stratified() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {f}" for s, f in sorted(STRATA_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        / 4294967296.0
+      < CASE lang {cases} ELSE {SAMPLE_DEFAULT_FRACTION} END
+"""
+
+
+def q_samp_quota_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality quota (operators/sampling.py:quota_topk):
+    the 5 highest-distinct-ratio documents of every language — the
+    "best-k per stratum" curation step, ranked on the (already
+    oracle-identical) textstats quality features."""
+    from jassjr_spark.operators import sampling
+
+    docs = load_documents(spark, sf_dir)
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("docid"), "lang"
+    )
+    q = textstats.quality_scores(docs).join(raw, "docid")
+    return (
+        sampling.quota_topk(q, "lang", "distinct_ratio", 5, tie_col="docid")
+        .select("lang", "docid", "qrank", "distinct_ratio")
+    )
+
+
+SQL_SAMP_QUOTA = f"""
+WITH t AS (
+  SELECT doc_id AS docid, lang,
+         regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+  FROM documents
+),
+q AS (
+  SELECT docid, lang,
+         round(CASE WHEN len(toks) > 0
+               THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS distinct_ratio
+  FROM t
+)
+SELECT lang, docid,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY distinct_ratio DESC, docid DESC)
+            AS BIGINT) AS qrank,
+       distinct_ratio
+FROM q
+QUALIFY qrank <= 5
+"""
+
+
 def q_sim_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for query vectors vec_id in (0,1,2)."""
     emb = load_embeddings(spark, sf_dir)
@@ -1460,6 +1536,8 @@ def catalog() -> dict[str, tuple]:
         "text_winnow_fingerprints": (q_text_winnow, SQL_TEXT_WINNOW),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+        "samp_stratified": (q_samp_stratified, _sql_samp_stratified()),
+        "samp_quota_quality": (q_samp_quota_quality, SQL_SAMP_QUOTA),
         "sim_cosine_top5": (q_sim_cosine_top5, SQL_SIM_COSINE_TOP5),
         "sim_lsh_top5": (q_sim_lsh_top5, _sql_sim_lsh()),
         "sim_lsh_persisted_top5": (q_sim_lsh_persisted_top5, _sql_sim_lsh()),

@@ -1,0 +1,168 @@
+"""Positional index + exact phrase search.
+
+The reference's index is tf-only (JASSjr_index.cpp:44-53 stores
+(docid, tf) pairs; no positions, so no phrase queries). Phrase matching
+is the standard companion capability every production fulltext engine
+ships, and a training-data pipeline needs it for exact-substring
+contamination sweeps ("find every document containing this benchmark
+prompt verbatim") — so this engine adds a positional side-table and a
+phrase-scored BM25 on top of it.
+
+Data model:  positions(term, docid, positions array<int>, tf int) —
+token offsets (0-based, lexer order) per (term, doc). The skew argument
+of the tf-postings layout carries over: a stopword's positions list is
+bounded by ONE document's length (positions are per (term, doc), never
+concatenated across docs), so no group in the build can exceed the
+longest document — the same reason the tf index's groupBy is safe at
+10^12 docs.
+
+Phrase evaluation is pure Column set-algebra, no UDF: a phrase
+[t0 t1 ... tL] matches at offset p iff p ∈ P(t0) and p+i ∈ P(t_i) for
+every i — computed by folding ``F.filter(acc, x -> array_contains(P_i,
+x + i))`` across an inner join chain on docid. The join chain is L-1
+hash joins of POSITION LISTS (one row per (term, doc)), each join
+shrinking the left side (docs matching a longer prefix), with the
+rarest-feasible pushdown: only the phrase's terms are ever scanned
+(term IN (...) prunes the positional table exactly like pruned_postings
+prunes the tf table).
+
+Scoring: phrase_tf = number of match offsets; the phrase behaves as one
+synthetic term with df = |{d : phrase_tf > 0}|, scored by the SAME
+ATIRE-BM25 formula as single terms (idf = ln(N/df); dl and avgdl from
+the engine's doc-length table) and ranked (rsv desc, docid desc) like
+every other ranked surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jassjr_spark.constants import B, K1, TOKEN_RE, TOP_K
+
+
+def build_positions(
+    docs: DataFrame, docid_col: str = "docid", text_col: str = "content",
+) -> DataFrame:
+    """(docid, text) -> (term, docid, positions sorted array<int>, tf).
+
+    Tokenization is the engine's lexer contract in Column form:
+    lowercase, TOKEN_RE token runs, 255-char truncation — the same rule
+    the DuckDB oracle expresses as regexp_extract_all, so positional
+    results are engine-portable. posexplode supplies the token offset;
+    the groupBy is per (term, doc), bounded by one document's length.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    exploded = docs.select(
+        F.col(docid_col).alias("docid"), F.posexplode(toks).alias("pos", "term")
+    ).withColumn("term", F.substring("term", 1, 255))
+    return exploded.groupBy("term", "docid").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.count(F.lit(1)).cast("int").alias("tf"),
+    )
+
+
+def phrase_occurrences(positions: DataFrame, phrase: list[str]) -> DataFrame:
+    """-> (docid, phrase_tf > 0): docs containing the exact token
+    sequence ``phrase``, with its occurrence count.
+
+    A repeated term in the phrase is handled naturally (its positions
+    list is joined once per slot). Adjacent-duplicate slots intersect
+    shifted copies of the same list, which is exactly the right
+    semantics ("the the" needs p and p+1 both in P("the")).
+    """
+    if not phrase:
+        raise ValueError("empty phrase")
+    phrase = [t.lower()[:255] for t in phrase]
+    pruned = positions.filter(F.col("term").isin(sorted(set(phrase))))
+
+    def _keep_if_shifted_member(col_name: str, shift: int):
+        # single-arg lambda factory: PySpark's higher-order-function
+        # bridge calls the callable with one Column per PARAMETER, so
+        # captured state must live in a closure, not default args
+        def fn(x):
+            return F.array_contains(F.col(col_name), x + F.lit(shift))
+
+        return fn
+
+    acc = (
+        pruned.filter(F.col("term") == phrase[0])
+        .select("docid", F.col("positions").alias("acc"))
+    )
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = pruned.filter(F.col("term") == t).select(
+            "docid", F.col("positions").alias(f"_p{i}")
+        )
+        acc = (
+            acc.join(nxt, "docid")
+            .select(
+                "docid",
+                F.filter("acc", _keep_if_shifted_member(f"_p{i}", i))
+                .alias("acc"),
+            )
+            .filter(F.size("acc") > 0)
+        )
+    return acc.select(
+        "docid", F.size("acc").cast("int").alias("phrase_tf")
+    ).filter(F.col("phrase_tf") > 0)
+
+
+def phrase_search(
+    positions: DataFrame,
+    doc_lengths: DataFrame,
+    phrases: list[tuple],
+    k: int = TOP_K,
+    stats: dict | None = None,
+) -> DataFrame:
+    """phrases = [(query_id, [term, ...]), ...] ->
+    (query_id, docid, rank, rsv): BM25-scored exact-phrase top-k.
+
+    ``doc_lengths`` is (docid, len); N and avgdl are derived from it when
+    ``stats`` (n_docs, avgdl) isn't supplied. The phrase is scored as one
+    synthetic term; df is computed per phrase from the match set (one
+    tiny aggregate over <= matching-docs rows)."""
+    import math
+
+    spark = positions.sparkSession
+    if stats is None:
+        row = doc_lengths.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("len").alias("avgdl")
+        ).first()
+        stats = {"n_docs": row.n, "avgdl": row.avgdl}
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    runs = []
+    for qid, phrase in phrases:
+        occ = phrase_occurrences(positions, phrase)
+        df_count = occ.count()
+        if df_count == 0 or df_count >= n_docs:
+            continue  # unmatched, or idf == 0 elision (df == N)
+        idf = math.log(n_docs / df_count)
+        tf = F.col("phrase_tf").cast("double")
+        rsv = F.lit(idf) * (
+            (tf * (K1 + 1.0))
+            / (tf + K1 * (1.0 - B + B * (F.col("len").cast("double")
+                                         / F.lit(float(avgdl)))))
+        )
+        runs.append(
+            occ.join(doc_lengths, "docid")
+            .select(
+                F.lit(qid).alias("query_id"), "docid", rsv.alias("rsv")
+            )
+        )
+    if not runs:
+        return spark.createDataFrame(
+            [], "query_id long, docid long, rank long, rsv double"
+        )
+    allq = runs[0]
+    for r in runs[1:]:
+        allq = allq.unionByName(r)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        allq.filter(F.col("rsv") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "docid", "rank", "rsv")
+    )

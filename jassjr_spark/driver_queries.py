@@ -1593,6 +1593,220 @@ SELECT docid_a, docid_b, hamming FROM (
 """
 
 
+# ---------------------------------------------------- code corpus (input_hint)
+
+# The BASELINE.json input_hint shape: (repo, path, commit, lang, content),
+# synthesized DETERMINISTICALLY from the documents table
+# (sources/code_corpus.py) so the DuckDB oracle reconstructs the identical
+# relation from pure SQL. Constants mirror code_corpus.CODE_LANGS et al.
+
+
+def _sql_code_ctes() -> str:
+    from jassjr_spark.sources.code_corpus import CODE_LANGS, N_MODULES, N_REPOS
+
+    n = len(CODE_LANGS)
+    lang_case = " ".join(
+        f"WHEN {j} THEN '{lg}'" for j, (lg, _) in enumerate(CODE_LANGS[:-1])
+    ) + f" ELSE '{CODE_LANGS[-1][0]}'"
+    ext_case = " ".join(
+        f"WHEN {j} THEN '{ex}'" for j, (_, ex) in enumerate(CODE_LANGS[:-1])
+    ) + f" ELSE '{CODE_LANGS[-1][1]}'"
+    return f"""
+code AS (
+  SELECT doc_id,
+         'repo-' || CAST(doc_id % {N_REPOS} AS VARCHAR) AS repo,
+         'src/m' || CAST(doc_id % {N_MODULES} AS VARCHAR)
+           || '/file_' || CAST(doc_id AS VARCHAR)
+           || CASE doc_id % {n} {ext_case} END AS path,
+         md5('commit:' || 'repo-' || CAST(doc_id % {N_REPOS} AS VARCHAR))
+           AS commit_sha,
+         CASE doc_id % {n} {lang_case} END AS lang,
+         text AS content
+  FROM documents
+),
+codedocs AS (
+  SELECT CAST(doc_id AS BIGINT) AS docid,
+         repo || ':' || path || '@' || substr(commit_sha, 1, 8) AS docno,
+         content, repo, lang
+  FROM code
+)"""
+
+
+def _code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jassjr_spark.sources.code_corpus import synthesize_code_corpus
+
+    return synthesize_code_corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def code_index(spark: SparkSession, sf_dir: str):
+    """Per-process memo of the index built over the code corpus with its
+    production ``repo:path@commit8`` docnos (string docno path end-to-end,
+    unlike corpus_index whose docnos are numeric strings)."""
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    key = (spark.sparkContext.applicationId, sf_dir, "code")
+    if key not in _INDEX_MEMO:
+        _INDEX_MEMO[key] = build_index(
+            code_documents(_code_corpus(spark, sf_dir)).select(
+                "docid", "docno", "content"
+            ),
+            prepend_docno=False,
+        ).cache()
+    return _INDEX_MEMO[key]
+
+
+def q_code_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row sha256(content) integrity invariant over the input_hint
+    corpus: (docid, docno, sha). Hash-matching this against DuckDB IS the
+    invariant — both engines fingerprint every row's exact bytes."""
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    cd = code_documents(_code_corpus(spark, sf_dir))
+    return cd.select(
+        "docid", "docno", F.sha2(F.col("content"), 256).alias("sha")
+    )
+
+
+def _sql_code_sha() -> str:
+    return f"""WITH {_sql_code_ctes()}
+SELECT docid, docno, sha256(content) AS sha FROM codedocs
+"""
+
+
+CODE_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["hash", "table"]),
+    (2, ["merge", "sort", "scan"]),
+    (3, ["query", "zzzmissing"]),   # OOV term drops out, scoped like the rest
+]
+CODE_SCOPE_REPO = "repo-3"
+
+
+def q_code_repo_bm25_top10(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Metadata-scoped BM25 (operators/search.py:search_scoped): rank only
+    documents of one repository, with GLOBAL corpus statistics — the
+    faceted-search contract over the input_hint table. Wide margin +
+    rounded re-rank like every ranked entry."""
+    from jassjr_spark.operators.search import search_scoped
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    idx = code_index(spark, sf_dir)
+    allowed = (
+        code_documents(_code_corpus(spark, sf_dir))
+        .filter(F.col("repo") == CODE_SCOPE_REPO)
+        .select("docid")
+    )
+    qrows = [
+        (qid, pos, t) for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    run = search_scoped(idx, queries, allowed, k=200)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docno", "rank", "rsv")
+    )
+
+
+def _sql_code_repo_bm25(k: int = 10) -> str:
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    )
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+scoped AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  JOIN codedocs c USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n AND c.repo = '{CODE_SCOPE_REPO}'
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scoped GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, c.docno,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, c.docno DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc JOIN codedocs c USING (docid)
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
+def q_code_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style same-language clone candidates
+    (sources/code_corpus.py:clone_pairs): winnowing fingerprints,
+    stop-gram df cap, fp-bucketed self-join."""
+    from jassjr_spark.sources.code_corpus import clone_pairs
+
+    return clone_pairs(_code_corpus(spark, sf_dir)).select(
+        "docid_a", "docid_b", "lang", "shared_fps"
+    )
+
+
+def _sql_code_clone_pairs(min_shared: int = 2, max_fp_df: int = 20) -> str:
+    return f"""WITH fps AS ({SQL_TEXT_WINNOW}),
+{_sql_code_ctes().lstrip()},
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_fp_df}
+),
+tagged AS (
+  SELECT f.docid, f.fp, c.lang
+  FROM fps f JOIN rare USING (fp)
+  JOIN codedocs c USING (docid)
+)
+SELECT CAST(a.docid AS BIGINT) AS docid_a,
+       CAST(b.docid AS BIGINT) AS docid_b,
+       a.lang AS lang,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM tagged a JOIN tagged b
+  ON a.fp = b.fp AND a.docid < b.docid AND a.lang = b.lang
+GROUP BY 1, 2, 3
+HAVING count(*) >= {min_shared}
+"""
+
+
+def q_code_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile over the input_hint table: file count
+    and total lexer tokens — the partition-sizing statistic a 10^12-file
+    ingest plans its lang-partitioned layout from."""
+    from jassjr_spark.constants import TOKEN_RE as _RE
+
+    corpus = _code_corpus(spark, sf_dir)
+    return corpus.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.lower("content"), F.lit(_RE), 0))
+        ).cast("long").alias("total_tokens"),
+    )
+
+
+def _sql_code_lang_profile() -> str:
+    return f"""WITH {_sql_code_ctes()}
+SELECT lang, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(len(regexp_extract_all(lower(content), '{_TOK_SQL}')))
+            AS BIGINT) AS total_tokens
+FROM codedocs GROUP BY lang
+"""
+
+
 # ----------------------------------------------------------------- catalog
 
 
@@ -1639,4 +1853,8 @@ def catalog() -> dict[str, tuple]:
         "hybrid_rrf_top10": (q_hybrid_rrf_top10, _sql_hybrid_rrf()),
         "ev_windowed_counts": (q_ev_windowed_counts, SQL_EV_WINDOWED_COUNTS),
         "ev_user_sessions": (q_ev_user_sessions, SQL_EV_USER_SESSIONS),
+        "code_sha_invariant": (q_code_sha_invariant, _sql_code_sha()),
+        "code_repo_bm25_top10": (q_code_repo_bm25_top10, _sql_code_repo_bm25()),
+        "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
+        "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),
     }

@@ -286,6 +286,47 @@ def search_conjunctive(
     return resolve_docnos(index, top_k(acc, k), n_docs)
 
 
+def search_scoped(
+    index: Index, queries: DataFrame, allowed: DataFrame, k: int = TOP_K,
+    stats: dict | None = None, broadcast_scope: bool = True,
+) -> DataFrame:
+    """Metadata-scoped disjunctive BM25: rank only documents whose docid
+    appears in ``allowed`` (one ``docid`` column), e.g. "search within
+    repo-3" / "lang = 'python' only" over the input_hint code corpus.
+
+    Scoring statistics stay GLOBAL (corpus-wide idf / avgdl / N) — the
+    filter restricts *which documents may rank*, not what a term is worth,
+    so a doc's score is identical scoped or not (the faceted-search
+    convention; per-tenant isolated relevance wants a per-tenant index,
+    which read-path filters can't fake). Identity: output == search(k=∞)
+    semi-joined to ``allowed`` and re-ranked — pytest asserts exactly that.
+
+    Plan shape: the semi-join lands on the scored stream BEFORE the
+    accumulate and window, so the shuffle and top-k see only in-scope
+    docs. A metadata predicate selecting f of the corpus cuts the
+    accumulate's input by 1-f no matter how large N is. With
+    ``broadcast_scope`` (default; metadata scopes are almost always a tiny
+    docid set relative to postings) the semi-join is shuffle-free; at a
+    scope too big to broadcast, pass False and it becomes one hash
+    semi-join keyed on docid — still never wider than the scored stream.
+    """
+    from jassjr_spark.sources.index_store import pruned_postings
+
+    s = stats or index.scalar_stats()
+    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    postings = pruned_postings(index, qterms)
+    scored = score_postings(
+        queries, postings, index.dictionary, s["n_docs"], s["avgdl"],
+        qterms=qterms,
+    )
+    scope = allowed.select(F.col("docid").cast("long").alias("docid"))
+    if broadcast_scope:
+        scope = F.broadcast(scope)
+    scored = scored.join(scope, "docid", "semi")
+    ranked = top_k(accumulate(scored), k)
+    return resolve_docnos(index, ranked, s["n_docs"])
+
+
 def resolve_docnos(index: Index, ranked: DataFrame, n_docs: int) -> DataFrame:
     """docno resolution, shared by every search path: under ~5M docs
     broadcasting docids keeps the whole query one unbroken pipeline

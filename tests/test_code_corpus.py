@@ -1,0 +1,156 @@
+"""Source-code corpus (BASELINE.json input_hint shape): deterministic
+synthesis, the per-row sha256 invariant through a storage roundtrip,
+partition pruning on the lang-partitioned layout, metadata-scoped search
+identity, and clone-pair detection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jassjr_spark.operators.index_build import build_index
+from jassjr_spark.operators.search import search, search_scoped
+from jassjr_spark.sources.code_corpus import (
+    clone_pairs,
+    code_documents,
+    synthesize_code_corpus,
+    verify_content_sha,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthesize_code_corpus(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ).cache()
+
+
+def test_synthesis_is_deterministic_and_unique(spark, corpus):
+    again = synthesize_code_corpus(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    assert sorted(map(tuple, corpus.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    n = corpus.count()
+    assert corpus.select("repo", "path", "commit").distinct().count() == n
+    assert code_documents(corpus).select("docno").distinct().count() == n
+    # the input_hint contract: exactly these columns
+    assert corpus.columns == ["doc_id", "repo", "path", "commit", "lang",
+                              "content"]
+
+
+def test_docno_scheme(corpus):
+    row = code_documents(corpus).filter(F.col("docid") == 3).first()
+    assert row.docno == f"{row.repo}:src/m3/file_3.rs@" + row.docno.split("@")[1]
+    assert len(row.docno.split("@")[1]) == 8
+
+
+def test_sha_invariant_roundtrip(spark, corpus, tmp_path):
+    """Write the corpus lang-partitioned, read it back, and prove every
+    row's content survived byte-exactly (the north-rule invariant)."""
+    dst = str(tmp_path / "code_corpus")
+    corpus.write.partitionBy("lang").parquet(dst)
+    back = spark.read.parquet(dst)
+    bad = verify_content_sha(
+        code_documents(back, id_col="doc_id"), code_documents(corpus)
+    )
+    assert bad.count() == 0
+    # and the check actually detects corruption: flip one row's content
+    corrupted = back.withColumn(
+        "content",
+        F.when(F.col("doc_id") == 7, F.lit("tampered")).otherwise(
+            F.col("content")
+        ),
+    )
+    bad2 = verify_content_sha(
+        code_documents(corrupted, id_col="doc_id"), code_documents(corpus)
+    )
+    assert bad2.count() == 1 and bad2.first()[0].startswith("repo-7:")
+
+
+def test_lang_partition_pruning(spark, corpus, tmp_path):
+    """The 10^12-file layout: lang-partitioned parquet => a lang predicate
+    must become a PartitionFilter (scan skips other langs entirely)."""
+    dst = str(tmp_path / "by_lang")
+    corpus.write.partitionBy("lang").parquet(dst)
+    plan = (
+        spark.read.parquet(dst)
+        .filter(F.col("lang") == "python")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_scoped_search_identity(spark, corpus):
+    """search_scoped == full search restricted to the scope and re-ranked
+    (global idf/avgdl: a doc's score is identical scoped or not)."""
+    cd = code_documents(corpus).select("docid", "docno", "content")
+    idx = build_index(cd, prepend_docno=False).cache()
+    allowed = (
+        code_documents(corpus)
+        .filter(F.col("repo") == "repo-3")
+        .select("docid")
+    )
+    queries = spark.createDataFrame(
+        [(1, 0, "hash"), (1, 1, "table"), (2, 0, "merge"), (2, 1, "sort")],
+        "query_id long, pos int, term string",
+    )
+    scoped = search_scoped(idx, queries, allowed, k=1000).collect()
+    full = (
+        search(idx, queries, k=10**9)
+        .join(
+            allowed.join(cd.select("docid", "docno"), "docid").select("docno"),
+            "docno",
+        )
+        .collect()
+    )
+    def key(rows):
+        return sorted((r.query_id, r.docno, round(r.rsv, 9)) for r in rows)
+    assert key(scoped) == key(full)
+    # scores are the global ones, and ranks are dense 1..n per query
+    by_q = {}
+    for r in sorted(scoped, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(ranks == list(range(1, len(ranks) + 1))
+               for ranks in by_q.values())
+
+
+def test_clone_pairs_detects_planted_clone(spark):
+    """Two same-lang files sharing a long token run must pair; the
+    cross-lang copy must not; unrelated files must not."""
+    shared = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        # doc_id % 5 picks lang: 0 and 5 are both python; 1 is java
+        (0, shared + " left extra tail"),
+        (5, "prefix " + shared),
+        (1, shared),                       # java copy of the python text
+        (10, "completely different words nothing in common here at all "
+             "zebra yak xylophone wombat vulture unicorn tapir seal"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = synthesize_code_corpus(docs)
+    got = {
+        (r.docid_a, r.docid_b): (r.lang, r.shared_fps)
+        for r in clone_pairs(corpus).collect()
+    }
+    assert (0, 5) in got and got[(0, 5)][0] == "python"
+    assert got[(0, 5)][1] >= 2
+    assert all(a == 0 and b == 5 for a, b in got)
+
+
+def test_clone_pairs_stop_gram_cap(spark):
+    """A gram present in EVERY file is a stop-gram: with max_fp_df below
+    the corpus size it must not create all-pairs candidates."""
+    boiler = " ".join(f"lic{i}" for i in range(10))
+    rows = [(i * 5, boiler + f" unique{i} body{i}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = synthesize_code_corpus(docs)  # all doc_id % 5 == 0 -> python
+    # max_fp_df=1 keeps only single-doc fingerprints: no pair can form
+    assert clone_pairs(corpus, max_fp_df=1, min_shared=1).count() == 0
+    # at cap c the per-fingerprint fan-out is <= c*(c-1)/2, so 12 files of
+    # pure boilerplate cannot explode to all-pairs (66) under cap 5
+    capped = clone_pairs(corpus, max_fp_df=5, min_shared=1).count()
+    uncapped = clone_pairs(corpus, max_fp_df=50, min_shared=1).count()
+    assert capped < uncapped == 66  # identical boiler => all-pairs uncapped

@@ -75,6 +75,7 @@ def main() -> None:
     print(f"Indexed {n} documents. Serialising...")
     print(f"stages executed={report.executed} skipped={report.skipped} "
           f"fingerprint={report.fingerprint}")
+    print(f"master={spark.sparkContext.master}")
 
 
 if __name__ == "__main__":

@@ -425,6 +425,99 @@ QUALIFY rank <= {k}
 """
 
 
+# (query_id, terms, window): anchored unordered proximity workload
+PROX_QUERIES: list[tuple[int, list[str], int]] = [
+    (1, ["merge", "group"], 3),
+    (2, ["part", "scan"], 5),
+    (3, ["hash", "table"], 2),
+    (4, ["key", "zzzmissing"], 3),   # unmatched constraint -> no rows
+]
+
+
+def q_ft_prox_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Proximity top-10 (operators/positional.py:proximity_occurrences):
+    BM25 over the anchored-unordered-window synthetic term. Same rounded
+    re-rank shape as ft_phrase_top10."""
+    from jassjr_spark.operators.positional import phrase_search
+
+    idx = corpus_index(spark, sf_dir).cache()
+    s = idx.scalar_stats()
+    pos = corpus_positions(spark, sf_dir)
+    out = []
+    for qid, terms, win in PROX_QUERIES:
+        out.append(
+            phrase_search(pos, idx.doc_lengths, [(qid, terms)], k=100,
+                          stats=s, window=win)
+        )
+    run = out[0]
+    for r in out[1:]:
+        run = run.unionByName(r)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
+def _sql_ft_prox(k: int = 10) -> str:
+    selects = []
+    for qid, terms, win in PROX_QUERIES:
+        anchor = terms[0]
+        others = sorted(set(terms[1:]) - {anchor})
+        conds = [f"toks[i] = '{anchor}'"]
+        for t in others:
+            conds.append(
+                f"len(list_filter(range(greatest(1, i - {win}),"
+                f" least(len(toks), i + {win}) + 1),"
+                f" j -> toks[j] = '{t}')) > 0"
+            )
+        cond = "\n             AND ".join(conds)
+        selects.append(
+            f"SELECT {qid} AS query_id, docid,\n"
+            f"       len(list_filter(range(1, len(toks) + 1),\n"
+            f"           i -> {cond})) AS phrase_tf\n"
+            f"FROM toks"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS docid,
+         list_transform(regexp_extract_all(lower(text), '{_TOK_SQL}'),
+                        t -> substr(t, 1, 255)) AS toks
+  FROM documents
+),
+alldl AS (SELECT docid, len(toks) AS len FROM toks),
+stats AS (SELECT count(*) AS n, avg(len) AS avgdl FROM alldl),
+occ AS (
+  SELECT * FROM ({union}) WHERE phrase_tf > 0
+),
+dfs AS (SELECT query_id, count(*) AS df FROM occ GROUP BY query_id),
+scored AS (
+  SELECT o.query_id, o.docid,
+         round(ln(CAST(s.n AS DOUBLE) / f.df)
+           * ((o.phrase_tf * ({K1} + 1.0))
+              / (o.phrase_tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))),
+           4) AS rsv
+  FROM occ o
+  JOIN dfs f USING (query_id)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE f.df < s.n
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM scored
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 def q_ft_bm25_and(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Conjunctive (boolean-AND) BM25 top-k (operators/search.py:
     search_conjunctive, lenient mode: OOV / df==N terms are
@@ -1825,6 +1918,7 @@ def catalog() -> dict[str, tuple]:
         "ft_bm25_maxscore": (q_ft_bm25_maxscore, _sql_ft_bm25()),
         "ft_bm25_and": (q_ft_bm25_and, _sql_ft_bm25_and()),
         "ft_phrase_top10": (q_ft_phrase_top10, _sql_ft_phrase()),
+        "ft_prox_top10": (q_ft_prox_top10, _sql_ft_prox()),
         "ft_bm25_saat": (q_ft_bm25_saat, _sql_ft_saat()),
         "ft_top_terms": (q_ft_top_terms, SQL_FT_TOP_TERMS),
         "ft_show_document": (q_ft_show_document, SQL_FT_SHOW_DOCUMENT),

@@ -107,20 +107,79 @@ def phrase_occurrences(positions: DataFrame, phrase: list[str]) -> DataFrame:
     ).filter(F.col("phrase_tf") > 0)
 
 
+def proximity_occurrences(
+    positions: DataFrame, terms: list[str], window: int
+) -> DataFrame:
+    """Anchored unordered proximity: -> (docid, prox_tf) where
+
+        prox_tf = |{p ∈ P(terms[0]) : ∀t ∈ terms[1:], ∃q ∈ P(t),
+                                      |q − p| ≤ window}|
+
+    — occurrences of the FIRST term with every other term somewhere
+    within ``window`` token offsets (either side). The tolerant
+    companion to exact phrase: "benchmark prompt within 5 tokens of
+    'answer'" contamination sweeps, where verbatim matching misses
+    light paraphrase. Same plan shape as phrase_occurrences — a
+    term-pruned positional scan and L-1 docid hash joins of per-doc
+    position LISTS, all HOF Column math, no UDF, nothing proportional
+    to document length materialized outside the arrays."""
+    if not terms:
+        raise ValueError("empty term list")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    terms = [t.lower()[:255] for t in terms]
+    anchor = terms[0]
+    # a duplicate of the anchor constrains nothing (q = p satisfies it);
+    # duplicate others constrain once
+    others = sorted(set(terms[1:]) - {anchor})
+    pruned = positions.filter(F.col("term").isin(sorted({anchor, *others})))
+
+    def _within(col_name: str, w: int):
+        def fn(p):
+            return F.exists(
+                F.col(col_name), lambda q: F.abs(q - p) <= F.lit(w)
+            )
+
+        return fn
+
+    acc = (
+        pruned.filter(F.col("term") == anchor)
+        .select("docid", F.col("positions").alias("acc"))
+    )
+    for i, t in enumerate(others):
+        nxt = pruned.filter(F.col("term") == t).select(
+            "docid", F.col("positions").alias(f"_w{i}")
+        )
+        acc = (
+            acc.join(nxt, "docid")
+            .select(
+                "docid",
+                F.filter("acc", _within(f"_w{i}", window)).alias("acc"),
+            )
+            .filter(F.size("acc") > 0)
+        )
+    return acc.select(
+        "docid", F.size("acc").cast("int").alias("prox_tf")
+    ).filter(F.col("prox_tf") > 0)
+
+
 def phrase_search(
     positions: DataFrame,
     doc_lengths: DataFrame,
     phrases: list[tuple],
     k: int = TOP_K,
     stats: dict | None = None,
+    window: int | None = None,
 ) -> DataFrame:
     """phrases = [(query_id, [term, ...]), ...] ->
-    (query_id, docid, rank, rsv): BM25-scored exact-phrase top-k.
+    (query_id, docid, rank, rsv): BM25-scored top-k where each query is
+    one synthetic term — exact-phrase occurrences by default, anchored
+    unordered proximity within ``window`` tokens when ``window`` is set
+    (see proximity_occurrences).
 
     ``doc_lengths`` is (docid, len); N and avgdl are derived from it when
-    ``stats`` (n_docs, avgdl) isn't supplied. The phrase is scored as one
-    synthetic term; df is computed per phrase from the match set (one
-    tiny aggregate over <= matching-docs rows)."""
+    ``stats`` (n_docs, avgdl) isn't supplied. df is computed per query
+    from the match set (one tiny aggregate over <= matching-docs rows)."""
     import math
 
     spark = positions.sparkSession
@@ -133,7 +192,11 @@ def phrase_search(
 
     runs = []
     for qid, phrase in phrases:
-        occ = phrase_occurrences(positions, phrase)
+        if window is None:
+            occ = phrase_occurrences(positions, phrase)
+        else:
+            occ = proximity_occurrences(positions, phrase, window) \
+                .withColumnRenamed("prox_tf", "phrase_tf")
         df_count = occ.count()
         if df_count == 0 or df_count >= n_docs:
             continue  # unmatched, or idf == 0 elision (df == N)

@@ -95,3 +95,87 @@ def test_phrase_search_ranking_and_elision(spark):
         pos, dl, [(2, ["gamma", "gamma"]), (9, ["zz", "qq"])], k=10
     ).collect()
     assert {r.query_id for r in both} == {2}
+
+
+def _py_prox_tf(text, terms, window):
+    toks = _py_tokens(text)
+    anchor = terms[0]
+    others = set(terms[1:]) - {anchor}
+    pos = {}
+    for i, t in enumerate(toks):
+        pos.setdefault(t, []).append(i)
+    return sum(
+        1 for p in pos.get(anchor, [])
+        if all(any(abs(q - p) <= window for q in pos.get(t, []))
+               for t in others)
+    )
+
+
+def test_proximity_matches_python_reference(spark):
+    from jassjr_spark.operators.positional import proximity_occurrences
+
+    docs = _docs(spark)
+    pos = build_positions(docs).cache()
+    cases = [
+        (["quick", "dog"], 3),     # doc 0: dog at 8, quicks at 1 -> no; window widens below
+        (["quick", "dog"], 7),
+        (["quick", "brown"], 1),
+        (["hash", "collision"], 1),
+        (["hash", "hash"], 1),     # duplicate of anchor constrains nothing
+        (["fox", "lazy", "dog"], 4),
+        (["quick", "zzz"], 5),     # OOV constraint -> nothing
+    ]
+    for terms, win in cases:
+        got = {r.docid: r.prox_tf
+               for r in proximity_occurrences(pos, terms, win).collect()}
+        expect = {
+            d.docid: _py_prox_tf(d.content, terms, win)
+            for d in docs.collect()
+            if _py_prox_tf(d.content, terms, win) > 0
+        }
+        assert got == expect, (terms, win)
+
+
+def test_proximity_window_degenerates_to_membership(spark):
+    """A window wider than every document equals boolean AND of the terms
+    anchored on the first term's tf."""
+    from jassjr_spark.operators.positional import proximity_occurrences
+
+    docs = _docs(spark)
+    pos = build_positions(docs).cache()
+    got = {r.docid: r.prox_tf
+           for r in proximity_occurrences(pos, ["quick", "fox"], 10**6).collect()}
+    assert got == {0: 1, 4: 1}  # docs containing both; tf = anchor tf
+
+
+def test_proximity_search_ranks_by_bm25(spark):
+    rows = [(i, "aa bb " + "cc " * i + "aa zz bb") for i in range(1, 5)]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    pos = build_positions(docs).cache()
+    dl = docs.select(
+        "docid",
+        F.size(F.regexp_extract_all(F.lower("content"),
+                                    F.lit(TOK), 0)).alias("len"),
+    )
+    # window 1: only the trailing "aa zz bb" pair is ever within reach of
+    # bb for large i... every doc still matches via the leading "aa bb"
+    run = phrase_search(pos, dl, [(1, ["aa", "bb"])], k=10, window=1)
+    assert run.count() == 0  # matches ALL docs -> df == N -> elided
+    # tokens: aa(0) bb(1) cc(2..i+1) aa(i+2) zz(i+3) bb(i+4): zz's nearest
+    # cc sits exactly 2 away in every doc, so window 1 matches nothing
+    assert phrase_search(pos, dl, [(2, ["zz", "cc"])], k=10,
+                         window=1).count() == 0
+    # window 2 matches all -> df == N -> elided again; make one doc
+    # non-matching by querying (zz, dd) where only doc 4 has dd
+    docs2 = docs.union(spark.createDataFrame(
+        [(9, "zz dd zz dd zz")], "docid long, content string"))
+    pos2 = build_positions(docs2).cache()
+    dl2 = docs2.select(
+        "docid",
+        F.size(F.regexp_extract_all(F.lower("content"),
+                                    F.lit(TOK), 0)).alias("len"),
+    )
+    run = phrase_search(pos2, dl2, [(3, ["zz", "dd"])], k=10,
+                        window=1).collect()
+    assert [r.docid for r in run] == [9] and run[0].rank == 1
+    assert run[0].rsv > 0

@@ -1843,6 +1843,82 @@ QUALIFY rank <= {k}
 """
 
 
+def q_code_collapsed_top10(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Field-collapsed BM25 (operators/search.py:search_collapsed): at
+    most one result per repository — "best file per repo" diversification
+    over the input_hint corpus. Collapse argmax runs on the engine's
+    unrounded scores (rsv desc, docid desc — cross-engine safe because
+    both engines compute bitwise-identical per-term doubles); the FINAL
+    rank, as in every ranked entry, is over the rounded (4 dp) score with
+    docno-descending tie-break."""
+    from jassjr_spark.operators.search import search_collapsed
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    idx = code_index(spark, sf_dir)
+    groups = code_documents(_code_corpus(spark, sf_dir)).select(
+        "docid", F.col("repo").alias("grp")
+    )
+    qrows = [
+        (qid, pos, t) for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    run = search_collapsed(idx, queries, groups, k=200)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docno", "grp", "rank", "rsv")
+    )
+
+
+def _sql_code_collapsed(k: int = 10) -> str:
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    )
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, sum(contrib) AS rsv FROM scored GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, docid, rsv, repo FROM (
+    SELECT a.query_id, a.docid, a.rsv, c.repo,
+           row_number() OVER (PARTITION BY a.query_id, c.repo
+                              ORDER BY a.rsv DESC, a.docid DESC) AS rn
+    FROM acc a JOIN codedocs c USING (docid)
+    WHERE a.rsv > 0
+  ) WHERE rn = 1
+)
+SELECT CAST(b.query_id AS BIGINT) AS query_id, c.docno, b.repo AS grp,
+       CAST(row_number() OVER (PARTITION BY b.query_id
+                               ORDER BY round(b.rsv, 4) DESC, c.docno DESC)
+            AS BIGINT) AS rank,
+       round(b.rsv, 4) AS rsv
+FROM best b JOIN codedocs c USING (docid)
+WHERE round(b.rsv, 4) > 0
+QUALIFY rank <= {k}
+"""
+
+
 def q_code_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style same-language clone candidates
     (sources/code_corpus.py:clone_pairs): winnowing fingerprints,
@@ -1949,6 +2025,7 @@ def catalog() -> dict[str, tuple]:
         "ev_user_sessions": (q_ev_user_sessions, SQL_EV_USER_SESSIONS),
         "code_sha_invariant": (q_code_sha_invariant, _sql_code_sha()),
         "code_repo_bm25_top10": (q_code_repo_bm25_top10, _sql_code_repo_bm25()),
+        "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),
     }

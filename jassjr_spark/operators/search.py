@@ -327,17 +327,66 @@ def search_scoped(
     return resolve_docnos(index, ranked, s["n_docs"])
 
 
-def resolve_docnos(index: Index, ranked: DataFrame, n_docs: int) -> DataFrame:
+def search_collapsed(
+    index: Index, queries: DataFrame, groups: DataFrame, k: int = TOP_K,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Field-collapsed disjunctive BM25: at most ONE result per group —
+    "best file per repository" diversification over the input_hint corpus
+    (the collapse/field-collapsing feature of production engines).
+
+    ``groups`` is (docid, grp). Semantics: score every matching doc
+    normally (global stats), keep each group's best (rsv desc, docid desc
+    — the engine's standard tie-break), then rank the survivors and cut
+    at k. Equivalently: the top-k of the per-group argmax set.
+
+    Plan shape: accumulate's shuffle is the same as plain search; the
+    collapse is ONE extra window partitioned by (query_id, grp) — at
+    10^12 docs that window's partition count is #groups × #queries, far
+    finer than the accumulate, so it never concentrates; the final top-k
+    window sees ≤ #groups rows per query. The groups map rides a docid
+    hash join (broadcast only if the caller pre-broadcasts); at code-repo
+    scale it is a metadata table orders of magnitude under the postings.
+    """
+    from jassjr_spark.sources.index_store import pruned_postings
+
+    s = stats or index.scalar_stats()
+    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    postings = pruned_postings(index, qterms)
+    scored = score_postings(
+        queries, postings, index.dictionary, s["n_docs"], s["avgdl"],
+        qterms=qterms,
+    )
+    acc = accumulate(scored).filter(F.col("rsv") > 0.0)
+    g = groups.select(F.col("docid").cast("long").alias("docid"), "grp")
+    wg = Window.partitionBy("query_id", "grp").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    best = (
+        acc.join(g, "docid")
+        .withColumn("_rn", F.row_number().over(wg))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    ranked = top_k(best.select("query_id", "docid", "rsv", "grp"), k)
+    return resolve_docnos(index, ranked, s["n_docs"], extra=("grp",))
+
+
+def resolve_docnos(
+    index: Index, ranked: DataFrame, n_docs: int,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
     """docno resolution, shared by every search path: under ~5M docs
     broadcasting docids keeps the whole query one unbroken pipeline
     (measured ~20% faster at 600k); beyond that the docids table can never
     be the broadcast side — broadcast the <=k-rows-per-query RANKED run
-    into it instead."""
+    into it instead. ``extra`` names pass-through columns the caller
+    attached to the ranked run (e.g. the collapse group)."""
     if n_docs <= BROADCAST_DOCIDS_MAX:
         out = ranked.join(F.broadcast(index.docids), "docid")
     else:
         out = index.docids.join(F.broadcast(ranked), "docid")
-    return out.select("query_id", "docno", "rank", "rsv")
+    return out.select("query_id", "docno", *extra, "rank", "rsv")
 
 
 class InteractiveSearcher:

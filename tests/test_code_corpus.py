@@ -117,6 +117,51 @@ def test_scoped_search_identity(spark, corpus):
                for ranks in by_q.values())
 
 
+def test_collapsed_search_identity(spark, corpus):
+    """search_collapsed == the per-(query, group) argmax of the full run,
+    re-ranked; and at most ONE result per group per query."""
+    from jassjr_spark.operators.search import search_collapsed
+
+    cd = code_documents(corpus).select("docid", "docno", "content")
+    idx = build_index(cd, prepend_docno=False).cache()
+    groups = code_documents(corpus).select("docid", F.col("repo").alias("grp"))
+    queries = spark.createDataFrame(
+        [(1, 0, "hash"), (1, 1, "table"), (2, 0, "merge"), (2, 1, "sort")],
+        "query_id long, pos int, term string",
+    )
+    got = search_collapsed(idx, queries, groups, k=1000).collect()
+
+    # brute force: full run joined to groups, per-group argmax
+    full = (
+        search(idx, queries, k=10**9)
+        .join(cd.select("docid", "docno"), "docno")
+        .join(groups, "docid")
+        .collect()
+    )
+    best = {}
+    for r in full:
+        cur = best.get((r.query_id, r.grp))
+        if cur is None or (r.rsv, r.docid) > (cur.rsv, cur.docid):
+            best[(r.query_id, r.grp)] = r
+    want = sorted(
+        ((q, b.docno, g, round(b.rsv, 9)) for (q, g), b in best.items())
+    )
+    assert sorted((r.query_id, r.docno, r.grp, round(r.rsv, 9))
+                  for r in got) == want
+
+    # collapse property: one row per (query, grp); dense ranks ordered by
+    # (rsv desc, docid desc) among the survivors
+    seen = set()
+    for r in got:
+        assert (r.query_id, r.grp) not in seen
+        seen.add((r.query_id, r.grp))
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(ranks == list(range(1, len(ranks) + 1))
+               for ranks in by_q.values())
+
+
 def test_clone_pairs_detects_planted_clone(spark):
     """Two same-lang files sharing a long token run must pair; the
     cross-lang copy must not; unrelated files must not."""

@@ -1919,6 +1919,37 @@ QUALIFY rank <= {k}
 """
 
 
+GREP_NEEDLE = "merge batch"
+
+
+def q_code_grep_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-indexed exact substring search (operators/grep.py:grep —
+    the Cox/Zoekt code-search design): (docid, docno, n_matches) for
+    every file containing the needle. The trigram prefilter shapes the
+    plan only; the contains-verify makes the answer exact, so the oracle
+    is the brute-force LIKE scan."""
+    from jassjr_spark.operators.grep import build_trigram_index, grep
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    cd = code_documents(_code_corpus(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir, "tri")
+    if key not in _INDEX_MEMO:
+        _INDEX_MEMO[key] = build_trigram_index(cd).cache()
+    out = grep(cd, GREP_NEEDLE, index=_INDEX_MEMO[key])
+    return out.select("docid", "docno", "n_matches")
+
+
+def _sql_code_grep() -> str:
+    n = GREP_NEEDLE
+    return f"""WITH {_sql_code_ctes()}
+SELECT docid, docno,
+       CAST((length(content) - length(replace(content, '{n}', '')))
+            / {len(n)} AS BIGINT) AS n_matches
+FROM codedocs
+WHERE contains(content, '{n}')
+"""
+
+
 def q_code_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style same-language clone candidates
     (sources/code_corpus.py:clone_pairs): winnowing fingerprints,
@@ -2026,6 +2057,7 @@ def catalog() -> dict[str, tuple]:
         "code_sha_invariant": (q_code_sha_invariant, _sql_code_sha()),
         "code_repo_bm25_top10": (q_code_repo_bm25_top10, _sql_code_repo_bm25()),
         "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),
+        "code_grep_count": (q_code_grep_count, _sql_code_grep()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),
     }

@@ -1,0 +1,232 @@
+"""Trigram-indexed substring search ("grep at scale") over a code corpus.
+
+The standard code-search design (publicly described by Russ Cox for
+Google Code Search and used by Zoekt/Hound): index every document's
+DISTINCT character trigrams; a substring query of length >= 3 can only
+match documents containing ALL of the needle's trigrams, so the postings
+intersection yields a small candidate set that an exact ``contains``
+verify then filters — the prefilter over-approximates, never drops a
+true match. The reference engine (JASSjr) has no substring search at
+all; this is the capability its users graft a code corpus onto a search
+engine FOR, re-expressed Spark-first.
+
+Scale design (10^12 files):
+
+* The trigram relation is (gram, docid), distinct per doc — built with
+  pure JVM expressions (sequence/transform/substring, no Python UDF) so
+  extraction rides whole-stage codegen.
+* Gram frequencies are Zipf-skewed (``"  "+c``, ``"the"`` appear in
+  nearly every file). Intersecting hot grams is pure cost: candidates
+  shrink fastest through the RAREST grams, and intersecting any SUBSET
+  of the needle's grams is still a sound prefilter. ``max_grams`` picks
+  the m rarest (by df, driver-side lookup of <= a few dozen rows) and
+  intersects only those — the same selectivity argument as
+  dedup.simhash_pairs' block-width guard.
+* The intersection is ONE groupBy(docid) count over the pruned postings
+  — map-side partial aggregation, no join chain; a persisted store can
+  bucket by gram so the probe prunes to m buckets exactly like
+  index_store.pruned_postings does for terms.
+* The verify join touches only candidate docids (broadcast when small).
+
+Needles shorter than 3 characters cannot use the index; ``grep`` then
+falls back to a full scan and says so (``used_index=False``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def build_trigram_index(
+    docs: DataFrame, content_col: str = "content", id_col: str = "docid"
+) -> DataFrame:
+    """-> (gram, docid): every distinct character trigram of every doc.
+
+    Pure Column math: sequence(1, len-2) -> transform(substring) ->
+    array_distinct -> explode. Documents shorter than 3 chars contribute
+    no rows (guarded explicitly: Spark's sequence(1, 0) counts DOWN to
+    [1, 0], it is not empty).
+    """
+    grams = F.expr(
+        f"IF(length({content_col}) >= 3, "
+        f"transform(sequence(1, length({content_col}) - 2), "
+        f"i -> substring({content_col}, i, 3)), "
+        f"CAST(array() AS array<string>))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("docid"), grams.alias("_grams"))
+        .select("docid", F.explode(F.array_distinct("_grams")).alias("gram"))
+    )
+
+
+def trigram_df(index: DataFrame) -> DataFrame:
+    """-> (gram, df): document frequency per trigram — the statistic the
+    rarest-first gram selection probes (and the skew report at build
+    time: its max is the hottest gram's posting length)."""
+    return index.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+
+
+def needle_grams(needle: str) -> list[str]:
+    """The needle's distinct trigrams, first-occurrence order."""
+    seen: dict[str, None] = {}
+    for i in range(len(needle) - 2):
+        seen.setdefault(needle[i : i + 3])
+    return list(seen)
+
+
+def grep_candidates(
+    index: DataFrame, needle: str, max_grams: int = 8,
+    gram_dfs: dict[str, int] | None = None,
+) -> DataFrame:
+    """-> (docid): documents containing ALL selected trigrams of
+    ``needle`` — a sound over-approximation of the true match set.
+
+    When ``gram_dfs`` (gram -> df) is supplied — from ``trigram_df``
+    collected once per corpus, or a persisted store's dictionary — the m
+    rarest grams are intersected; otherwise the first m in needle order
+    (still sound, possibly less selective). Grams absent from ``gram_dfs``
+    have df 0: no document contains them, and they sort first so the
+    intersection correctly empties.
+    """
+    grams = needle_grams(needle)
+    if not grams:
+        raise ValueError("needle must be >= 3 chars to use the trigram index")
+    if gram_dfs is not None:
+        grams = sorted(grams, key=lambda g: gram_dfs.get(g, 0))
+    grams = grams[:max_grams]
+    return (
+        index.filter(F.col("gram").isin(grams))
+        .groupBy("docid")
+        .agg(F.count(F.lit(1)).alias("_hit"))
+        .filter(F.col("_hit") == len(grams))
+        .select("docid")
+    )
+
+
+def match_count_col(content_col: str, needle: str):
+    """Non-overlapping occurrence count of ``needle`` in ``content_col``
+    as a pure Column ((len - len(replace)) / len(needle)) — identical
+    arithmetic in Spark and DuckDB, so oracle-hashable."""
+    c = F.col(content_col)
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def grep(
+    docs: DataFrame,
+    needle: str,
+    index: DataFrame | None = None,
+    max_grams: int = 8,
+    gram_dfs: dict[str, int] | None = None,
+    id_col: str = "docid",
+    content_col: str = "content",
+) -> DataFrame:
+    """Exact (case-sensitive) substring search -> one row per matching
+    document: (docid, n_matches) plus whatever metadata columns ``docs``
+    carries (docno/repo/lang ride through for scoping and display).
+
+    With ``index`` (from build_trigram_index) and a needle of >= 3 chars
+    the scan is prefiltered to the trigram-intersection candidates; the
+    final ``contains`` verify makes the result EXACT either way — the
+    index changes the plan, never the answer (asserted in tests).
+    """
+    scanned = docs
+    if index is not None and len(needle) >= 3:
+        cand = grep_candidates(index, needle, max_grams, gram_dfs)
+        scanned = docs.join(
+            cand.withColumnRenamed("docid", id_col), on=id_col, how="semi"
+        )
+    return scanned.filter(
+        F.instr(F.col(content_col), F.lit(needle)) > 0
+    ).withColumn("n_matches", match_count_col(content_col, needle))
+
+
+# --------------------------------------------------------- regex prefilter
+
+
+def required_literals(pattern: str) -> list[str]:
+    """Conservatively extract literal substrings a match MUST contain,
+    from a regex (Cox's trigram-query idea, restricted to the sound
+    easy case): split on any metacharacter, keep maximal runs of plain
+    literal characters, and drop runs adjacent to ``?``/``*``/``{`` or
+    ``|`` anywhere in the pattern (alternation voids the "must contain"
+    guarantee for every literal). Returns [] when nothing is certain —
+    the caller then full-scans.
+    """
+    if "|" in pattern:
+        return []
+    meta = set(".^$*+?{}[]()\\")
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def flush() -> None:
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch not in meta:
+            cur.append(ch)
+            i += 1
+            continue
+        if ch in "?*{":
+            # quantifier making the PRECEDING atom optional (treat {m,n}
+            # like ? — sound even for {2,3}): a single literal char loses
+            # its last char; a ')' group may have contributed a whole run
+            # that is now optional — drop it (conservative: we can't see
+            # group boundaries, so drop the most recent run too).
+            if cur:
+                cur.pop()
+            elif i > 0 and pattern[i - 1] == ")":
+                # an optional GROUP may span several runs (nesting) — no
+                # literal before it is provably required; give up
+                return []
+            flush()
+            if ch == "{":  # skip the {m,n} body
+                while i < n and pattern[i] != "}":
+                    i += 1
+        elif ch == "[":  # character class: nothing inside is required
+            flush()
+            i += 1
+            if i < n and pattern[i] == "^":
+                i += 1
+            if i < n and pattern[i] == "]":  # literal ] first
+                i += 1
+            while i < n and pattern[i] != "]":
+                i += 2 if pattern[i] == "\\" else 1
+        elif ch == "\\":
+            flush()
+            i += 1  # skip the escaped char entirely (\d, \., ...)
+        else:  # . ^ $ + ( ) } ] — run boundary ('+' keeps its atom: a+
+            # still requires one 'a', already in the flushed run)
+            flush()
+        i += 1
+    flush()
+    return [r for r in runs if len(r) >= 3]
+
+
+def grep_regex(
+    docs: DataFrame,
+    pattern: str,
+    index: DataFrame | None = None,
+    max_grams: int = 8,
+    gram_dfs: dict[str, int] | None = None,
+    id_col: str = "docid",
+    content_col: str = "content",
+) -> DataFrame:
+    """Regex search with trigram prefiltering: candidates must contain
+    every trigram of every required literal of ``pattern``; the
+    ``rlike`` verify is exact. Patterns yielding no required literal
+    degrade to a full regex scan (correct, just unpruned)."""
+    scanned = docs
+    lits = required_literals(pattern) if index is not None else []
+    for lit in lits:
+        cand = grep_candidates(index, lit, max_grams, gram_dfs)
+        scanned = scanned.join(
+            cand.withColumnRenamed("docid", id_col), on=id_col, how="semi"
+        )
+    return scanned.filter(F.col(content_col).rlike(pattern))

@@ -1950,6 +1950,36 @@ WHERE contains(content, '{n}')
 """
 
 
+def q_code_grep_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME substring workload through the persisted gram-bucketed
+    trigram store (sources/trigram_store.py): corpus trigrammed once at
+    write time, df probe driver-side, candidate scan pruned to the
+    needle's bucket directories. The verify keeps the answer exact, so it
+    shares q_code_grep_count's oracle. Store write memoized per
+    (application, corpus), same rationale as the LSH store."""
+    import hashlib as _h
+    import tempfile
+
+    from jassjr_spark.operators.grep import build_trigram_index
+    from jassjr_spark.sources.code_corpus import code_documents
+    from jassjr_spark.sources.trigram_store import (
+        grep_persisted,
+        read_trigram_store,
+        write_trigram_store,
+    )
+
+    cd = code_documents(_code_corpus(spark, sf_dir))
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/jassjr_tri_store_{tag}"
+    skey = (spark.sparkContext.applicationId, sf_dir, "tri_store")
+    if _INDEX_MEMO.get(skey) != path:
+        write_trigram_store(build_trigram_index(cd), path)
+        _INDEX_MEMO[skey] = path
+    store = read_trigram_store(spark, path)
+    out = grep_persisted(cd, GREP_NEEDLE, store)
+    return out.select("docid", "docno", "n_matches")
+
+
 def q_code_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style same-language clone candidates
     (sources/code_corpus.py:clone_pairs): winnowing fingerprints,
@@ -2058,6 +2088,7 @@ def catalog() -> dict[str, tuple]:
         "code_repo_bm25_top10": (q_code_repo_bm25_top10, _sql_code_repo_bm25()),
         "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),
         "code_grep_count": (q_code_grep_count, _sql_code_grep()),
+        "code_grep_persisted": (q_code_grep_persisted, _sql_code_grep()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),
     }

@@ -1,0 +1,133 @@
+"""Persisted trigram store — the grep analogue of the term index store.
+
+Layout (all Parquet, mirroring sources/index_store.py's contract):
+
+    {path}/grams/bucket=NN/...  (gram, docid), gram-bucket-hashed,
+                                sorted (gram, docid) within files
+    {path}/gram_df/             (gram, df) — the rarest-first statistic
+    {path}/_meta                (n_buckets, ...) layout contract
+
+Why this layout scales (10^12 files, the Zoekt/Code-Search shard shape):
+
+* ``bucket = md5(gram) % n_buckets`` is the SAME portable hash as the
+  term store (index_store.term_bucket_py/col), computable driver-side —
+  a needle's <= max_grams trigrams map to bucket ids in Python and the
+  scan prunes to those directories before any I/O.
+* within a bucket, files sort by (gram, docid): row-group min/max stats
+  on gram prune pages under the ``gram IN`` pushdown, and one gram's
+  postings are contiguous — grep's per-gram fseek.
+* the df probe is driver-side over gram_df restricted to the needle's
+  grams (a <= max_grams-row lookup), so gram selection costs no job over
+  the postings; hot-gram postings (the Zipf head) are never read at all
+  once rarest-first selection skips them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jassjr_spark.operators.grep import grep, needle_grams
+from jassjr_spark.sources.index_store import (
+    read_meta,
+    term_bucket_col,
+    term_bucket_py,
+    write_meta,
+)
+
+DEFAULT_BUCKETS = 32
+
+
+@dataclass
+class TrigramStore:
+    path: str
+    grams: DataFrame  # (gram, docid, bucket)
+    n_buckets: int
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.grams.sparkSession
+
+
+def write_trigram_store(
+    tri: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Persist a (gram, docid) relation from grep.build_trigram_index.
+
+    _meta first (same rationale as write_index: a half-written store may
+    be missing rows but can never prune the WRONG bucket)."""
+    write_meta(tri.sparkSession, path, n_buckets)
+    (
+        tri.withColumn("bucket", term_bucket_col(F.col("gram"), n_buckets))
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("gram", "docid")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/grams")
+    )
+    (
+        tri.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+        .write.mode("overwrite").parquet(f"{path}/gram_df")
+    )
+
+
+def read_trigram_store(spark: SparkSession, path: str) -> TrigramStore:
+    meta = read_meta(spark, path)
+    return TrigramStore(
+        path=path,
+        grams=spark.read.parquet(f"{path}/grams"),
+        n_buckets=meta["n_buckets"],
+    )
+
+
+def pruned_grams(store: TrigramStore, grams: list[str]) -> DataFrame:
+    """Gram postings restricted to ``grams``: bucket-directory pruning
+    (planning time) + gram IN pushdown (row-group min/max)."""
+    p = store.grams
+    if store.n_buckets > 0:
+        buckets = sorted({term_bucket_py(g, store.n_buckets) for g in grams})
+        p = p.filter(F.col("bucket").isin(buckets))
+    return p.filter(F.col("gram").isin(list(grams)))
+
+
+def probe_gram_dfs(store: TrigramStore, needle: str) -> dict[str, int]:
+    """(gram -> df) for the needle's grams only — a tiny driver-side
+    lookup against the persisted gram_df table. Grams absent from the
+    corpus are absent here; grep_candidates treats them as df 0 (they
+    sort first and correctly empty the intersection)."""
+    grams = needle_grams(needle)
+    if not grams:
+        return {}
+    rows = (
+        store.spark.read.parquet(f"{store.path}/gram_df")
+        .filter(F.col("gram").isin(grams))
+        .collect()
+    )
+    return {r.gram: r.df for r in rows}
+
+
+def grep_persisted(
+    docs: DataFrame,
+    needle: str,
+    store: TrigramStore,
+    max_grams: int = 8,
+    id_col: str = "docid",
+    content_col: str = "content",
+) -> DataFrame:
+    """grep against the persisted store: df probe -> rarest-first gram
+    selection -> bucket/gram-pruned candidate scan -> exact verify over
+    ``docs``. Answer identical to the unindexed scan (asserted in tests);
+    only the plan changes."""
+    dfs = probe_gram_dfs(store, needle)
+    grams = needle_grams(needle)
+    if grams:
+        chosen = sorted(grams, key=lambda g: dfs.get(g, 0))[:max_grams]
+        index = pruned_grams(store, chosen)
+    else:
+        index = None  # needle < 3 chars: full-scan fallback inside grep
+    return grep(
+        docs, needle, index=index, max_grams=max_grams, gram_dfs=dfs,
+        id_col=id_col, content_col=content_col,
+    )

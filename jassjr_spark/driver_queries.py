@@ -705,6 +705,33 @@ FROM documents WHERE CAST(doc_id AS VARCHAR) = '{SHOW_DOCNO}'
 """
 
 
+SUGGEST_WORD = "hast"
+
+
+def q_ft_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean (operators/tooling.py:suggest_terms): dictionary terms
+    within edit distance 2 of a misspelling, ranked (dist asc, cf desc,
+    term asc). Spark's levenshtein == DuckDB's (plain edit distance), so
+    the entry hashes exactly."""
+    from jassjr_spark.operators.tooling import suggest_terms
+
+    return suggest_terms(corpus_index(spark, sf_dir), SUGGEST_WORD)
+
+
+def _sql_ft_suggest(max_dist: int = 2, k: int = 5) -> str:
+    w = SUGGEST_WORD
+    return f"""{_INDEX_CTES}
+SELECT term, CAST(levenshtein(term, '{w}') AS BIGINT) AS dist,
+       CAST(df AS BIGINT) AS df, cf,
+       CAST(row_number() OVER (ORDER BY levenshtein(term, '{w}') ASC,
+                               cf DESC, term ASC) AS BIGINT) AS rank
+FROM dict
+WHERE abs(length(term) - {len(w)}) <= {max_dist}
+  AND levenshtein(term, '{w}') <= {max_dist}
+QUALIFY rank <= {k}
+"""
+
+
 def q_ft_vocab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 (tools/vocab_diff.py): diff the full-corpus dictionary against
     the dictionary of the docid < 100 slice — every discrepancy row."""
@@ -2060,6 +2087,7 @@ def catalog() -> dict[str, tuple]:
         "ft_top_terms": (q_ft_top_terms, SQL_FT_TOP_TERMS),
         "ft_show_document": (q_ft_show_document, SQL_FT_SHOW_DOCUMENT),
         "ft_vocab_diff": (q_ft_vocab_diff, SQL_FT_VOCAB_DIFF),
+        "ft_suggest": (q_ft_suggest, _sql_ft_suggest()),
         "ft_trec_eval": (q_ft_trec_eval, _sql_trec_eval()),
         "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -57,6 +57,41 @@ def show_document(docs: DataFrame, docno: str) -> DataFrame:
     return docs.filter(F.col("docno") == docno)
 
 
+def suggest_terms(
+    index: Index, word: str, max_dist: int = 2, k: int = 5
+) -> DataFrame:
+    """Did-you-mean: dictionary terms within edit distance ``max_dist``
+    of ``word`` -> (term, dist, df, cf, rank), best-first. The standard
+    spell-correction companion to a search engine (the reference has
+    none); ranked by (distance asc, cf desc, term asc) — closest first,
+    popularity breaks distance ties, spelling breaks popularity ties, so
+    the cut at k is deterministic and cross-engine stable.
+
+    Scale shape: a vocab-sized scan, not a corpus-sized one, and the
+    cheap ``abs(len-len(word)) <= max_dist`` band filter prunes before
+    the O(len^2) levenshtein runs (a Parquet-pushable predicate on a
+    dictionary sorted/min-maxed by a length column, if persisted so).
+    Spark's bounded variant levenshtein(l, r, threshold) would cap the
+    DP early; the unbounded form is kept for oracle parity.
+    """
+    dist = F.levenshtein(F.col("term"), F.lit(word))
+    w = Window.orderBy(
+        F.col("dist").asc(), F.col("cf").desc(), F.col("term").asc()
+    )
+    return (
+        index.dictionary
+        .filter(
+            F.abs(F.length("term") - F.lit(len(word))) <= max_dist
+        )
+        .withColumn("dist", dist.cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("term", "dist", F.col("df").cast("long").alias("df"),
+                "cf", "rank")
+    )
+
+
 TREC_EVAL_CUTOFFS = (5, 10, 15, 20, 30, 100, 200, 500, 1000)
 
 

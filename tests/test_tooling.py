@@ -112,3 +112,34 @@ def test_trec_eval_summary_averages_unrounded(spark):
     assert rows["2"].recip_rank == round(1 / 7, 4)
     assert rows["all"].recip_rank == round((1 / 3 + 1 / 7) / 2, 4)
     assert rows["all"].map == round((1 / 3 + 1 / 7) / 2, 4)
+
+
+def test_suggest_terms(spark):
+    """Did-you-mean: distance-banded candidates, deterministic
+    (dist asc, cf desc, term asc) ranking, k cut."""
+    from jassjr_spark.operators.tooling import suggest_terms
+
+    docs = spark.createDataFrame(
+        [(0, "D0", "table table table tablet cable fable stable stub"),
+         (1, "D1", "tablet cable cable unrelatedword"),
+         (2, "D2", "fable stable table")],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(docs, prepend_docno=False).cache()
+    rows = suggest_terms(idx, "tabel", max_dist=2, k=5).collect()
+    got = [(r.term, r.dist, r.rank) for r in rows]
+    # within dist 2: table (2, cf 4) and tablet (2, cf 2); cable/fable/
+    # stable are dist 3 ('able' vs 'abel' already costs 2). Equal dist
+    # => cf desc decides.
+    assert got == [("table", 2, 1), ("tablet", 2, 2)]
+    # widen the radius: dist-3 terms appear AFTER every dist-2 term,
+    # cf desc then term asc inside the tie (cable cf 3 > fable == stable
+    # cf 2, then alphabetical)
+    wide = [r.term for r in suggest_terms(idx, "tabel", max_dist=3,
+                                          k=10).collect()]
+    assert wide == ["table", "tablet", "cable", "fable", "stable"]
+    # band filter: nothing beyond +-2 length can appear even at k=100
+    far = suggest_terms(idx, "tabel", max_dist=2, k=100).collect()
+    assert all(abs(len(r.term) - 5) <= 2 for r in far)
+    # k cut
+    assert len(suggest_terms(idx, "tabel", max_dist=3, k=2).collect()) == 2

@@ -2007,6 +2007,58 @@ def q_code_grep_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("docid", "docno", "n_matches")
 
 
+def q_code_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted-navigation counts (operators/search.py:facet_counts): per
+    query, matching-file counts per language over the input_hint corpus —
+    the "how many would each filter leave" numbers a scoped-search UI
+    shows next to search_scoped results."""
+    from jassjr_spark.operators.search import facet_counts
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    idx = code_index(spark, sf_dir)
+    facets = code_documents(_code_corpus(spark, sf_dir)).select(
+        "docid", F.col("lang").alias("facet")
+    )
+    qrows = [
+        (qid, pos, t) for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    return facet_counts(idx, queries, facets).select(
+        F.col("query_id").cast("long"), "facet", "n_docs"
+    )
+
+
+def _sql_code_facet_lang() -> str:
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    )
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, sum(contrib) AS rsv FROM scored GROUP BY 1, 2
+)
+SELECT CAST(a.query_id AS BIGINT) AS query_id, c.lang AS facet,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM acc a JOIN codedocs c USING (docid)
+WHERE a.rsv > 0
+GROUP BY 1, 2
+"""
+
+
 def q_code_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style same-language clone candidates
     (sources/code_corpus.py:clone_pairs): winnowing fingerprints,
@@ -2117,6 +2169,7 @@ def catalog() -> dict[str, tuple]:
         "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),
         "code_grep_count": (q_code_grep_count, _sql_code_grep()),
         "code_grep_persisted": (q_code_grep_persisted, _sql_code_grep()),
+        "code_facet_lang": (q_code_facet_lang, _sql_code_facet_lang()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),
     }

@@ -372,6 +372,41 @@ def search_collapsed(
     return resolve_docnos(index, ranked, s["n_docs"], extra=("grp",))
 
 
+def facet_counts(
+    index: Index, queries: DataFrame, facets: DataFrame,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Faceted navigation counts: for each query, the number of MATCHING
+    documents (rsv > 0 under the standard disjunctive scoring) per facet
+    value -> (query_id, facet, n_docs). The companion every scoped-search
+    UI needs ("python: 1,204 · java: 817 · ...") — counts answer "how
+    many would each filter leave", so they run over the UNSCOPED match
+    set with global statistics, exactly like search_scoped scores.
+
+    ``facets`` is (docid, facet). Plan shape: the same pruned-postings
+    scan + accumulate as search(); the facet map joins AFTER the
+    accumulate (one row per matched doc, far smaller than postings) and
+    the count is a low-cardinality groupBy — partial-aggregated, no
+    top-k window at all.
+    """
+    from jassjr_spark.sources.index_store import pruned_postings
+
+    s = stats or index.scalar_stats()
+    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    postings = pruned_postings(index, qterms)
+    scored = score_postings(
+        queries, postings, index.dictionary, s["n_docs"], s["avgdl"],
+        qterms=qterms,
+    )
+    acc = accumulate(scored).filter(F.col("rsv") > 0.0)
+    f = facets.select(F.col("docid").cast("long").alias("docid"), "facet")
+    return (
+        acc.join(f, "docid")
+        .groupBy("query_id", "facet")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 def resolve_docnos(
     index: Index, ranked: DataFrame, n_docs: int,
     extra: tuple[str, ...] = (),

@@ -162,6 +162,35 @@ def test_collapsed_search_identity(spark, corpus):
                for ranks in by_q.values())
 
 
+def test_facet_counts_identity(spark, corpus):
+    """facet_counts == counting the full run's matches per facet value;
+    facets with zero matches are absent (UI renders them as 0)."""
+    from jassjr_spark.operators.search import facet_counts
+
+    cd = code_documents(corpus).select("docid", "docno", "content")
+    idx = build_index(cd, prepend_docno=False).cache()
+    facets = code_documents(corpus).select(
+        "docid", F.col("lang").alias("facet")
+    )
+    queries = spark.createDataFrame(
+        [(1, 0, "hash"), (1, 1, "table"), (2, 0, "zzzmissing")],
+        "query_id long, pos int, term string",
+    )
+    got = {(r.query_id, r.facet): r.n_docs
+           for r in facet_counts(idx, queries, facets).collect()}
+    full = (
+        search(idx, queries, k=10**9)
+        .join(cd.select("docid", "docno"), "docno")
+        .join(facets, "docid")
+        .collect()
+    )
+    want = {}
+    for r in full:
+        want[(r.query_id, r.facet)] = want.get((r.query_id, r.facet), 0) + 1
+    assert got == want
+    assert all(q == 1 for q, _ in got)  # the all-OOV query contributes none
+
+
 def test_clone_pairs_detects_planted_clone(spark):
     """Two same-lang files sharing a long token run must pair; the
     cross-lang copy must not; unrelated files must not."""

@@ -30,7 +30,8 @@ def main() -> None:
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--queries", type=int, default=50)
-    ap.add_argument("--mode", choices=["index", "search", "both"], default="both")
+    ap.add_argument("--mode", choices=["index", "search", "both", "grep"],
+                    default="both")
     args = ap.parse_args()
 
     from jassjr_spark.fixtures import synth_queries
@@ -91,6 +92,32 @@ def main() -> None:
         t = median_time(run_search, args.iters)
         out["search_sec"] = round(t, 3)
         out["queries_per_sec"] = round(args.queries / t, 2)
+
+    if args.mode == "grep":
+        # trigram-prefiltered substring search: index once (cached — the
+        # persisted-store analogue), then time candidate+verify for a
+        # mixed needle set (selective multi-word + hot single-token)
+        from jassjr_spark.operators.grep import (
+            build_trigram_index,
+            grep_many,
+            trigram_df,
+        )
+
+        tri = build_trigram_index(docs).cache()
+        tri.count()
+        dfs = {r.gram: r.df for r in trigram_df(tri).collect()}
+        needles = ["shuffle postings", "varbyte wand", "checkpoint",
+                   "index", "couch-2-5k"]
+
+        def run_grep():
+            # batched: all needles in ONE plan (grep_many) — per-needle
+            # sequential jobs measured 0.54 efficiency 4->16 from pure
+            # job-scheduling overhead
+            grep_many(docs, needles, index=tri, gram_dfs=dfs).count()
+
+        t = median_time(run_grep, args.iters)
+        out["grep_sec"] = round(t, 3)
+        out["grep_needles_per_sec"] = round(len(needles) / t, 2)
 
     print(json.dumps(out))
 

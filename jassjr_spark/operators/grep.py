@@ -143,6 +143,69 @@ def grep(
     ).withColumn("n_matches", match_count_col(content_col, needle))
 
 
+def grep_many(
+    docs: DataFrame,
+    needles: list[str],
+    index: DataFrame | None = None,
+    max_grams: int = 8,
+    gram_dfs: dict[str, int] | None = None,
+    id_col: str = "docid",
+    content_col: str = "content",
+) -> DataFrame:
+    """Batched grep: EVERY needle in one plan -> (needle, docid,
+    n_matches) plus ``docs``'s metadata columns. The search-batch
+    analogue of search(): per-query Spark-job scheduling dominates tiny
+    queries, so N needles ride one gram-postings scan + ONE
+    (needle, docid) intersection aggregation + one verify join instead
+    of N sequential jobs (measured 4->16-core scaling of the sequential
+    loop was 0.54 efficiency — pure scheduling overhead; the batch is
+    one shuffle regardless of N).
+
+    Correctness matches grep() needle-by-needle (asserted in tests):
+    needles >= 3 chars intersect their (rarest-first, df-guided) gram
+    selections; shorter needles skip the prefilter and full-scan within
+    the same plan.
+    """
+    spark = docs.sparkSession
+    ndf = spark.createDataFrame([(n,) for n in needles], "needle string")
+    long_needles = [n for n in needles if len(n) >= 3] if index is not None else []
+    if long_needles:
+        pairs = []  # (gram, needle) for each SELECTED gram
+        for n in long_needles:
+            grams = needle_grams(n)
+            if gram_dfs is not None:
+                grams = sorted(grams, key=lambda g: gram_dfs.get(g, 0))
+            for g in grams[:max_grams]:
+                pairs.append((g, n, len(grams[:max_grams])))
+        gmap = spark.createDataFrame(
+            pairs, "gram string, needle string, need int"
+        )
+        cand = (
+            index.filter(F.col("gram").isin(sorted({g for g, _, _ in pairs})))
+            .join(F.broadcast(gmap), "gram")
+            .groupBy("needle", "docid")
+            .agg(F.count(F.lit(1)).alias("_hit"), F.first("need").alias("_need"))
+            .filter(F.col("_hit") == F.col("_need"))
+            .select("needle", F.col("docid").alias(id_col))
+        )
+        long_scan = docs.join(cand, id_col)
+        short_scan = docs.crossJoin(
+            F.broadcast(ndf.filter(F.length("needle") < 3))
+        )
+        scanned = long_scan.unionByName(short_scan)
+    else:
+        scanned = docs.crossJoin(F.broadcast(ndf))
+    c, n = F.col(content_col), F.col("needle")
+    return (
+        scanned.filter(F.contains(c, n))
+        .withColumn(
+            "n_matches",
+            ((F.length(c) - F.length(F.replace(c, n, F.lit(""))))
+             / F.length(n)).cast("long"),
+        )
+    )
+
+
 # --------------------------------------------------------- regex prefilter
 
 

@@ -155,3 +155,25 @@ def test_short_docs_contribute_no_grams(spark):
                               "docid long, content string")
     rows = build_trigram_index(d).collect()
     assert {(r.docid, r.gram) for r in rows} == {(3, "abc")}
+
+
+def test_grep_many_matches_per_needle_grep(docs, tri, dfs):
+    from jassjr_spark.operators.grep import grep_many
+
+    needles = ["merge batch", "table", "zzznotthere", "ta", "customer query"]
+    got = sorted(
+        (r.needle, r.docid, r.n_matches)
+        for r in grep_many(docs, needles, index=tri, gram_dfs=dfs).collect()
+    )
+    want = sorted(
+        (nd, r.docid, r.n_matches)
+        for nd in needles
+        for r in grep(docs, nd, index=tri, gram_dfs=dfs).collect()
+    )
+    assert got == want
+    # and without any index (pure batched scan) — same answer
+    got2 = sorted(
+        (r.needle, r.docid, r.n_matches)
+        for r in grep_many(docs, needles).collect()
+    )
+    assert got2 == want

@@ -2007,6 +2007,51 @@ def q_code_grep_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("docid", "docno", "n_matches")
 
 
+GREP_NEEDLES = ["merge batch", "query", "zzznotthere", "th"]
+
+
+def q_code_grep_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-needle substring search (operators/grep.py:
+    grep_many): all needles ride ONE gram-postings scan + one
+    intersection + one verify join instead of N sequential Spark jobs.
+    The set mixes a selective multi-word needle, a hot single token, a
+    guaranteed miss, and a 2-char needle (below the trigram floor, so it
+    full-scans within the same plan). Exact semantics are unchanged from
+    grep(), so the oracle is the brute-force per-needle LIKE scan."""
+    from jassjr_spark.operators.grep import (
+        build_trigram_index,
+        grep_many,
+        trigram_df,
+    )
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    cd = code_documents(_code_corpus(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir, "tri")
+    if key not in _INDEX_MEMO:
+        _INDEX_MEMO[key] = build_trigram_index(cd).cache()
+    dkey = (spark.sparkContext.applicationId, sf_dir, "tri_dfs")
+    if dkey not in _INDEX_MEMO:
+        _INDEX_MEMO[dkey] = {
+            r.gram: r.df for r in trigram_df(_INDEX_MEMO[key]).collect()
+        }
+    out = grep_many(
+        cd, GREP_NEEDLES, index=_INDEX_MEMO[key], gram_dfs=_INDEX_MEMO[dkey]
+    )
+    return out.select("needle", "docid", "docno", "n_matches")
+
+
+def _sql_code_grep_many() -> str:
+    rows = ", ".join(f"('{n}')" for n in GREP_NEEDLES)
+    return f"""WITH {_sql_code_ctes()},
+needles(needle) AS (VALUES {rows})
+SELECT n.needle, c.docid, c.docno,
+       CAST((length(c.content) - length(replace(c.content, n.needle, '')))
+            / length(n.needle) AS BIGINT) AS n_matches
+FROM codedocs c CROSS JOIN needles n
+WHERE contains(c.content, n.needle)
+"""
+
+
 def q_code_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted-navigation counts (operators/search.py:facet_counts): per
     query, matching-file counts per language over the input_hint corpus —
@@ -2169,6 +2214,7 @@ def catalog() -> dict[str, tuple]:
         "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),
         "code_grep_count": (q_code_grep_count, _sql_code_grep()),
         "code_grep_persisted": (q_code_grep_persisted, _sql_code_grep()),
+        "code_grep_many": (q_code_grep_many, _sql_code_grep_many()),
         "code_facet_lang": (q_code_facet_lang, _sql_code_facet_lang()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),

@@ -2007,6 +2007,97 @@ def q_code_grep_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("docid", "docno", "n_matches")
 
 
+def q_code_snippets_top5(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """KWIC hit-highlighting (operators/snippets.py): the top-5 BM25 run
+    per query, each result annotated with the earliest query-term
+    occurrence in its content and a +/-40-char highlighted window — the
+    search-UI last mile the reference's TREC run line stops short of.
+    Ranked with the wide-margin + rounded re-rank pattern shared by every
+    ranked entry; snippet arithmetic is pure substring math, identical in
+    Spark and the DuckDB oracle via snippet_sql()."""
+    from jassjr_spark.operators.search import search
+    from jassjr_spark.operators.snippets import snippets
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    idx = code_index(spark, sf_dir)
+    qrows = [
+        (qid, pos, t) for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    run = search(idx, queries, k=200)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    cd = code_documents(_code_corpus(spark, sf_dir))
+    out = snippets(topk, cd.select("docno", "content"), queries, id_col="docno")
+    return out.select(
+        F.col("query_id").cast("long"), "docno", "rank", "rsv", "term",
+        F.col("pos").cast("long"), "snippet",
+    )
+
+
+def _sql_code_snippets(k: int = 5) -> str:
+    from jassjr_spark.operators.snippets import snippet_sql
+
+    frags = snippet_sql()
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    )
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+),
+topk AS (
+  SELECT query_id, docid, c.docno, rsv,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rsv DESC, c.docno DESC) AS rank
+  FROM acc JOIN codedocs c USING (docid)
+  WHERE rsv > 0
+  QUALIFY rank <= {k}
+),
+hit AS (
+  SELECT t.query_id, t.docid, t.docno, t.rank, t.rsv, q.term,
+         {frags['pos']} AS pos
+  FROM topk t
+  JOIN queries q USING (query_id)
+  JOIN codedocs c USING (docid)
+  WHERE {frags['pos']} > 0
+),
+firsthit AS (
+  SELECT h.*, row_number() OVER (PARTITION BY query_id, docid
+                                 ORDER BY pos, term) AS rn
+  FROM hit h
+)
+SELECT CAST(h.query_id AS BIGINT) AS query_id, h.docno,
+       CAST(h.rank AS BIGINT) AS rank, h.rsv, h.term,
+       CAST(h.pos AS BIGINT) AS pos,
+       {frags['snippet']} AS snippet
+FROM firsthit h JOIN codedocs c USING (docid)
+WHERE h.rn = 1
+"""
+
+
 GREP_NEEDLES = ["merge batch", "query", "zzznotthere", "th"]
 
 
@@ -2215,6 +2306,7 @@ def catalog() -> dict[str, tuple]:
         "code_grep_count": (q_code_grep_count, _sql_code_grep()),
         "code_grep_persisted": (q_code_grep_persisted, _sql_code_grep()),
         "code_grep_many": (q_code_grep_many, _sql_code_grep_many()),
+        "code_snippets_top5": (q_code_snippets_top5, _sql_code_snippets()),
         "code_facet_lang": (q_code_facet_lang, _sql_code_facet_lang()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),

@@ -2098,6 +2098,77 @@ WHERE h.rn = 1
 """
 
 
+MLT_DOCID = 42
+MLT_N_TERMS = 10
+MLT_MIN_DF = 2
+
+
+def q_code_mlt_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """More-like-this (operators/mlt.py): the 10 documents most similar
+    to doc 42, via its top-10 tf*idf terms run as a disjunctive BM25
+    query (source doc excluded). Term selection is deterministic (weight
+    desc, term asc; min_df/idf bounds), so the oracle reselects the same
+    terms in SQL; the run itself uses the wide-margin + rounded re-rank
+    pattern shared by every ranked entry."""
+    from jassjr_spark.operators.mlt import more_like_this
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    idx = code_index(spark, sf_dir)
+    cd = code_documents(_code_corpus(spark, sf_dir)).select(
+        "docid", "docno", "content"
+    )
+    run = more_like_this(
+        idx, cd, MLT_DOCID, k=200, n_terms=MLT_N_TERMS, min_df=MLT_MIN_DF
+    )
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.orderBy(F.col("rsv").desc(), F.col("docno").desc())
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("docno", "rank", "rsv")
+    )
+
+
+def _sql_code_mlt(k: int = 10) -> str:
+    d, n_terms, min_df = MLT_DOCID, MLT_N_TERMS, MLT_MIN_DF
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+srcterms AS (
+  SELECT term, CAST(count(*) AS INT) AS tf
+  FROM toks WHERE docid = {d} GROUP BY term
+),
+sel AS (
+  SELECT s.term
+  FROM srcterms s JOIN dict dd USING (term) CROSS JOIN stats st
+  WHERE dd.df >= {min_df} AND dd.df < st.n
+  ORDER BY s.tf * ln(CAST(st.n AS DOUBLE) / dd.df) DESC, s.term ASC
+  LIMIT {n_terms}
+),
+scored AS (
+  SELECT p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM sel q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n AND p.docid != {d}
+),
+acc AS (
+  SELECT docid, round(sum(contrib), 4) AS rsv FROM scored GROUP BY docid
+)
+SELECT c.docno,
+       CAST(row_number() OVER (ORDER BY rsv DESC, c.docno DESC) AS BIGINT)
+         AS rank,
+       rsv
+FROM acc JOIN codedocs c USING (docid)
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 GREP_NEEDLES = ["merge batch", "query", "zzznotthere", "th"]
 
 
@@ -2307,6 +2378,7 @@ def catalog() -> dict[str, tuple]:
         "code_grep_persisted": (q_code_grep_persisted, _sql_code_grep()),
         "code_grep_many": (q_code_grep_many, _sql_code_grep_many()),
         "code_snippets_top5": (q_code_snippets_top5, _sql_code_snippets()),
+        "code_mlt_top10": (q_code_mlt_top10, _sql_code_mlt()),
         "code_facet_lang": (q_code_facet_lang, _sql_code_facet_lang()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),

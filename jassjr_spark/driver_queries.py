@@ -2098,6 +2098,80 @@ WHERE h.rn = 1
 """
 
 
+def q_code_federated_top10(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Scatter-gather search (operators/federated.py): the corpus split
+    into 3 independent shard indexes (docid % 3), each scored shard-local
+    with GLOBALIZED statistics (summed N/total_terms, one-job summed df),
+    gathered by a union of <= k-row runs. The oracle is the PLAIN
+    whole-corpus BM25 SQL — hash-matching it is the rank-identity proof
+    at contract level (the pytest proves it bitwise on unrounded rsv)."""
+    from jassjr_spark.operators.federated import federated_search
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    key = (spark.sparkContext.applicationId, sf_dir, "code_shards")
+    if key not in _INDEX_MEMO:
+        cd = code_documents(_code_corpus(spark, sf_dir)).select(
+            "docid", "docno", "content"
+        )
+        _INDEX_MEMO[key] = [
+            build_index(
+                cd.filter(F.col("docid") % 3 == m), prepend_docno=False
+            ).cache()
+            for m in range(3)
+        ]
+    shards = _INDEX_MEMO[key]
+    qrows = [
+        (qid, pos, t) for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    run = federated_search(shards, queries, k=200)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docno", "rank", "rsv")
+    )
+
+
+def _sql_code_federated(k: int = 10) -> str:
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    )
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, c.docno,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, c.docno DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc JOIN codedocs c USING (docid)
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 MLT_DOCID = 42
 MLT_N_TERMS = 10
 MLT_MIN_DF = 2
@@ -2379,6 +2453,7 @@ def catalog() -> dict[str, tuple]:
         "code_grep_many": (q_code_grep_many, _sql_code_grep_many()),
         "code_snippets_top5": (q_code_snippets_top5, _sql_code_snippets()),
         "code_mlt_top10": (q_code_mlt_top10, _sql_code_mlt()),
+        "code_federated_top10": (q_code_federated_top10, _sql_code_federated()),
         "code_facet_lang": (q_code_facet_lang, _sql_code_facet_lang()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),

@@ -2172,6 +2172,130 @@ QUALIFY rank <= {k}
 """
 
 
+PRF_R = 5
+PRF_EXPAND = 3
+PRF_MIN_DF = 2
+
+
+def q_code_prf_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Pseudo-relevance feedback (operators/prf.py): pass 1 BM25, top-5
+    feedback docs per query (rounded-rsv cut), top-3 expansion terms by
+    integer-tf-sum * ln(N/df) (CPython log, term-asc ties), pass 2 with
+    the expanded query (expansion pos 1000+rank so the rsv fold is
+    position-identical cross-engine). Both passes + both selections are
+    mirrored verbatim in the DuckDB oracle."""
+    from jassjr_spark.operators.prf import prf_search
+
+    idx = code_index(spark, sf_dir)
+    qrows = [
+        (qid, pos, t) for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    run = prf_search(
+        idx, queries, k=200, r=PRF_R, n_expand=PRF_EXPAND, min_df=PRF_MIN_DF
+    )
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docno", "rank", "rsv")
+    )
+
+
+def _sql_code_prf(k: int = 10) -> str:
+    from jassjr_spark.operators.prf import EXPAND_POS_BASE
+
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    )
+    contrib = (
+        f"ln(CAST(s.n AS DOUBLE) / d.df)"
+        f" * ((p.tf * ({K1} + 1.0))"
+        f" / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl))))"
+    )
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+scored0 AS (
+  SELECT q.query_id, p.docid, {contrib} AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc0 AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored0 GROUP BY query_id, docid
+),
+fb AS (
+  SELECT query_id, docid FROM (
+    SELECT a0.query_id, a0.docid,
+           row_number() OVER (PARTITION BY a0.query_id
+                              ORDER BY a0.rsv DESC, c.docno DESC) AS rn
+    FROM acc0 a0 JOIN codedocs c USING (docid)
+    WHERE a0.rsv > 0
+  ) WHERE rn <= {PRF_R}
+),
+fbtf AS (
+  SELECT f.query_id, p.term, CAST(sum(p.tf) AS BIGINT) AS tf_sum
+  FROM fb f JOIN postings p USING (docid)
+  GROUP BY f.query_id, p.term
+),
+cand AS (
+  SELECT ft.query_id, ft.term, ft.tf_sum, dd.df
+  FROM fbtf ft
+  JOIN dict dd USING (term)
+  CROSS JOIN stats st
+  WHERE dd.df >= {PRF_MIN_DF} AND dd.df < st.n
+    AND NOT EXISTS (SELECT 1 FROM queries q2
+                    WHERE q2.query_id = ft.query_id AND q2.term = ft.term)
+),
+sel AS (
+  SELECT query_id, term,
+         CAST({EXPAND_POS_BASE} + rn - 1 AS INT) AS pos
+  FROM (
+    SELECT c2.query_id, c2.term,
+           row_number() OVER (
+             PARTITION BY c2.query_id
+             ORDER BY c2.tf_sum * ln(CAST(st.n AS DOUBLE) / c2.df) DESC,
+                      c2.term ASC) AS rn
+    FROM cand c2 CROSS JOIN stats st
+  ) WHERE rn <= {PRF_EXPAND}
+),
+expq AS (
+  SELECT query_id, pos, term FROM queries
+  UNION ALL
+  SELECT query_id, pos, term FROM sel
+),
+scored1 AS (
+  SELECT q.query_id, p.docid, {contrib} AS contrib
+  FROM expq q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc1 AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored1 GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, c.docno,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, c.docno DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc1 JOIN codedocs c USING (docid)
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 MLT_DOCID = 42
 MLT_N_TERMS = 10
 MLT_MIN_DF = 2
@@ -2454,6 +2578,7 @@ def catalog() -> dict[str, tuple]:
         "code_snippets_top5": (q_code_snippets_top5, _sql_code_snippets()),
         "code_mlt_top10": (q_code_mlt_top10, _sql_code_mlt()),
         "code_federated_top10": (q_code_federated_top10, _sql_code_federated()),
+        "code_prf_top10": (q_code_prf_top10, _sql_code_prf()),
         "code_facet_lang": (q_code_facet_lang, _sql_code_facet_lang()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),

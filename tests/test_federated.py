@@ -77,6 +77,31 @@ def test_federated_matches_single_index(corpus, spark):
     }
 
 
+def test_federated_over_persisted_shards(corpus, spark, tmp_path_factory):
+    """Shards read back from disk answer identically — the scatter phase
+    rides each store's bucket-pruned postings scan."""
+    from jassjr_spark.sources.index_store import read_index, write_index
+
+    docs, full, shards = corpus
+    root = tmp_path_factory.mktemp("fedshards")
+    persisted = []
+    for m, sh in enumerate(shards):
+        write_index(sh, str(root / f"shard{m}"), n_buckets=4)
+        persisted.append(read_index(spark, str(root / f"shard{m}")))
+    queries = spark.createDataFrame(
+        [(0, 0, "couch"), (0, 1, "the")], "query_id long, pos int, term string"
+    )
+    mem = sorted(
+        (r.query_id, r.docno, r.rank, r.rsv)
+        for r in federated_search(shards, queries, k=10).collect()
+    )
+    disk = sorted(
+        (r.query_id, r.docno, r.rank, r.rsv)
+        for r in federated_search(persisted, queries, k=10).collect()
+    )
+    assert mem == disk and mem
+
+
 def test_federated_oov_and_empty(corpus, spark):
     _, _, shards = corpus
     queries = spark.createDataFrame(

@@ -2172,6 +2172,85 @@ QUALIFY rank <= {k}
 """
 
 
+CODE_NEG_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["merge"]),          # excludes docs containing 'merge'
+    (2, ["table"]),
+    (3, ["zzzalsomissing"]),  # OOV negation excludes nothing
+]
+
+
+def q_code_not_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Boolean NOT (operators/search.py:search_negated): the standard
+    CODE_QUERIES ranked disjunctively, minus every document containing
+    that query's negated terms — exclusion via a second pruned postings
+    fetch anti-joined before the cut. Query 3's negation is OOV, pinning
+    the excludes-nothing semantics against the oracle."""
+    from jassjr_spark.operators.search import search_negated
+
+    idx = code_index(spark, sf_dir)
+    qrows = [
+        (qid, pos, t) for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    nrows = [(qid, t) for qid, terms in CODE_NEG_QUERIES for t in terms]
+    negated = spark.createDataFrame(nrows, "query_id long, term string")
+    run = search_negated(idx, queries, negated, k=200)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docno", "rank", "rsv")
+    )
+
+
+def _sql_code_not(k: int = 10) -> str:
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    )
+    nrows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in CODE_NEG_QUERIES for t in terms
+    )
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+negq(query_id, term) AS (VALUES {nrows}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+),
+kept AS (
+  SELECT a.* FROM acc a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM negq nq JOIN postings p USING (term)
+    WHERE nq.query_id = a.query_id AND p.docid = a.docid
+  )
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, c.docno,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, c.docno DESC) AS BIGINT) AS rank,
+       rsv
+FROM kept JOIN codedocs c USING (docid)
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 PRF_R = 5
 PRF_EXPAND = 3
 PRF_MIN_DF = 2
@@ -2579,6 +2658,7 @@ def catalog() -> dict[str, tuple]:
         "code_mlt_top10": (q_code_mlt_top10, _sql_code_mlt()),
         "code_federated_top10": (q_code_federated_top10, _sql_code_federated()),
         "code_prf_top10": (q_code_prf_top10, _sql_code_prf()),
+        "code_not_top10": (q_code_not_top10, _sql_code_not()),
         "code_facet_lang": (q_code_facet_lang, _sql_code_facet_lang()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),

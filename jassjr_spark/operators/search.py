@@ -286,6 +286,51 @@ def search_conjunctive(
     return resolve_docnos(index, top_k(acc, k), n_docs)
 
 
+def search_negated(
+    index: Index, queries: DataFrame, negated: DataFrame, k: int = TOP_K,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Boolean NOT companion mode: rank by the ordinary disjunctive BM25
+    sum over the positive ``queries`` (identical kernel + ordered fold),
+    excluding every document that contains ANY of the query's ``negated``
+    (query_id, term) terms. The reference is disjunctive-only
+    (JASSjr_search.py:64-88); ``+a -b`` is the other standard boolean
+    companion next to AND (search_conjunctive).
+
+    Exclusion semantics follow the postings algebra: an OOV negated term
+    excludes nothing; a df==N negated term excludes everything (classic
+    boolean — the query returns empty).
+
+    Plan shape: the exclusion set is a SECOND pruned postings fetch
+    (only the negated terms' lists are read, bucket+term pushdown like
+    any query), distinct-projected to (query_id, docid) and left-anti
+    joined against the accumulated scores BEFORE the top-k cut, so every
+    returned page is full. Common-term negations make the exclusion side
+    large; that is inherent to NOT over an inverted index and stays a
+    single co-partitioned anti-join (AQE picks broadcast when the lists
+    are small).
+    """
+    from jassjr_spark.sources.index_store import pruned_postings
+
+    s = stats or index.scalar_stats()
+    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    nterms = [r.term for r in negated.select("term").distinct().collect()]
+    scored = score_postings(
+        queries, pruned_postings(index, qterms), index.dictionary,
+        s["n_docs"], s["avgdl"], qterms=qterms,
+    )
+    acc = accumulate(scored)
+    if nterms:
+        excl = (
+            pruned_postings(index, nterms)
+            .join(F.broadcast(negated.select("query_id", "term")), "term")
+            .select("query_id", "docid")
+            .distinct()
+        )
+        acc = acc.join(excl, ["query_id", "docid"], "left_anti")
+    return resolve_docnos(index, top_k(acc, k), s["n_docs"])
+
+
 def search_scoped(
     index: Index, queries: DataFrame, allowed: DataFrame, k: int = TOP_K,
     stats: dict | None = None, broadcast_scope: bool = True,

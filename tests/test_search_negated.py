@@ -1,0 +1,86 @@
+"""Boolean NOT search (operators/search.py:search_negated)."""
+
+import pytest
+
+from jassjr_spark.operators.index_build import build_index
+from jassjr_spark.operators.search import search, search_negated
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "d0", "apple banana common"),
+            (1, "d1", "apple cherry common"),
+            (2, "d2", "apple banana cherry common"),
+            (3, "d3", "apple common"),
+            # keeps df(apple)=4 < N=5 so 'apple' stays scorable
+            (4, "d4", "durian common"),
+        ],
+        "docid long, docno string, content string",
+    )
+    return build_index(docs, prepend_docno=False).cache()
+
+
+def _q(spark, terms, qid=1):
+    return spark.createDataFrame(
+        [(qid, p, t) for p, t in enumerate(terms)],
+        "query_id long, pos int, term string",
+    )
+
+
+def _neg(spark, terms, qid=1):
+    return spark.createDataFrame(
+        [(qid, t) for t in terms], "query_id long, term string"
+    )
+
+
+def test_negation_excludes_matching_docs(spark, corpus):
+    out = search_negated(corpus, _q(spark, ["apple"]), _neg(spark, ["banana"]))
+    docnos = {r.docno for r in out.collect()}
+    assert docnos == {"d1", "d3"}
+
+
+def test_negation_keeps_scores_identical(spark, corpus):
+    """Survivors score exactly as in the plain disjunctive run."""
+    plain = {
+        r.docno: r.rsv for r in search(corpus, _q(spark, ["apple"])).collect()
+    }
+    negd = {
+        r.docno: r.rsv
+        for r in search_negated(
+            corpus, _q(spark, ["apple"]), _neg(spark, ["cherry"])
+        ).collect()
+    }
+    assert set(negd) == {"d0", "d3"}
+    for docno, rsv in negd.items():
+        assert rsv == plain[docno]
+
+
+def test_oov_negation_is_noop(spark, corpus):
+    plain = sorted(
+        (r.docno, r.rank) for r in search(corpus, _q(spark, ["banana"])).collect()
+    )
+    negd = sorted(
+        (r.docno, r.rank)
+        for r in search_negated(
+            corpus, _q(spark, ["banana"]), _neg(spark, ["zzznothere"])
+        ).collect()
+    )
+    assert negd == plain
+
+
+def test_df_equals_n_negation_empties(spark, corpus):
+    out = search_negated(corpus, _q(spark, ["apple"]), _neg(spark, ["common"]))
+    assert out.collect() == []
+
+
+def test_pages_stay_full_after_exclusion(spark, corpus):
+    # k=2 with one doc excluded: the page refills from below the cut
+    out = search_negated(
+        corpus, _q(spark, ["apple", "banana"]), _neg(spark, ["cherry"]), k=2
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    assert {r.docno for r in rows} == {"d0", "d3"}
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2]

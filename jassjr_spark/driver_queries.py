@@ -2172,6 +2172,120 @@ QUALIFY rank <= {k}
 """
 
 
+BM25F_FIELDS = (("content", 1.0, 0.4), ("path", 3.0, 0.5))
+
+
+def q_code_bm25f_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """BM25F fielded ranking (operators/bm25f.py): content + path fields,
+    path hits weighted 3x with their own length normalization, df counted
+    over any-field matches so a path-only term still scores. Queries add
+    a 4th entry whose term ('py') occurs ONLY in paths — rows the flat
+    engine can never return. Wide-margin + rounded re-rank as ever; the
+    oracle mirrors the field combine verbatim (fixed field order, fixed
+    operator grouping)."""
+    from jassjr_spark.operators.bm25f import (
+        Field,
+        bm25f_search,
+        build_fielded_index,
+    )
+    from jassjr_spark.sources.code_corpus import code_docno_col
+
+    key = (spark.sparkContext.applicationId, sf_dir, "bm25f")
+    if key not in _INDEX_MEMO:
+        corpus = _code_corpus(spark, sf_dir)
+        docs = corpus.select(
+            F.col("doc_id").cast("long").alias("docid"),
+            code_docno_col().alias("docno"),
+            "content", "path",
+        )
+        _INDEX_MEMO[key] = build_fielded_index(
+            docs, tuple(Field(*f) for f in BM25F_FIELDS)
+        ).cache()
+    idx = _INDEX_MEMO[key]
+    qrows = [
+        (qid, pos, t)
+        for qid, terms in CODE_QUERIES + [(4, ["py", "hash"])]
+        for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    run = bm25f_search(idx, queries, k=200)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docno", "rank", "rsv")
+    )
+
+
+def _sql_code_bm25f(k: int = 10) -> str:
+    (c1, w1, b1), (c2, w2, b2) = BM25F_FIELDS
+    assert (c1, c2) == ("content", "path")
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES + [(4, ["py", "hash"])]
+        for pos, t in enumerate(terms)
+    )
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+ptoks AS (
+  SELECT doc_id AS docid,
+         substr(unnest(regexp_extract_all(lower(path), '{_TOK_SQL}')), 1, 255)
+           AS term
+  FROM code
+),
+p2 AS (
+  SELECT term, docid, CAST(count(*) AS INT) AS tf FROM ptoks GROUP BY term, docid
+),
+dl2 AS (SELECT docid, count(*) AS len2 FROM ptoks GROUP BY docid),
+alldl2 AS (
+  SELECT d.doc_id AS docid, COALESCE(l.len2, 0) AS len2
+  FROM documents d LEFT JOIN dl2 l ON d.doc_id = l.docid
+),
+avg2 AS (SELECT avg(len2) AS a2 FROM alldl2),
+comb AS (
+  SELECT COALESCE(a.term, b.term) AS term,
+         COALESCE(a.docid, b.docid) AS docid,
+         COALESCE(a.tf, 0) AS tf1, COALESCE(b.tf, 0) AS tf2
+  FROM postings a FULL OUTER JOIN p2 b
+    ON a.term = b.term AND a.docid = b.docid
+),
+fdict AS (SELECT term, count(*) AS df FROM comb GROUP BY term),
+fjoin AS (
+  SELECT q.query_id, q.pos, cb.docid, fd.df, s.n,
+         ({w1} * cb.tf1 / ((1.0 - {b1}) + {b1} * (a1.len / s.avgdl))
+          + {w2} * cb.tf2 / ((1.0 - {b2}) + {b2} * (a2.len2 / v.a2))) AS tfn
+  FROM queries q
+  JOIN fdict fd USING (term)
+  JOIN comb cb USING (term)
+  JOIN alldl a1 ON cb.docid = a1.docid
+  JOIN alldl2 a2 ON cb.docid = a2.docid
+  CROSS JOIN stats s
+  CROSS JOIN avg2 v
+  WHERE fd.df < s.n
+),
+fscored AS (
+  SELECT query_id, docid,
+         ln(CAST(n AS DOUBLE) / df) * (tfn / ({K1} + tfn)) AS contrib
+  FROM fjoin
+),
+facc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM fscored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, c.docno,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, c.docno DESC) AS BIGINT) AS rank,
+       rsv
+FROM facc JOIN codedocs c USING (docid)
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 CODE_NEG_QUERIES: list[tuple[int, list[str]]] = [
     (1, ["merge"]),          # excludes docs containing 'merge'
     (2, ["table"]),
@@ -2659,6 +2773,7 @@ def catalog() -> dict[str, tuple]:
         "code_federated_top10": (q_code_federated_top10, _sql_code_federated()),
         "code_prf_top10": (q_code_prf_top10, _sql_code_prf()),
         "code_not_top10": (q_code_not_top10, _sql_code_not()),
+        "code_bm25f_top10": (q_code_bm25f_top10, _sql_code_bm25f()),
         "code_facet_lang": (q_code_facet_lang, _sql_code_facet_lang()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),

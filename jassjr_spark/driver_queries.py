@@ -732,6 +732,59 @@ QUALIFY rank <= {k}
 """
 
 
+COMPLETE_PREFIX = "s"
+RELATED_SEED = "merge"
+
+
+def q_ft_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query autocomplete (operators/tooling.py:complete_prefix): top-10
+    dictionary terms under a prefix by collection frequency — the
+    companion UI affordance to did-you-mean. (cf, term) is unique per
+    term so the limit cut is deterministic in both engines."""
+    from jassjr_spark.operators.tooling import complete_prefix
+
+    return complete_prefix(corpus_index(spark, sf_dir), COMPLETE_PREFIX)
+
+
+def _sql_ft_complete(k: int = 10) -> str:
+    return f"""{_INDEX_CTES}
+SELECT term, CAST(df AS BIGINT) AS df, cf
+FROM dict
+WHERE term LIKE '{COMPLETE_PREFIX}%'
+ORDER BY cf DESC, term
+LIMIT {k}
+"""
+
+
+def q_ft_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related searches (operators/tooling.py:related_terms): terms
+    co-occurring with the seed, ranked by lift = n_co/df (PMI-order for
+    a fixed seed, but one correctly-rounded division instead of a
+    cross-engine ln). Broadcast of the seed docid set is df-gated."""
+    from jassjr_spark.operators.tooling import related_terms
+
+    return related_terms(corpus_index(spark, sf_dir), RELATED_SEED)
+
+
+def _sql_ft_related(k: int = 10, min_co: int = 2) -> str:
+    t = RELATED_SEED
+    return f"""{_INDEX_CTES},
+seed AS (SELECT docid FROM postings WHERE term = '{t}'),
+co AS (
+  SELECT p.term, CAST(count(*) AS BIGINT) AS n_co
+  FROM postings p JOIN seed USING (docid)
+  WHERE p.term != '{t}'
+  GROUP BY p.term
+  HAVING count(*) >= {min_co}
+)
+SELECT c.term, c.n_co, CAST(d.df AS BIGINT) AS df,
+       c.n_co * 1.0 / d.df AS lift
+FROM co c JOIN dict d USING (term)
+ORDER BY lift DESC, term
+LIMIT {k}
+"""
+
+
 def q_ft_vocab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 (tools/vocab_diff.py): diff the full-corpus dictionary against
     the dictionary of the docid < 100 slice — every discrepancy row."""
@@ -2738,6 +2791,8 @@ def catalog() -> dict[str, tuple]:
         "ft_show_document": (q_ft_show_document, SQL_FT_SHOW_DOCUMENT),
         "ft_vocab_diff": (q_ft_vocab_diff, SQL_FT_VOCAB_DIFF),
         "ft_suggest": (q_ft_suggest, _sql_ft_suggest()),
+        "ft_complete": (q_ft_complete, _sql_ft_complete()),
+        "ft_related": (q_ft_related, _sql_ft_related()),
         "ft_trec_eval": (q_ft_trec_eval, _sql_trec_eval()),
         "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -194,3 +194,60 @@ def trec_eval_metrics(
         *[f"p_at_{c}" for c in cutoffs], "recall",
     )
     return out.unionByName(summary)
+
+
+def complete_prefix(index: Index, prefix: str, k: int = 10) -> DataFrame:
+    """Query autocomplete: the dictionary's top-k terms starting with
+    ``prefix``, ranked by collection frequency (ties: term asc — the
+    (cf, term) key is unique per term, so the cut is deterministic).
+    The companion to suggest_terms (did-you-mean); on the persisted
+    term-sorted dictionary the startswith filter is a pushed range scan.
+    """
+    return (
+        index.dictionary.filter(F.col("term").startswith(prefix))
+        .orderBy(F.col("cf").desc(), F.col("term"))
+        .limit(k)
+        .select("term", F.col("df").cast("long"), F.col("cf").cast("long"))
+    )
+
+
+def related_terms(
+    index: Index, term: str, k: int = 10, min_co: int = 2
+) -> DataFrame:
+    """"Related searches": terms co-occurring with ``term``, ranked by
+    LIFT = n_co / df — order-equivalent to PMI for a fixed seed term
+    (PMI = ln(N * n_co / (df_seed * df)) is monotone in n_co/df), but
+    computed with ONE correctly-rounded double division so the ranking
+    and the emitted score are bitwise-reproducible cross-engine (a
+    JVM-vs-libm ``ln`` can drift an ulp; a division cannot).
+
+    Plan: the seed's postings project to a docid set, broadcast into one
+    postings probe (the PRF mining shape, operators/prf.py), then a
+    vocab-sized count + dictionary join. ``min_co`` kills the long tail
+    of one-off co-occurrences.
+    """
+    seed_docs = (
+        index.postings.filter(F.col("term") == term).select("docid")
+    )
+    # broadcast only when the seed's postings verifiably fit (driver df
+    # probe, like S4) — a stopword seed must shuffle-join instead
+    row = index.dictionary.filter(F.col("term") == term).select("df").first()
+    seed_df = row.df if row else 0
+    probe = F.broadcast(seed_docs) if seed_df <= 5_000_000 else seed_docs
+    co = (
+        index.postings.join(probe, "docid")
+        .filter(F.col("term") != term)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= min_co)
+    )
+    return (
+        co.join(index.dictionary.select("term", "df"), "term")
+        .withColumn(
+            "lift",
+            (F.col("n_co").cast("double") * F.lit(1.0)) / F.col("df").cast("double"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("term"))
+        .limit(k)
+        .select("term", "n_co", F.col("df").cast("long"), "lift")
+    )

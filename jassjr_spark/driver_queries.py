@@ -1080,6 +1080,47 @@ WHERE round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 4) >= 0.1
 """
 
 
+def q_decon_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (operators/dedup.py:decontaminate): the
+    doc_id%50==7 slice plays the benchmark; every corpus doc (docid<300)
+    sharing >= 2 distinct 5-gram shingles with a benchmark doc is
+    flagged. Benchmark shingles broadcast, so the sweep is one map-side
+    join over corpus shingles. Identity leaks (the benchmark docs
+    themselves) surface as full-overlap pairs — the point of the check."""
+    docs = load_documents(spark, sf_dir).select("docid", "content")
+    corpus = docs.filter(F.col("docid") < 300)
+    benchmark = docs.filter(F.col("docid") % 50 == 7)
+    return dedup.decontaminate(corpus, benchmark, n=5, min_shared=2)
+
+
+SQL_DECON_PAIRS = f"""
+WITH cdocs AS (
+  SELECT doc_id AS docid, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+  FROM documents WHERE doc_id < 300
+),
+bdocs AS (
+  SELECT doc_id AS bench_id, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+  FROM documents WHERE doc_id % 50 = 7
+),
+csh AS (
+  SELECT DISTINCT docid,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+  FROM cdocs WHERE len(toks) > 0
+),
+bsh AS (
+  SELECT DISTINCT bench_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+  FROM bdocs WHERE len(toks) > 0
+)
+SELECT c.docid, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM csh c JOIN bsh b USING (shingle)
+GROUP BY c.docid, b.bench_id
+HAVING count(*) >= 2
+"""
+
+
 # ------------------------------------------------------ text-stats queries
 
 
@@ -2799,6 +2840,7 @@ def catalog() -> dict[str, tuple]:
         "dedup_fingerprints": (q_dedup_fingerprints, SQL_DEDUP_FINGERPRINTS),
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
         "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
+        "decon_pairs": (q_decon_pairs, SQL_DECON_PAIRS),
         "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
         "dedup_simhash_pairs": (q_dedup_simhash_pairs,
                                 _sql_dedup_simhash_pairs()),

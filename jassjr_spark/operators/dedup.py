@@ -337,3 +337,35 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("docid_a", "docid_b", "hamming")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Test-set decontamination sweep: (docid, bench_id, n_shared) for
+    every corpus document sharing >= ``min_shared`` DISTINCT word
+    n-grams with a benchmark document — the standard leakage check a
+    training-data pipeline runs before a corpus ships (identity leaks,
+    quotations, paraphrase cores all surface as shared n-grams).
+
+    Both sides reuse shingles() (JVM transform, no UDF). The benchmark
+    is normally orders of magnitude smaller than the corpus, so its
+    shingle set broadcasts (default) and the sweep is ONE map-side join
+    over the corpus shingles — no shuffle of corpus-sized data at all;
+    pass broadcast_benchmark=False for a benchmark too large to fit,
+    which falls back to a shuffle join on the shingle key.
+    """
+    c_sh = shingles(corpus, n)
+    b_sh = shingles(benchmark, n).withColumnRenamed("docid", "bench_id")
+    if broadcast_benchmark:
+        b_sh = F.broadcast(b_sh)
+    return (
+        c_sh.join(b_sh, "shingle")
+        .groupBy("docid", "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -50,9 +50,16 @@ def snippets(
     """
     content = F.col(content_col)
     pos = F.expr(f"locate(term, lower({content_col}))")
+    # (top-k run x query terms) is driver-bounded by construction — pin
+    # the broadcast so the content probe never shuffles at any scale
     hits = (
-        results.join(queries.select("query_id", "term"), "query_id")
-        .join(docs.select(id_col, content_col), id_col)
+        docs.select(id_col, content_col)
+        .join(
+            F.broadcast(
+                results.join(queries.select("query_id", "term"), "query_id")
+            ),
+            id_col,
+        )
         .withColumn("pos", pos)
         .filter(F.col("pos") > 0)
     )

@@ -157,3 +157,79 @@ def test_assign_docids_partitioning_is_pinned(spark, tmp_path):
         # unset so the shared session's later tests keep the (faster)
         # localCheckpoint path
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+
+
+def test_snippets_plan_broadcasts_run_into_content(spark):
+    """The KWIC join must broadcast the tiny top-k run, never shuffle the
+    corpus content."""
+    from jassjr_spark.operators.snippets import snippets
+
+    docs = _docs(spark, 200)
+    idx = build_index(docs, prepend_docno=False).cache()
+    q = spark.createDataFrame(
+        [(1, 0, "the")], "query_id long, pos int, term string"
+    )
+    run = search(idx, q, k=5)
+    out = snippets(run, docs.select("docno", "content"), q, id_col="docno")
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_negated_plan_prunes_both_postings_fetches(spark, tmp_path):
+    """Positive AND negated term lists must reach the store as pushed
+    term filters (two pruned fetches, no full postings scan)."""
+    from jassjr_spark.operators.search import search_negated
+
+    idx = build_index(_docs(spark, 200)).cache()
+    path = str(tmp_path / "negidx")
+    write_index(idx, path)
+    on_disk = read_index(spark, path)
+    q = spark.createDataFrame(
+        [(1, 0, "postings")], "query_id long, pos int, term string"
+    )
+    neg = spark.createDataFrame([(1, "arrow")], "query_id long, term string")
+    p = _plan(search_negated(on_disk, q, neg, k=5))
+    assert "PushedFilters" in p
+    # both the scoring fetch and the exclusion fetch push their term
+    assert p.count("isnotnull(term") >= 2 or p.count("term#") >= 2
+    assert "BroadcastHashJoin" in p
+
+
+def test_federated_gather_has_no_corpus_exchange(spark):
+    """The gather union re-rank must operate on <= k-rows-per-shard runs:
+    the only window in the plan sees the unioned runs, and the query
+    side joins stay broadcast."""
+    from jassjr_spark.operators.federated import federated_search
+
+    docs = _docs(spark, 200)
+    shards = [
+        build_index(
+            docs.filter(F.col("docid") % 2 == m), prepend_docno=False
+        ).cache()
+        for m in range(2)
+    ]
+    q = spark.createDataFrame(
+        [(1, 0, "the")], "query_id long, pos int, term string"
+    )
+    p = _plan(federated_search(shards, q, k=5))
+    assert "BroadcastHashJoin" in p
+    assert "Union" in p
+
+
+def test_bm25f_postings_meet_in_one_join_per_field(spark):
+    """The fielded combine is a full-outer join on (term, docid) plus the
+    broadcast query probe — the query side must never sort-merge."""
+    from jassjr_spark.operators.bm25f import (
+        Field, bm25f_search, build_fielded_index,
+    )
+
+    docs = _docs(spark, 100).withColumn(
+        "path", F.concat(F.lit("src/p"), F.col("docid"))
+    )
+    fidx = build_fielded_index(
+        docs, (Field("content", 1.0, 0.4), Field("path", 2.0, 0.5))
+    ).cache()
+    q = spark.createDataFrame(
+        [(1, 0, "the")], "query_id long, pos int, term string"
+    )
+    p = _plan(bm25f_search(fidx, q, k=5))
+    assert "BroadcastHashJoin" in p

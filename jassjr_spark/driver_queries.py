@@ -1121,6 +1121,35 @@ HAVING count(*) >= 2
 """
 
 
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing (operators/textstats.py:redact): mask emails
+    then digit runs, count both, sha256 the scrubbed text. The sha is
+    the invariant — hash-matching it proves both engines produced the
+    SAME scrubbed bytes for every row."""
+    from jassjr_spark.operators.textstats import redact
+
+    docs = load_documents(spark, sf_dir).select("docid", "content")
+    return redact(docs).select("docid", "n_email", "n_number", "clean_sha")
+
+
+def _sql_text_redact() -> str:
+    from jassjr_spark.operators.textstats import REDACT_PATTERNS
+
+    email, number = REDACT_PATTERNS["email"], REDACT_PATTERNS["number"]
+    return f"""
+WITH base AS (
+  SELECT doc_id AS docid, text,
+         regexp_replace(text, '{email}', '#', 'g') AS no_email
+  FROM documents
+)
+SELECT docid,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(no_email, '{number}')) AS BIGINT) AS n_number,
+       sha256(regexp_replace(no_email, '{number}', '#', 'g')) AS clean_sha
+FROM base
+"""
+
+
 # ------------------------------------------------------ text-stats queries
 
 
@@ -2841,6 +2870,7 @@ def catalog() -> dict[str, tuple]:
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
         "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
         "decon_pairs": (q_decon_pairs, SQL_DECON_PAIRS),
+        "text_redact": (q_text_redact, _sql_text_redact()),
         "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
         "dedup_simhash_pairs": (q_dedup_simhash_pairs,
                                 _sql_dedup_simhash_pairs()),

@@ -149,3 +149,37 @@ def winnow_fingerprints(
         d.select("docid", F.explode(F.array_distinct(wins)).alias("fp"))
         .distinct()
     )
+
+
+# ASCII-explicit so Java regex (Spark) and RE2 (DuckDB) agree exactly;
+# \d and \w unicode semantics differ between engines
+REDACT_PATTERNS = {
+    "number": "[0-9]+",
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+}
+
+
+def redact(docs: DataFrame, mask: str = "#") -> DataFrame:
+    """PII-style scrubbing pass a training-data pipeline runs before a
+    corpus ships: mask email-like spans then digit runs, count what was
+    masked, and fingerprint the scrubbed text.
+
+    -> (docid, n_email, n_number, clean_sha, clean): one row per doc;
+    ``clean_sha`` is the cross-engine invariant (sha256 of the scrubbed
+    bytes — the analogue of the corpus sha invariant, proving both
+    engines scrubbed identically). Emails are replaced BEFORE numbers so
+    digits inside an address are counted once, as part of the email.
+    Pure JVM regexp Column ops — one projection, no UDF, no shuffle.
+    """
+    email, number = REDACT_PATTERNS["email"], REDACT_PATTERNS["number"]
+    no_email = F.regexp_replace(F.col("content"), email, mask)
+    clean = F.regexp_replace(no_email, number, mask)
+    return docs.select(
+        "docid",
+        F.regexp_count(F.col("content"), F.lit(email)).cast("long")
+        .alias("n_email"),
+        F.regexp_count(no_email, F.lit(number)).cast("long")
+        .alias("n_number"),
+        F.sha2(clean, 256).alias("clean_sha"),
+        clean.alias("clean"),
+    )

@@ -845,6 +845,66 @@ def q_ft_trec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trec_eval_metrics(run, qrels, key="docid")
 
 
+def q_ft_ndcg(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """NDCG@10 (operators/tooling.py:ndcg_at) of the flagship k=1000 run
+    against the same synthetic qrels as ft_trec_eval — per-query rows
+    plus the 'all' mean row, trec_eval averaging discipline."""
+    from jassjr_spark.operators.tooling import ndcg_at
+
+    run = q_ft_bm25_top10(spark, sf_dir, k=1000)
+    docs = load_documents(spark, sf_dir).select("docid")
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in BM25_QUERIES], "query_id long"
+    )
+    qrels = qids.crossJoin(docs).filter(
+        (F.col("docid") % 13) == (F.col("query_id") % 13)
+    )
+    return ndcg_at(run, qrels, k=k, key="docid")
+
+
+def _sql_ft_ndcg(k: int = 10, depth: int = 1000) -> str:
+    bm25 = _sql_ft_bm25(depth)
+    inner = bm25.strip()
+    assert inner.startswith("WITH ")
+    return f"""{inner[:inner.rindex('SELECT CAST(query_id AS BIGINT)')]},
+run AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank
+  FROM acc
+  WHERE rsv > 0
+  QUALIFY rank <= {depth}
+),
+qrels AS (
+  SELECT q.query_id, d.doc_id AS docid
+  FROM (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id FROM queries) q
+  CROSS JOIN documents d
+  WHERE d.doc_id % 13 = q.query_id % 13
+),
+nrel AS (SELECT query_id, count(*) AS nrel FROM qrels GROUP BY query_id),
+dcg AS (
+  SELECT r.query_id, sum(1.0 / log2(r.rank + 1.0)) AS dcg
+  FROM run r JOIN qrels q ON r.query_id = q.query_id AND r.docid = q.docid
+  WHERE r.rank <= {k}
+  GROUP BY r.query_id
+),
+series AS (SELECT i FROM generate_series(1, {k}) t(i)),
+ideal AS (
+  SELECT n.query_id, sum(1.0 / log2(s.i + 1.0)) AS idcg
+  FROM nrel n JOIN series s ON s.i <= least(n.nrel, {k})
+  WHERE n.nrel > 0
+  GROUP BY n.query_id
+),
+perq AS (
+  SELECT i.query_id, COALESCE(d.dcg, 0.0) / i.idcg AS raw
+  FROM ideal i LEFT JOIN dcg d USING (query_id)
+)
+SELECT CAST(query_id AS VARCHAR) AS query_id, round(raw, 4) AS ndcg FROM perq
+UNION ALL
+SELECT 'all' AS query_id, round(avg(raw), 4) AS ndcg FROM perq
+"""
+
+
 def _sql_trec_eval(k: int = 1000) -> str:
     from jassjr_spark.operators.tooling import TREC_EVAL_CUTOFFS
 
@@ -2864,6 +2924,7 @@ def catalog() -> dict[str, tuple]:
         "ft_complete": (q_ft_complete, _sql_ft_complete()),
         "ft_related": (q_ft_related, _sql_ft_related()),
         "ft_trec_eval": (q_ft_trec_eval, _sql_trec_eval()),
+        "ft_ndcg": (q_ft_ndcg, _sql_ft_ndcg()),
         "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_fingerprints": (q_dedup_fingerprints, SQL_DEDUP_FINGERPRINTS),

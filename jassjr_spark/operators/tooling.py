@@ -251,3 +251,57 @@ def related_terms(
         .limit(k)
         .select("term", "n_co", F.col("df").cast("long"), "lift")
     )
+
+
+def ndcg_at(
+    run: DataFrame, qrels: DataFrame, k: int = 10, key: str = "docid",
+    include_summary: bool = True,
+) -> DataFrame:
+    """Binary-gain NDCG@k per query plus the trec_eval-style 'all' row
+    (mean of the UNROUNDED per-query values, then rounded — the same
+    averaging discipline as trec_eval_metrics):
+
+        dcg  = sum over relevant ranked hits (rank <= k) of 1/log2(rank+1)
+        idcg = sum_{i=1..min(R, k)} 1/log2(i+1)      (R = #relevant)
+
+    Queries with no relevant document are dropped (idcg undefined), as
+    trec_eval does. 4-decimal rounding absorbs cross-engine float-sum
+    order and log2 ulp variation, per the repo-wide rounding discipline.
+    """
+    hits = run.filter(F.col("rank") <= k).join(
+        qrels.select("query_id", key), ["query_id", key]
+    )
+    dcg = hits.groupBy("query_id").agg(
+        F.sum(F.lit(1.0) / F.log2(F.col("rank").cast("double") + F.lit(1.0)))
+        .alias("dcg")
+    )
+    ideal = (
+        qrels.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("nrel"))
+        .withColumn(
+            "idcg",
+            F.aggregate(
+                F.sequence(F.lit(1), F.least(F.col("nrel"), F.lit(k))),
+                F.lit(0.0),
+                lambda a, i: a
+                + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+            ),
+        )
+        .filter(F.col("nrel") > 0)
+    )
+    per_q = (
+        ideal.join(dcg, "query_id", "left")
+        .withColumn(
+            "_raw", F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")
+        )
+    )
+    out = per_q.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.round("_raw", 4).alias("ndcg"),
+    )
+    if not include_summary:
+        return out
+    summary = per_q.agg(F.round(F.avg("_raw"), 4).alias("ndcg")).select(
+        F.lit("all").alias("query_id"), "ndcg"
+    )
+    return out.unionByName(summary)

@@ -1210,6 +1210,99 @@ FROM base
 """
 
 
+def q_pipe_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (plans/data_pipeline.py:curate):
+    exact-dedup -> decontaminate (doc_id%50==7 as benchmark, 5-gram,
+    min_shared 2) -> quality gates (>=20 tokens, stopword_ratio >= 0.02,
+    distinct_ratio >= 0.35) -> PII redact, ONE lazy plan. Hash-matching
+    (docid, clean_sha, n_email, n_number) against the DuckDB mirror
+    proves the whole funnel — membership AND scrubbed bytes — end to
+    end."""
+    from jassjr_spark.plans.data_pipeline import curate
+
+    docs = load_documents(spark, sf_dir).select("docid", "content")
+    benchmark = docs.filter(F.col("docid") % 50 == 7)
+    out = curate(docs, benchmark=benchmark, decon_n=5, decon_min_shared=2)
+    return out.select("docid", "clean_sha", "n_email", "n_number")
+
+
+def _sql_pipe_curated() -> str:
+    from jassjr_spark.operators.textstats import REDACT_PATTERNS
+    from jassjr_spark.plans.data_pipeline import QualityGates
+
+    g = QualityGates()
+    email, number = REDACT_PATTERNS["email"], REDACT_PATTERNS["number"]
+    return f"""
+WITH d0 AS (SELECT doc_id AS docid, text AS content FROM documents),
+d1 AS (
+  SELECT docid, content FROM (
+    SELECT docid, content,
+           row_number() OVER (PARTITION BY sha256(content)
+                              ORDER BY docid) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+btoks AS (
+  SELECT doc_id AS bench_id, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+  FROM documents WHERE doc_id % 50 = 7
+),
+ctoks AS (
+  SELECT docid, regexp_extract_all(lower(content), '{_TOK_SQL}') AS toks
+  FROM d1
+),
+csh AS (
+  SELECT DISTINCT docid,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+  FROM ctoks WHERE len(toks) > 0
+),
+bsh AS (
+  SELECT DISTINCT bench_id,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 4, 1)),
+                               i -> array_to_string(toks[i:i+4], ' '))) AS shingle
+  FROM btoks WHERE len(toks) > 0
+),
+cont AS (
+  SELECT DISTINCT docid FROM (
+    SELECT c.docid FROM csh c JOIN bsh b USING (shingle)
+    GROUP BY c.docid, b.bench_id HAVING count(*) >= 2
+  )
+),
+d2 AS (
+  SELECT * FROM d1 WHERE docid NOT IN (SELECT docid FROM cont)
+),
+q AS (
+  SELECT docid,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, x -> x IN ({_stop_in}))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS stopword_ratio,
+         round(CASE WHEN len(toks) > 0
+               THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 4) AS distinct_ratio
+  FROM (SELECT docid, regexp_extract_all(lower(content), '{_TOK_SQL}') AS toks
+        FROM d2)
+),
+keep AS (
+  SELECT docid FROM q
+  WHERE n_tokens >= {g.min_tokens}
+    AND stopword_ratio >= {g.min_stopword_ratio}
+    AND distinct_ratio >= {g.min_distinct_ratio}
+),
+d3 AS (SELECT d2.* FROM d2 JOIN keep USING (docid)),
+base AS (
+  SELECT docid, content,
+         regexp_replace(content, '{email}', '#', 'g') AS no_email
+  FROM d3
+)
+SELECT docid,
+       sha256(regexp_replace(no_email, '{number}', '#', 'g')) AS clean_sha,
+       CAST(len(regexp_extract_all(content, '{email}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(no_email, '{number}')) AS BIGINT) AS n_number
+FROM base
+"""
+
+
 # ------------------------------------------------------ text-stats queries
 
 
@@ -2932,6 +3025,7 @@ def catalog() -> dict[str, tuple]:
         "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
         "decon_pairs": (q_decon_pairs, SQL_DECON_PAIRS),
         "text_redact": (q_text_redact, _sql_text_redact()),
+        "pipe_curated": (q_pipe_curated, _sql_pipe_curated()),
         "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
         "dedup_simhash_pairs": (q_dedup_simhash_pairs,
                                 _sql_dedup_simhash_pairs()),

@@ -74,3 +74,29 @@ def test_curate_without_benchmark_or_redaction(spark, frames):
     assert 5 in rows
     # content untouched, sha = sha of RAW content
     assert "555" in rows[2].content
+
+
+def test_curated_corpus_feeds_the_indexer(spark, frames):
+    """The pipeline's output shape is a valid indexer input: curate ->
+    build_index -> search end-to-end, and the scrubbed text is what got
+    indexed (digit runs are gone, mask token is searchable)."""
+    from jassjr_spark.operators.index_build import build_index
+    from jassjr_spark.operators.search import search
+
+    docs, _ = frames
+    gates = QualityGates(min_tokens=10, min_stopword_ratio=0.02,
+                         min_distinct_ratio=0.35)
+    curated = curate(docs, gates=gates).withColumn(
+        "docno", F.col("docid").cast("string")
+    )
+    idx = build_index(
+        curated.select("docid", "docno", "content"), prepend_docno=False
+    ).cache()
+    q = spark.createDataFrame(
+        [(1, 0, "555")], "query_id long, pos int, term string"
+    )
+    assert search(idx, q, k=10).collect() == []  # scrubbed digits unfindable
+    q2 = spark.createDataFrame(
+        [(1, 0, "quick")], "query_id long, pos int, term string"
+    )
+    assert search(idx, q2, k=10).count() > 0

@@ -2641,6 +2641,102 @@ QUALIFY rank <= {k}
 """
 
 
+CODE_REQ_TERMS: list[tuple[int, str]] = [
+    (1, "hash"),            # qid 1 requires 'hash'
+    (2, "merge"), (2, "sort"),  # qid 2 requires both
+    # qid 3 has no requirement -> degenerates to plain disjunctive
+]
+
+
+def q_code_mixed_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Lucene-style '+term' mixed boolean (operators/search.py:
+    search_mixed): required terms gate membership, ALL query terms score.
+    The required-match count rides the same aggregation as the rsv fold
+    (no extra shuffle). Query 3 carries no requirement, pinning the
+    degenerate-to-disjunctive case against the oracle."""
+    from jassjr_spark.operators.search import search_mixed
+
+    idx = code_index(spark, sf_dir)
+    qrows = [
+        (qid, pos, t) for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    required = spark.createDataFrame(
+        CODE_REQ_TERMS, "query_id long, term string"
+    )
+    run = search_mixed(idx, queries, required, k=200)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docno", "rank", "rsv")
+    )
+
+
+def _sql_code_mixed(k: int = 10) -> str:
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    )
+    req_rows = ", ".join(f"({qid}, '{t}')" for qid, t in CODE_REQ_TERMS)
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+req(query_id, term) AS (VALUES {req_rows}),
+dead AS (
+  SELECT DISTINCT query_id FROM req
+  WHERE term NOT IN (SELECT term FROM dict)
+),
+liveneed AS (
+  SELECT r.query_id, CAST(count(DISTINCT r.term) AS BIGINT) AS need
+  FROM req r JOIN dict d USING (term) CROSS JOIN stats s
+  WHERE d.df < s.n
+  GROUP BY r.query_id
+),
+needs AS (
+  SELECT q.query_id, COALESCE(l.need, 0) AS need
+  FROM (SELECT DISTINCT query_id FROM queries) q
+  LEFT JOIN liveneed l USING (query_id)
+  WHERE q.query_id NOT IN (SELECT query_id FROM dead)
+),
+scored AS (
+  SELECT q.query_id, p.docid, p.term,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT sc.query_id, sc.docid, round(sum(sc.contrib), 4) AS rsv,
+         count(DISTINCT CASE WHEN r.term IS NOT NULL THEN sc.term END)
+           AS matched
+  FROM scored sc
+  LEFT JOIN req r ON r.query_id = sc.query_id AND r.term = sc.term
+  GROUP BY sc.query_id, sc.docid
+),
+kept AS (
+  SELECT a.query_id, a.docid, a.rsv
+  FROM acc a JOIN needs n USING (query_id)
+  WHERE a.matched = n.need
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, c.docno,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, c.docno DESC) AS BIGINT) AS rank,
+       rsv
+FROM kept JOIN codedocs c USING (docid)
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 PRF_R = 5
 PRF_EXPAND = 3
 PRF_MIN_DF = 2
@@ -3056,6 +3152,7 @@ def catalog() -> dict[str, tuple]:
         "code_prf_top10": (q_code_prf_top10, _sql_code_prf()),
         "code_not_top10": (q_code_not_top10, _sql_code_not()),
         "code_bm25f_top10": (q_code_bm25f_top10, _sql_code_bm25f()),
+        "code_mixed_top10": (q_code_mixed_top10, _sql_code_mixed()),
         "code_facet_lang": (q_code_facet_lang, _sql_code_facet_lang()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),

@@ -1,0 +1,181 @@
+"""A user-facing query syntax over the engine's search modes.
+
+The reference reads bare disjunctive term lines (``JASSjr_search.py:
+59-63``); every production engine fronts that with a tiny query
+language. This one covers the standard operators and dispatches to the
+already-oracled engine modes — the parser is driver-side string work,
+the execution is entirely existing plans:
+
+    hash table            -> disjunctive BM25             (search)
+    +hash table           -> '+' terms REQUIRED, all score (search_mixed)
+    hash -merge           -> '-' terms excluded            (search_negated)
+    "hash table"          -> exact phrase                  (phrase_search)
+    lang:py hash          -> metadata scope                (search_scoped)
+
+Terms are normalized with the INDEX tokenizer rules (lowercase,
+255-char truncate, the reference's lexer alphabet), so a query spelled
+with punctuation finds what indexing stored.
+
+Composition matrix (anything else raises loudly rather than guessing):
+plain terms compose with any ONE of {required, negated, scope};
+required+negated compose (exclusion applied on a wide-margin mixed run);
+a phrase must be the whole query.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jassjr_spark.constants import MAX_TOKEN_LEN, TOKEN_RE
+from jassjr_spark.operators.index_build import Index
+
+_PHRASE_RE = re.compile(r'"([^"]*)"')
+_FIELD_RE = re.compile(r"^(\w+):(.+)$")
+
+NEGATION_MARGIN = 400   # extra depth for post-cut exclusion in mixed mode
+
+
+@dataclass
+class ParsedQuery:
+    positive: list[str] = field(default_factory=list)   # scored terms
+    required: list[str] = field(default_factory=list)   # subset of positive
+    negated: list[str] = field(default_factory=list)
+    phrases: list[list[str]] = field(default_factory=list)
+    filters: dict[str, str] = field(default_factory=dict)
+
+
+def _lex(text: str) -> list[str]:
+    return [t.lower()[:MAX_TOKEN_LEN] for t in re.findall(TOKEN_RE, text)]
+
+
+def parse_user_query(line: str) -> ParsedQuery:
+    """One query line -> ParsedQuery. Operators: leading ``+`` (required),
+    leading ``-`` (exclude), double quotes (phrase), ``field:value``
+    (metadata filter). Everything else is a scored term; all term text
+    runs through the index tokenizer rules."""
+    out = ParsedQuery()
+
+    def _take_phrase(m: re.Match) -> str:
+        toks = _lex(m.group(1))
+        if toks:
+            out.phrases.append(toks)
+        return " "
+
+    rest = _PHRASE_RE.sub(_take_phrase, line)
+    for raw in rest.split():
+        neg = raw.startswith("-")
+        req = raw.startswith("+")
+        body = raw[1:] if (neg or req) else raw
+        fm = _FIELD_RE.match(body) if not (neg or req) else None
+        if fm:
+            out.filters[fm.group(1).lower()] = fm.group(2)
+            continue
+        toks = _lex(body)
+        if not toks:
+            continue
+        if neg:
+            out.negated.extend(toks)
+        else:
+            out.positive.extend(toks)
+            if req:
+                out.required.extend(toks)
+    return out
+
+
+def run_user_query(
+    index: Index,
+    line: str,
+    k: int = 10,
+    metadata: DataFrame | None = None,
+    positions: DataFrame | None = None,
+    query_id: int = 0,
+) -> DataFrame:
+    """Parse ``line`` and execute it -> (query_id, docno, rank, rsv)."""
+    from jassjr_spark.operators.search import (
+        search, search_mixed, search_negated, search_scoped,
+    )
+
+    p = parse_user_query(line)
+    spark = index.dictionary.sparkSession
+
+    if p.phrases:
+        if (p.positive or p.negated or p.filters or len(p.phrases) > 1):
+            raise ValueError(
+                "a quoted phrase must be the whole query; combine results "
+                "of separate queries for phrase+boolean needs"
+            )
+        if positions is None:
+            raise ValueError("query quotes a phrase but no positional "
+                             "table was provided")
+        from jassjr_spark.operators.positional import phrase_search
+
+        run = phrase_search(
+            positions, index.doc_lengths, [(query_id, p.phrases[0])], k=k,
+            stats=index.scalar_stats(),
+        )
+        n = index.scalar_stats()["n_docs"]
+        from jassjr_spark.operators.search import resolve_docnos
+
+        return resolve_docnos(index, run.select(
+            "query_id", "docid", "rank", "rsv"), n)
+
+    if p.filters and (p.required or p.negated):
+        raise ValueError("field filters compose only with plain terms")
+    if not p.positive:
+        return spark.createDataFrame(
+            [], "query_id long, docno string, rank long, rsv double"
+        )
+
+    queries = spark.createDataFrame(
+        [(query_id, i, t) for i, t in enumerate(p.positive)],
+        "query_id long, pos int, term string",
+    )
+
+    if p.filters:
+        if metadata is None:
+            raise ValueError(f"query uses field filters {p.filters} but "
+                             "no metadata frame was provided")
+        allowed = metadata
+        for f_name, value in p.filters.items():
+            allowed = allowed.filter(F.col(f_name) == value)
+        return search_scoped(index, queries, allowed.select("docid"), k=k)
+
+    if p.required:
+        req = spark.createDataFrame(
+            [(query_id, t) for t in p.required], "query_id long, term string"
+        )
+        depth = k + NEGATION_MARGIN if p.negated else k
+        run = search_mixed(index, queries, req, k=depth)
+        if p.negated:
+            # exclusion on top of the wide-margin mixed run; exact unless
+            # >NEGATION_MARGIN excluded docs outrank the k-th survivor
+            excl = (
+                index.docids.join(
+                    index.postings.filter(F.col("term").isin(p.negated))
+                    .select("docid").distinct(),
+                    "docid",
+                ).select("docno")
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("rsv").desc(), F.col("docno").desc()
+            )
+            run = (
+                run.join(excl, "docno", "left_anti")
+                .drop("rank")
+                .withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "docno", "rank", "rsv")
+            )
+        return run
+
+    if p.negated:
+        neg = spark.createDataFrame(
+            [(query_id, t) for t in p.negated], "query_id long, term string"
+        )
+        return search_negated(index, queries, neg, k=k)
+
+    return search(index, queries, k=k, qterms=sorted(set(p.positive)))

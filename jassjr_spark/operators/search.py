@@ -286,6 +286,93 @@ def search_conjunctive(
     return resolve_docnos(index, top_k(acc, k), n_docs)
 
 
+def search_mixed(
+    index: Index, queries: DataFrame, required: DataFrame, k: int = TOP_K,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Lucene-style mixed boolean mode: a document must contain EVERY
+    ``required`` (query_id, term) term, but is scored on ALL of the
+    query's terms (the ``+term`` operator: required terms gate, optional
+    terms still lift the score). Degenerates to plain disjunctive search
+    with an empty required set and to search_conjunctive when required ==
+    all terms.
+
+    Required terms that are OOV empty the query (un-satisfiable, classic
+    boolean); required terms with df == N gate nothing and are dropped
+    from the requirement (they match every doc but cannot score).
+
+    Plan shape: identical to search_conjunctive — the required-match
+    count rides the SAME aggregation as the rsv fold (a conditional
+    countDistinct; no extra shuffle), the per-query need is a broadcast.
+    """
+    from jassjr_spark.sources.index_store import pruned_postings
+
+    s = stats or index.scalar_stats()
+    n_docs = s["n_docs"]
+    spark = queries.sparkSession
+    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    q = attach_idf(queries, index.dictionary, n_docs, qterms=qterms)
+
+    rterms = [r.term for r in required.select("term").distinct().collect()]
+    vocab = {
+        r.term for r in index.dictionary
+        .filter(F.col("term").isin(rterms)).select("term").collect()
+    }
+    # a required OOV term is un-satisfiable for that query
+    dead = required.filter(~F.col("term").isin(list(vocab)) if vocab
+                           else F.lit(True)).select("query_id").distinct()
+    # df==N required terms can't appear in scored rows (idf elision) —
+    # drop them from the need or every query would fail the gate
+    scorable = {
+        r.term for r in index.dictionary.filter(
+            F.col("term").isin(rterms) & (F.col("df") < n_docs)
+        ).select("term").collect()
+    }
+    live_req = required.filter(F.col("term").isin(list(scorable))
+                               if scorable else F.lit(False))
+    need_rows = (
+        live_req.groupBy("query_id")
+        .agg(F.countDistinct("term").cast("long").alias("need"))
+        .join(F.broadcast(dead), "query_id", "left_anti")
+    )
+    # queries with NO live required terms need 0 matches (pure disjunctive)
+    all_q = queries.select("query_id").distinct().join(
+        F.broadcast(dead), "query_id", "left_anti"
+    )
+    need_rows = all_q.join(need_rows, "query_id", "left").select(
+        "query_id", F.coalesce("need", F.lit(0)).alias("need")
+    )
+
+    postings = pruned_postings(index, qterms)
+    scored = postings.join(
+        F.broadcast(q.select("query_id", "pos", "term", "idf")), "term"
+    ).join(
+        F.broadcast(live_req.select("query_id", "term")
+                    .withColumn("req", F.lit(1))),
+        ["query_id", "term"], "left",
+    ).select(
+        "query_id", "docid", "term", "pos",
+        F.coalesce("req", F.lit(0)).alias("req"),
+        bm25_contrib(s["avgdl"]).alias("contrib"),
+    )
+    acc = (
+        scored.groupBy("query_id", "docid")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("pos", "contrib"))),
+                F.lit(0.0),
+                lambda a, x: a + x["contrib"],
+            ).alias("rsv"),
+            F.countDistinct(F.when(F.col("req") == 1, F.col("term")))
+            .cast("long").alias("matched_req"),
+        )
+        .join(F.broadcast(need_rows), "query_id")
+        .filter(F.col("matched_req") == F.col("need"))
+        .select("query_id", "docid", "rsv")
+    )
+    return resolve_docnos(index, top_k(acc, k), n_docs)
+
+
 def search_negated(
     index: Index, queries: DataFrame, negated: DataFrame, k: int = TOP_K,
     stats: dict | None = None,

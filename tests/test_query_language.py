@@ -1,0 +1,117 @@
+"""Query syntax parsing + dispatch (operators/query_language.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jassjr_spark.operators.index_build import build_index
+from jassjr_spark.operators.query_language import (
+    parse_user_query,
+    run_user_query,
+)
+from jassjr_spark.operators.search import search
+
+
+def test_parse_operators():
+    p = parse_user_query('+hash table -merge lang:py "exact phrase"')
+    assert p.positive == ["hash", "table"]
+    assert p.required == ["hash"]
+    assert p.negated == ["merge"]
+    assert p.filters == {"lang": "py"}
+    assert p.phrases == [["exact", "phrase"]]
+
+
+def test_parse_normalizes_like_the_indexer():
+    p = parse_user_query("Hello, WORLD!")
+    assert p.positive == ["hello", "world"]
+    # a 300-char token truncates to the index's 255-char limit
+    p2 = parse_user_query("x" * 300)
+    assert len(p2.positive[0]) == 255
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "d0", "apple banana orange", "py"),
+            (1, "d1", "apple cherry orange", "py"),
+            (2, "d2", "apple banana cherry", "rs"),
+            (3, "d3", "apple orange", "rs"),
+            (4, "d4", "grape melon kiwi", "py"),
+        ],
+        "docid long, docno string, content string, lang string",
+    )
+    idx = build_index(
+        docs.select("docid", "docno", "content"), prepend_docno=False
+    ).cache()
+    meta = docs.select("docid", "lang")
+    return docs, idx, meta
+
+
+def test_plain_query_matches_search(spark, engine):
+    _, idx, _ = engine
+    got = sorted(
+        (r.docno, r.rank, r.rsv)
+        for r in run_user_query(idx, "banana cherry").collect()
+    )
+    q = spark.createDataFrame(
+        [(0, 0, "banana"), (0, 1, "cherry")],
+        "query_id long, pos int, term string",
+    )
+    want = sorted((r.docno, r.rank, r.rsv) for r in search(idx, q).collect())
+    assert got == want and got
+
+
+def test_required_term_gates(spark, engine):
+    _, idx, _ = engine
+    rows = run_user_query(idx, "+banana cherry").collect()
+    # only docs WITH banana rank, but cherry still lifts d2 over d0
+    assert {r.docno for r in rows} == {"d0", "d2"}
+    ranks = {r.docno: r.rank for r in rows}
+    assert ranks["d2"] < ranks["d0"]
+
+
+def test_negated_term_excludes(spark, engine):
+    _, idx, _ = engine
+    rows = run_user_query(idx, "apple -cherry").collect()
+    assert {r.docno for r in rows} == {"d0", "d3"}
+
+
+def test_required_plus_negated(spark, engine):
+    _, idx, _ = engine
+    rows = run_user_query(idx, "+banana orange -cherry").collect()
+    assert {r.docno for r in rows} == {"d0"}
+
+
+def test_field_filter_scopes(spark, engine):
+    _, idx, meta = engine
+    rows = run_user_query(idx, "lang:py apple", metadata=meta).collect()
+    assert {r.docno for r in rows} == {"d0", "d1"}
+
+
+def test_phrase_query(spark, engine):
+    docs, idx, _ = engine
+    from jassjr_spark.operators.positional import build_positions
+
+    pos = build_positions(docs.select("docid", "content")).cache()
+    rows = run_user_query(idx, '"apple banana"', positions=pos).collect()
+    assert {r.docno for r in rows} == {"d0", "d2"}
+
+
+def test_unsupported_combos_raise(spark, engine):
+    _, idx, meta = engine
+    with pytest.raises(ValueError, match="whole query"):
+        run_user_query(idx, '"a b" extra')
+    with pytest.raises(ValueError, match="field filters"):
+        run_user_query(idx, "lang:py +apple", metadata=meta)
+    with pytest.raises(ValueError, match="metadata"):
+        run_user_query(idx, "lang:py apple")
+    with pytest.raises(ValueError, match="positional"):
+        run_user_query(idx, '"apple banana"')
+
+
+def test_empty_and_oov(spark, engine):
+    _, idx, _ = engine
+    assert run_user_query(idx, "").collect() == []
+    assert run_user_query(idx, "zzznope").collect() == []
+    # required OOV term -> unsatisfiable
+    assert run_user_query(idx, "+zzznope apple").collect() == []

@@ -84,3 +84,40 @@ def test_pages_stay_full_after_exclusion(spark, corpus):
     assert len(rows) == 2
     assert {r.docno for r in rows} == {"d0", "d3"}
     assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_mixed_degenerates_to_search_and_conjunctive(spark, corpus):
+    from jassjr_spark.operators.search import search_conjunctive, search_mixed
+
+    q = _q(spark, ["apple", "banana"])
+    empty_req = spark.createDataFrame([], "query_id long, term string")
+    got = sorted(
+        (r.docno, r.rank, r.rsv)
+        for r in search_mixed(corpus, q, empty_req).collect()
+    )
+    want = sorted(
+        (r.docno, r.rank, r.rsv) for r in search(corpus, q).collect()
+    )
+    assert got == want and got
+
+    all_req = _neg(spark, ["apple", "banana"])  # same (query_id, term) shape
+    got2 = sorted(
+        (r.docno, r.rank, r.rsv)
+        for r in search_mixed(corpus, q, all_req).collect()
+    )
+    want2 = sorted(
+        (r.docno, r.rank, r.rsv)
+        for r in search_conjunctive(corpus, q).collect()
+    )
+    assert got2 == want2 and got2
+
+
+def test_mixed_required_df_equals_n_is_dropped_from_need(spark, corpus):
+    from jassjr_spark.operators.search import search_mixed
+
+    # 'common' has df == N: it can't gate (nor score) — requiring it must
+    # NOT empty the query
+    q = _q(spark, ["apple", "common"])
+    req = _neg(spark, ["common"])
+    rows = search_mixed(corpus, q, req).collect()
+    assert {r.docno for r in rows} == {"d0", "d1", "d2", "d3"}

@@ -2737,6 +2737,83 @@ QUALIFY rank <= {k}
 """
 
 
+CODE_SYNONYMS = {"merge": "mergesort", "sort": "mergesort"}
+
+
+def q_code_syn_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Query-time synonym groups (operators/synonyms.py): 'merge' and
+    'sort' score as ONE merged term (summed tf, any-member df — Lucene
+    SynonymQuery semantics, so a synonym never double-counts a doc the
+    way naive expansion would). Query 2 carries both members (bag
+    semantics: two positions of the merged stat); queries 1 and 3 are
+    unaffected and pin the passthrough case."""
+    from jassjr_spark.operators.synonyms import synonym_search
+
+    idx = code_index(spark, sf_dir)
+    qrows = [
+        (qid, pos, t) for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    run = synonym_search(idx, queries, CODE_SYNONYMS, k=200)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docno", "rank", "rsv")
+    )
+
+
+def _sql_code_syn(k: int = 10) -> str:
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    )
+    syn_rows = ", ".join(f"('{t}', '{c}')" for t, c in CODE_SYNONYMS.items())
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+syn(term, canon) AS (VALUES {syn_rows}),
+mapped AS (
+  SELECT COALESCE(s.canon, p.term) AS canon, p.docid, p.tf
+  FROM postings p LEFT JOIN syn s USING (term)
+),
+mpost AS (
+  SELECT canon, docid, CAST(sum(tf) AS INT) AS tf FROM mapped GROUP BY canon, docid
+),
+mdict AS (SELECT canon, CAST(count(*) AS BIGINT) AS df FROM mpost GROUP BY canon),
+qmap AS (
+  SELECT q.query_id, q.pos, COALESCE(s.canon, q.term) AS canon
+  FROM queries q LEFT JOIN syn s USING (term)
+),
+scored AS (
+  SELECT qm.query_id, m.docid,
+         ln(CAST(st.n AS DOUBLE) / d.df)
+           * ((m.tf * ({K1} + 1.0))
+              / (m.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / st.avgdl)))) AS contrib
+  FROM qmap qm
+  JOIN mdict d USING (canon)
+  JOIN mpost m USING (canon)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats st
+  WHERE d.df < st.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, c.docno,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, c.docno DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc JOIN codedocs c USING (docid)
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 PRF_R = 5
 PRF_EXPAND = 3
 PRF_MIN_DF = 2
@@ -3153,6 +3230,7 @@ def catalog() -> dict[str, tuple]:
         "code_not_top10": (q_code_not_top10, _sql_code_not()),
         "code_bm25f_top10": (q_code_bm25f_top10, _sql_code_bm25f()),
         "code_mixed_top10": (q_code_mixed_top10, _sql_code_mixed()),
+        "code_syn_top10": (q_code_syn_top10, _sql_code_syn()),
         "code_facet_lang": (q_code_facet_lang, _sql_code_facet_lang()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),

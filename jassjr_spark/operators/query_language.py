@@ -86,6 +86,45 @@ def parse_user_query(line: str) -> ParsedQuery:
     return out
 
 
+def suggest_rewrite(index: Index, line: str, max_dist: int = 2) -> str | None:
+    """Did-you-mean for a whole query line: every positive term absent
+    from the dictionary is replaced by its best suggestion
+    (tooling.suggest_terms ranking); operators and in-vocabulary terms
+    pass through. Returns the rewritten line, or None when nothing
+    needed fixing or any OOV term has no suggestion in range."""
+    from jassjr_spark.operators.tooling import suggest_terms
+
+    p = parse_user_query(line)
+    uniq = list(dict.fromkeys(p.positive))
+    vocab = {
+        r.term for r in index.dictionary
+        .filter(F.col("term").isin(uniq)).select("term").collect()
+    }
+    oov = [t for t in uniq if t not in vocab]
+    if not oov:
+        return None
+    fixes = {}
+    for t in oov:
+        row = suggest_terms(index, t, max_dist=max_dist, k=1).first()
+        if row is None:
+            return None
+        fixes[t] = row.term
+
+    def _fix_token(raw: str) -> str:
+        neg, req = raw.startswith("-"), raw.startswith("+")
+        body = raw[1:] if (neg or req) else raw
+        toks = _lex(body)
+        if len(toks) == 1 and toks[0] in fixes and not _FIELD_RE.match(body):
+            return ("-" if neg else "+" if req else "") + fixes[toks[0]]
+        return raw
+
+    rest = _PHRASE_RE.sub(lambda m: m.group(0), line)  # phrases untouched
+    return " ".join(
+        _fix_token(tok) if not tok.startswith('"') else tok
+        for tok in rest.split()
+    )
+
+
 def run_user_query(
     index: Index,
     line: str,

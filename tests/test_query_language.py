@@ -115,3 +115,19 @@ def test_empty_and_oov(spark, engine):
     assert run_user_query(idx, "zzznope").collect() == []
     # required OOV term -> unsatisfiable
     assert run_user_query(idx, "+zzznope apple").collect() == []
+
+
+def test_suggest_rewrite(spark, engine):
+    from jassjr_spark.operators.query_language import suggest_rewrite
+
+    _, idx, _ = engine
+    # 'aple' -> 'apple'; in-vocab terms and operators untouched
+    fixed = suggest_rewrite(idx, "aple -cherry")
+    assert fixed == "apple -cherry"
+    # nothing OOV -> None (no rewrite needed)
+    assert suggest_rewrite(idx, "apple banana") is None
+    # hopeless OOV -> None (no suggestion in range)
+    assert suggest_rewrite(idx, "zzzzzzzzzzzz") is None
+    # the rewritten line executes
+    rows = run_user_query(idx, fixed).collect()
+    assert {r.docno for r in rows} == {"d0", "d3"}

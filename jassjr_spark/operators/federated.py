@@ -1,6 +1,8 @@
 """Scatter-gather search over independent index shards.
 
-A 100-TB corpus is indexed as many shard indexes (per-partition builds,
+The reference serves exactly one monolithic index (one vocab.bin /
+postings.bin pair, ``JASSjr_search.cpp:86-134``); a 100-TB corpus is
+instead indexed as many shard indexes (per-partition builds,
 ``plans/build_job.py``; zero-shuffle merge, ``index_store.merge_indexes``).
 Merging is the *storage* consolidation path; this module is the
 *query-time* alternative the big engines use (Elasticsearch/Solr

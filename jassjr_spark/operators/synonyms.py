@@ -1,6 +1,8 @@
 """Query-time synonym expansion with merged statistics.
 
-Lucene's SynonymQuery semantics: terms in one synonym group score as if
+The reference scores each query token against its own postings list
+verbatim (``JASSjr_search.py:64-88``) — no vocabulary normalization of
+any kind. Lucene's SynonymQuery semantics: terms in one synonym group score as if
 they were ONE term — per-document tf is the SUM over members, df is the
 count of documents containing ANY member — so a synonym never inflates
 a document's score the way naive query expansion (one contribution per

@@ -108,3 +108,60 @@ def test_federated_oov_and_empty(corpus, spark):
         [(0, 0, "zzzmissing")], "query_id long, pos int, term string"
     )
     assert federated_search(shards, queries, k=5).collect() == []
+
+
+def test_federated_live_plus_static_tier(spark, tmp_path):
+    """Scatter-gather composes with the STREAMING index: one static
+    shard (batch-built) + one live shard (epoch appends + refresh)
+    answer identically to a single index over the union — the
+    hot/cold-tier deployment shape. Shard docid spaces OVERLAP here
+    (each shard resolves docnos against its own docids table), proving
+    the gather needs no global docid coordination."""
+    from jassjr_spark.sources.index_store import read_index, write_meta
+    from jassjr_spark.streaming.incremental import (
+        append_documents,
+        refresh_derived,
+    )
+
+    rows = [
+        (docno_of(r, p, c), t)
+        for r, p, c, _, t in synth_docs(150)
+    ]
+    static_rows, live_rows = rows[:100], rows[100:]
+    static = build_index(
+        spark.createDataFrame(
+            [(i, d, c) for i, (d, c) in enumerate(static_rows)],
+            "docid long, docno string, content string",
+        )
+    ).cache()
+    live_path = str(tmp_path / "live_idx")
+    write_meta(spark, live_path, n_buckets=4)
+    for chunk in (live_rows[:30], live_rows[30:]):
+        batch = spark.createDataFrame(chunk, "docno string, content string")
+        append_documents(spark, batch, live_path, n_buckets=4)
+    refresh_derived(spark, live_path)
+    live = read_index(spark, live_path).cache()
+
+    full = build_index(
+        spark.createDataFrame(
+            [(i, d, c) for i, (d, c) in enumerate(rows)],
+            "docid long, docno string, content string",
+        )
+    ).cache()
+
+    lines = synth_queries(8)
+    qrows = [
+        (qid, pos, t)
+        for qid, line in enumerate(lines)
+        for pos, t in enumerate(line.split())
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    fed = sorted(
+        (r.query_id, r.docno, r.rsv)
+        for r in federated_search([static, live], queries, k=10).collect()
+    )
+    single = sorted(
+        (r.query_id, r.docno, r.rsv)
+        for r in search(full, queries, k=10).collect()
+    )
+    assert fed == single and fed

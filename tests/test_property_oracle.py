@@ -63,3 +63,46 @@ def test_engine_matches_reference_on_random_corpora(
     case_dir = Path(tmp_path_factory.mktemp(f"prop{next(_CASE)}"))
     ref = run_reference(rows, lines, case_dir)
     assert mine == ref
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    needles=st.lists(
+        st.text(alphabet="abc -", min_size=1, max_size=6),
+        min_size=1, max_size=5, unique=True,
+    )
+)
+def test_grep_many_matches_pure_python(spark, needles):
+    """grep_many vs an INDEPENDENT oracle (str.count): the trigram path,
+    the short-needle full-scan path, and the n_matches arithmetic must
+    agree with plain Python on arbitrary needles (spaces, hyphens,
+    repeats) over a fixed corpus."""
+    from jassjr_spark.operators.grep import build_trigram_index, grep_many
+
+    contents = [
+        "abc cab bac abc-abc",
+        "a b c ab bc abc",
+        "-- -a- b--b",
+        "ccc cc c",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(contents)), "docid long, content string"
+    )
+    tri = build_trigram_index(docs).cache()
+    got = sorted(
+        (r.needle, r.docid, r.n_matches)
+        for r in grep_many(docs, needles, index=tri).collect()
+    )
+    want = sorted(
+        (nd, i, c.count(nd))
+        for nd in needles
+        for i, c in enumerate(contents)
+        if nd in c
+    )
+    assert got == want

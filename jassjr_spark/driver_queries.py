@@ -2283,6 +2283,34 @@ def q_code_grep_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("docid", "docno", "n_matches")
 
 
+def q_code_grep_many_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched needle set through the persisted gram-bucketed store
+    (sources/trigram_store.py:grep_many_persisted): one union df probe,
+    one pruned candidate scan, one verify — job count constant in N.
+    Exact answers, so it shares code_grep_many's brute-force oracle."""
+    import hashlib as _h
+    import tempfile
+
+    from jassjr_spark.operators.grep import build_trigram_index
+    from jassjr_spark.sources.code_corpus import code_documents
+    from jassjr_spark.sources.trigram_store import (
+        grep_many_persisted,
+        read_trigram_store,
+        write_trigram_store,
+    )
+
+    cd = code_documents(_code_corpus(spark, sf_dir))
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/jassjr_tri_store_{tag}"
+    skey = (spark.sparkContext.applicationId, sf_dir, "tri_store")
+    if _INDEX_MEMO.get(skey) != path:
+        write_trigram_store(build_trigram_index(cd), path)
+        _INDEX_MEMO[skey] = path
+    store = read_trigram_store(spark, path)
+    out = grep_many_persisted(cd, GREP_NEEDLES, store)
+    return out.select("needle", "docid", "docno", "n_matches")
+
+
 def q_code_snippets_top5(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """KWIC hit-highlighting (operators/snippets.py): the top-5 BM25 run
     per query, each result annotated with the earliest query-term
@@ -3223,6 +3251,9 @@ def catalog() -> dict[str, tuple]:
         "code_grep_count": (q_code_grep_count, _sql_code_grep()),
         "code_grep_persisted": (q_code_grep_persisted, _sql_code_grep()),
         "code_grep_many": (q_code_grep_many, _sql_code_grep_many()),
+        "code_grep_many_persisted": (
+            q_code_grep_many_persisted, _sql_code_grep_many(),
+        ),
         "code_snippets_top5": (q_code_snippets_top5, _sql_code_snippets()),
         "code_mlt_top10": (q_code_mlt_top10, _sql_code_mlt()),
         "code_federated_top10": (q_code_federated_top10, _sql_code_federated()),

@@ -131,3 +131,42 @@ def grep_persisted(
         docs, needle, index=index, max_grams=max_grams, gram_dfs=dfs,
         id_col=id_col, content_col=content_col,
     )
+
+
+def grep_many_persisted(
+    docs: DataFrame,
+    needles: list[str],
+    store: TrigramStore,
+    max_grams: int = 8,
+    id_col: str = "docid",
+    content_col: str = "content",
+) -> DataFrame:
+    """Batched grep over the persisted store: N needles cost ONE
+    gram_df probe (union of every needle's grams), ONE bucket/gram-
+    pruned candidate scan (union of the selected grams only), and one
+    verify join — the job count stays constant in N, the scan stays
+    pruned to exactly the grams the per-needle rarest-first selection
+    would touch. Answers match grep_persisted needle-by-needle
+    (asserted in tests)."""
+    from jassjr_spark.operators.grep import grep_many, needle_grams
+
+    all_grams = sorted({g for n in needles for g in needle_grams(n)})
+    if not all_grams:
+        return grep_many(docs, needles, index=None,
+                         id_col=id_col, content_col=content_col)
+    rows = (
+        store.spark.read.parquet(f"{store.path}/gram_df")
+        .filter(F.col("gram").isin(all_grams))
+        .collect()
+    )
+    dfs = {r.gram: r.df for r in rows}
+    selected = sorted({
+        g
+        for n in needles
+        for g in sorted(needle_grams(n), key=lambda g: dfs.get(g, 0))[:max_grams]
+    })
+    return grep_many(
+        docs, needles, index=pruned_grams(store, selected),
+        max_grams=max_grams, gram_dfs=dfs,
+        id_col=id_col, content_col=content_col,
+    )

@@ -177,3 +177,38 @@ def test_grep_many_matches_per_needle_grep(docs, tri, dfs):
         for r in grep_many(docs, needles).collect()
     )
     assert got2 == want
+
+
+def test_grep_many_persisted_matches_single_path(spark, docs, tri, tmp_path):
+    from jassjr_spark.sources.trigram_store import (
+        grep_many_persisted,
+        grep_persisted,
+        read_trigram_store,
+        write_trigram_store,
+    )
+
+    path = str(tmp_path / "tri_store_many")
+    write_trigram_store(tri, path, n_buckets=8)
+    store = read_trigram_store(spark, path)
+    needles = ["merge batch", "table", "zzznotthere", "ta"]
+    got = sorted(
+        (r.needle, r.docid, r.n_matches)
+        for r in grep_many_persisted(docs, needles, store).collect()
+    )
+    want = sorted(
+        (nd, r.docid, r.n_matches)
+        for nd in needles
+        for r in grep_persisted(docs, nd, store).collect()
+    )
+    assert got == want and got
+    # all-short needles: the store is bypassed, answers still exact
+    got2 = sorted(
+        (r.needle, r.docid, r.n_matches)
+        for r in grep_many_persisted(docs, ["ta", "qz"], store).collect()
+    )
+    want2 = sorted(
+        (nd, r.docid, r.n_matches)
+        for nd in ["ta", "qz"]
+        for r in grep_persisted(docs, nd, store).collect()
+    )
+    assert got2 == want2

@@ -2222,6 +2222,80 @@ QUALIFY rank <= {k}
 """
 
 
+def q_code_grouped_top10(
+    spark: SparkSession, sf_dir: str, k: int = 10, per_group: int = 2
+) -> DataFrame:
+    """Top-N-per-group diversification (search_collapsed per_group=2):
+    at most TWO results per repository — the grouped-results page every
+    code-search UI renders ("best 2 files per repo"). Same cross-engine
+    discipline as the collapsed entry: the per-group cut runs on
+    unrounded scores (docid-desc ties), the final rank on rounded."""
+    from jassjr_spark.operators.search import search_collapsed
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    idx = code_index(spark, sf_dir)
+    groups = code_documents(_code_corpus(spark, sf_dir)).select(
+        "docid", F.col("repo").alias("grp")
+    )
+    qrows = [
+        (qid, pos, t) for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    run = search_collapsed(idx, queries, groups, k=200, per_group=per_group)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docno", "grp", "rank", "rsv")
+    )
+
+
+def _sql_code_grouped(k: int = 10, per_group: int = 2) -> str:
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    )
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, sum(contrib) AS rsv FROM scored GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, docid, rsv, repo FROM (
+    SELECT a.query_id, a.docid, a.rsv, c.repo,
+           row_number() OVER (PARTITION BY a.query_id, c.repo
+                              ORDER BY a.rsv DESC, a.docid DESC) AS rn
+    FROM acc a JOIN codedocs c USING (docid)
+    WHERE a.rsv > 0
+  ) WHERE rn <= {per_group}
+)
+SELECT CAST(b.query_id AS BIGINT) AS query_id, c.docno, b.repo AS grp,
+       CAST(row_number() OVER (PARTITION BY b.query_id
+                               ORDER BY round(b.rsv, 4) DESC, c.docno DESC)
+            AS BIGINT) AS rank,
+       round(b.rsv, 4) AS rsv
+FROM best b JOIN codedocs c USING (docid)
+WHERE round(b.rsv, 4) > 0
+QUALIFY rank <= {k}
+"""
+
+
 GREP_NEEDLE = "merge batch"
 
 
@@ -3248,6 +3322,7 @@ def catalog() -> dict[str, tuple]:
         "code_sha_invariant": (q_code_sha_invariant, _sql_code_sha()),
         "code_repo_bm25_top10": (q_code_repo_bm25_top10, _sql_code_repo_bm25()),
         "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),
+        "code_grouped_top10": (q_code_grouped_top10, _sql_code_grouped()),
         "code_grep_count": (q_code_grep_count, _sql_code_grep()),
         "code_grep_persisted": (q_code_grep_persisted, _sql_code_grep()),
         "code_grep_many": (q_code_grep_many, _sql_code_grep_many()),

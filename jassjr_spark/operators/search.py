@@ -461,9 +461,10 @@ def search_scoped(
 
 def search_collapsed(
     index: Index, queries: DataFrame, groups: DataFrame, k: int = TOP_K,
-    stats: dict | None = None,
+    stats: dict | None = None, per_group: int = 1,
 ) -> DataFrame:
-    """Field-collapsed disjunctive BM25: at most ONE result per group —
+    """Field-collapsed disjunctive BM25: at most ``per_group`` results
+    per group (default ONE) —
     "best file per repository" diversification over the input_hint corpus
     (the collapse/field-collapsing feature of production engines).
 
@@ -497,7 +498,7 @@ def search_collapsed(
     best = (
         acc.join(g, "docid")
         .withColumn("_rn", F.row_number().over(wg))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= per_group)
         .drop("_rn")
     )
     ranked = top_k(best.select("query_id", "docid", "rsv", "grp"), k)

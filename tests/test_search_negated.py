@@ -121,3 +121,29 @@ def test_mixed_required_df_equals_n_is_dropped_from_need(spark, corpus):
     req = _neg(spark, ["common"])
     rows = search_mixed(corpus, q, req).collect()
     assert {r.docno for r in rows} == {"d0", "d1", "d2", "d3"}
+
+
+def test_collapsed_per_group(spark):
+    """per_group=2 keeps each group's best TWO; default stays argmax."""
+    from jassjr_spark.operators.search import search_collapsed
+
+    docs = spark.createDataFrame(
+        [
+            (0, "d0", "apple apple apple x1"),   # grp A, strongest
+            (1, "d1", "apple apple y1 y2"),      # grp A, middle
+            (2, "d2", "apple z1 z2 z3"),         # grp A, weakest
+            (3, "d3", "apple w1 w2 w3"),         # grp B
+            (4, "d4", "nothing here at all"),
+        ],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(docs, prepend_docno=False).cache()
+    groups = spark.createDataFrame(
+        [(0, "A"), (1, "A"), (2, "A"), (3, "B"), (4, "B")],
+        "docid long, grp string",
+    )
+    q = _q(spark, ["apple"])
+    two = search_collapsed(idx, q, groups, per_group=2).collect()
+    assert {r.docno for r in two} == {"d0", "d1", "d3"}
+    one = search_collapsed(idx, q, groups).collect()
+    assert {r.docno for r in one} == {"d0", "d3"}

@@ -3040,6 +3040,66 @@ QUALIFY rank <= {k}
 """
 
 
+def q_code_snippets_multi(
+    spark: SparkSession, sf_dir: str, k: int = 5, fragments: int = 2
+) -> DataFrame:
+    """Multi-fragment KWIC (snippets(fragments=2)): up to two highlighted
+    windows per result — one per distinct query term's first occurrence,
+    earliest first — the multi-fragment preview real search UIs render.
+    Same ranked base and shared SQL fragments as code_snippets_top5."""
+    from jassjr_spark.operators.search import search
+    from jassjr_spark.operators.snippets import snippets
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    idx = code_index(spark, sf_dir)
+    qrows = [
+        (qid, pos, t) for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    run = search(idx, queries, k=200)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    topk = (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    cd = code_documents(_code_corpus(spark, sf_dir))
+    out = snippets(
+        topk, cd.select("docno", "content"), queries, id_col="docno",
+        fragments=fragments,
+    )
+    return out.select(
+        F.col("query_id").cast("long"), "docno", "rank", "rsv", "term",
+        F.col("pos").cast("long"), "fragment", "snippet",
+    )
+
+
+def _sql_code_snippets_multi(k: int = 5, fragments: int = 2) -> str:
+    from jassjr_spark.operators.snippets import snippet_sql
+
+    frags = snippet_sql()
+    base = _sql_code_snippets(k)
+    tail = """SELECT CAST(h.query_id AS BIGINT) AS query_id, h.docno,
+       CAST(h.rank AS BIGINT) AS rank, h.rsv, h.term,
+       CAST(h.pos AS BIGINT) AS pos,
+       {snippet} AS snippet
+FROM firsthit h JOIN codedocs c USING (docid)
+WHERE h.rn = 1
+""".format(snippet=frags["snippet"])
+    assert base.endswith(tail)
+    new_tail = """SELECT CAST(h.query_id AS BIGINT) AS query_id, h.docno,
+       CAST(h.rank AS BIGINT) AS rank, h.rsv, h.term,
+       CAST(h.pos AS BIGINT) AS pos,
+       CAST(h.rn AS BIGINT) AS fragment,
+       {snippet} AS snippet
+FROM firsthit h JOIN codedocs c USING (docid)
+WHERE h.rn <= {n}
+""".format(snippet=frags["snippet"], n=fragments)
+    return base[: -len(tail)] + new_tail
+
+
 MLT_DOCID = 42
 MLT_N_TERMS = 10
 MLT_MIN_DF = 2
@@ -3330,6 +3390,7 @@ def catalog() -> dict[str, tuple]:
             q_code_grep_many_persisted, _sql_code_grep_many(),
         ),
         "code_snippets_top5": (q_code_snippets_top5, _sql_code_snippets()),
+        "code_snippets_multi": (q_code_snippets_multi, _sql_code_snippets_multi()),
         "code_mlt_top10": (q_code_mlt_top10, _sql_code_mlt()),
         "code_federated_top10": (q_code_federated_top10, _sql_code_federated()),
         "code_prf_top10": (q_code_prf_top10, _sql_code_prf()),

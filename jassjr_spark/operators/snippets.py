@@ -35,6 +35,7 @@ def snippets(
     radius: int = DEFAULT_RADIUS,
     id_col: str = "docid",
     content_col: str = "content",
+    fragments: int = 1,
 ) -> DataFrame:
     """Attach a highlighted KWIC snippet to each (query_id, docid) result.
 
@@ -46,7 +47,10 @@ def snippets(
     terms in ``lower(content)`` anchors the snippet; a result whose terms
     match only outside ``content`` (e.g. the DOCNO token) yields no row.
     Output adds: term (the anchoring term), pos (1-based char offset),
-    snippet (``...prefix[Match]suffix...`` window, original case).
+    fragment (1..``fragments``, position order), snippet
+    (``...prefix[Match]suffix...`` window, original case). With
+    ``fragments`` > 1, up to that many windows are kept per result —
+    one per distinct term's first occurrence, earliest first.
     """
     content = F.col(content_col)
     pos = F.expr(f"locate(term, lower({content_col}))")
@@ -65,16 +69,20 @@ def snippets(
     )
     w = Window.partitionBy("query_id", id_col).orderBy("pos", "term")
     first = hits.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") == 1
+        F.col("_rn") <= fragments
     )
     start = F.greatest(F.lit(1), F.col("pos") - radius)
     mlen = F.length("term")
     prefix = F.substring(content, start, F.col("pos") - start)
     match = F.substring(content, F.col("pos"), mlen)
     suffix = F.substring(content, F.col("pos") + mlen, F.lit(radius))
-    return first.withColumn(
-        "snippet", F.concat(prefix, F.lit("["), match, F.lit("]"), suffix)
-    ).drop("_rn", content_col)
+    return (
+        first.withColumn(
+            "snippet", F.concat(prefix, F.lit("["), match, F.lit("]"), suffix)
+        )
+        .withColumn("fragment", F.col("_rn").cast("long"))
+        .drop("_rn", content_col)
+    )
 
 
 def snippet_sql(

@@ -72,3 +72,19 @@ def test_snippets_custom_id_col(spark):
     queries = spark.createDataFrame([(1, "needle")], "query_id long, term string")
     (row,) = snippets(results, docs, queries, radius=4, id_col="docno").collect()
     assert row.docno == "d-1" and row.snippet == "the [needle] her"
+
+
+def test_snippets_multi_fragment(frames):
+    docs, results, queries = frames
+    rows = [
+        r for r in snippets(results, docs, queries, radius=10,
+                            fragments=2).collect()
+        if r.docid == 2
+    ]
+    # doc 2 matches 'beta' (pos 7) and 'gamma' (pos 12): two fragments,
+    # position order
+    assert [(r.fragment, r.term) for r in sorted(rows, key=lambda r: r.fragment)] \
+        == [(1, "beta"), (2, "gamma")]
+    snips = {r.fragment: r.snippet for r in rows}
+    assert snips[1] == "alpha [beta] gamma del"
+    assert snips[2] == "lpha beta [gamma] delta"

@@ -3040,6 +3040,66 @@ QUALIFY rank <= {k}
 """
 
 
+def q_code_page2_top10(
+    spark: SparkSession, sf_dir: str, k: int = 10, offset: int = 10
+) -> DataFrame:
+    """Deep paging: results 11-20 of the standard run (top_k offset
+    param). Rank stays the GLOBAL rank (11..20) so the page boundary is
+    oracle-visible; membership is deterministic under the usual rounded
+    re-rank discipline."""
+    from jassjr_spark.operators.search import search
+
+    idx = code_index(spark, sf_dir)
+    qrows = [
+        (qid, pos, t) for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    run = search(idx, queries, k=200)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + k))
+        .select(F.col("query_id").cast("long"), "docno", "rank", "rsv")
+    )
+
+
+def _sql_code_page2(k: int = 10, offset: int = 10) -> str:
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    )
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, c.docno,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, c.docno DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc JOIN codedocs c USING (docid)
+WHERE rsv > 0
+QUALIFY rank > {offset} AND rank <= {offset + k}
+"""
+
+
 def q_code_snippets_multi(
     spark: SparkSession, sf_dir: str, k: int = 5, fragments: int = 2
 ) -> DataFrame:
@@ -3383,6 +3443,7 @@ def catalog() -> dict[str, tuple]:
         "code_repo_bm25_top10": (q_code_repo_bm25_top10, _sql_code_repo_bm25()),
         "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),
         "code_grouped_top10": (q_code_grouped_top10, _sql_code_grouped()),
+        "code_page2_top10": (q_code_page2_top10, _sql_code_page2()),
         "code_grep_count": (q_code_grep_count, _sql_code_grep()),
         "code_grep_persisted": (q_code_grep_persisted, _sql_code_grep()),
         "code_grep_many": (q_code_grep_many, _sql_code_grep_many()),

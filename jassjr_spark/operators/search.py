@@ -175,16 +175,20 @@ def accumulate(scored: DataFrame) -> DataFrame:
     )
 
 
-def top_k(accumulated: DataFrame, k: int = TOP_K) -> DataFrame:
-    """-> (query_id, docid, rank, rsv), rank 1-based, <= k rows/query."""
+def top_k(accumulated: DataFrame, k: int = TOP_K, offset: int = 0) -> DataFrame:
+    """-> (query_id, docid, rank, rsv), rank 1-based, <= k rows/query.
+    ``offset`` pages past the first results (rank offset+1..offset+k —
+    deep paging; rank stays the GLOBAL rank so page boundaries are
+    visible to the caller)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("rsv").desc(), F.col("docid").desc()
     )
-    return (
+    ranked = (
         accumulated.filter(F.col("rsv") > 0.0)
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= offset + k)
     )
+    return ranked.filter(F.col("rank") > offset) if offset else ranked
 
 
 def search(

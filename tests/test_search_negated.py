@@ -147,3 +147,21 @@ def test_collapsed_per_group(spark):
     assert {r.docno for r in two} == {"d0", "d1", "d3"}
     one = search_collapsed(idx, q, groups).collect()
     assert {r.docno for r in one} == {"d0", "d3"}
+
+
+def test_top_k_offset_pages(spark, corpus):
+    from jassjr_spark.operators.search import search
+
+    q = _q(spark, ["apple", "banana"])
+    all_rows = {r.rank: r.docno for r in search(corpus, q, k=10).collect()}
+    from jassjr_spark.operators.search import (
+        accumulate, score_postings, top_k, resolve_docnos,
+    )
+    s = corpus.scalar_stats()
+    acc = accumulate(score_postings(
+        q, corpus.postings, corpus.dictionary, s["n_docs"], s["avgdl"]
+    ))
+    page2 = resolve_docnos(corpus, top_k(acc, k=2, offset=2), s["n_docs"])
+    rows = {r.rank: r.docno for r in page2.collect()}
+    # global ranks 3..4, matching the full run
+    assert rows == {rk: dn for rk, dn in all_rows.items() if rk in (3, 4)}

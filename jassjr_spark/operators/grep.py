@@ -167,6 +167,7 @@ def grep_many(
     the same plan.
     """
     spark = docs.sparkSession
+    needles = list(dict.fromkeys(needles))  # dupes would duplicate rows
     ndf = spark.createDataFrame([(n,) for n in needles], "needle string")
     long_needles = [n for n in needles if len(n) >= 3] if index is not None else []
     if long_needles:

@@ -212,3 +212,18 @@ def test_grep_many_persisted_matches_single_path(spark, docs, tri, tmp_path):
         for r in grep_persisted(docs, nd, store).collect()
     )
     assert got2 == want2
+
+
+def test_grep_many_dedupes_needles(docs, tri, dfs):
+    from jassjr_spark.operators.grep import grep_many
+
+    once = sorted(
+        (r.needle, r.docid)
+        for r in grep_many(docs, ["table"], index=tri, gram_dfs=dfs).collect()
+    )
+    twice = sorted(
+        (r.needle, r.docid)
+        for r in grep_many(docs, ["table", "table"], index=tri,
+                           gram_dfs=dfs).collect()
+    )
+    assert twice == once and once

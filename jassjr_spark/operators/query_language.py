@@ -218,3 +218,45 @@ def run_user_query(
         return search_negated(index, queries, neg, k=k)
 
     return search(index, queries, k=k, qterms=sorted(set(p.positive)))
+
+
+def run_user_queries(
+    index: Index,
+    lines: list[str],
+    k: int = 10,
+    metadata: DataFrame | None = None,
+    positions: DataFrame | None = None,
+) -> DataFrame:
+    """Batch front end: query_id = line index. Lines WITHOUT operators —
+    the overwhelming majority of real traffic — share ONE search() call
+    (the engine's job-count discipline: per-query scheduling, not data,
+    bounds small-query latency); operator-bearing lines dispatch
+    individually through run_user_query and the runs union."""
+    from functools import reduce
+
+    from jassjr_spark.operators.search import search
+
+    spark = index.dictionary.sparkSession
+    plain_rows, runs = [], []
+    for qid, line in enumerate(lines):
+        p = parse_user_query(line)
+        if (p.positive and not p.required and not p.negated
+                and not p.phrases and not p.filters):
+            plain_rows += [
+                (qid, i, t) for i, t in enumerate(p.positive)
+            ]
+        elif p.positive or p.phrases:
+            runs.append(
+                run_user_query(index, line, k=k, metadata=metadata,
+                               positions=positions, query_id=qid)
+            )
+    if plain_rows:
+        queries = spark.createDataFrame(
+            plain_rows, "query_id long, pos int, term string"
+        )
+        runs.insert(0, search(index, queries, k=k))
+    if not runs:
+        return spark.createDataFrame(
+            [], "query_id long, docno string, rank long, rsv double"
+        )
+    return reduce(lambda a, b: a.unionByName(b), runs)

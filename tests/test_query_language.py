@@ -131,3 +131,31 @@ def test_suggest_rewrite(spark, engine):
     # the rewritten line executes
     rows = run_user_query(idx, fixed).collect()
     assert {r.docno for r in rows} == {"d0", "d3"}
+
+
+def test_run_user_queries_batches_plain_lines(spark, engine):
+    from jassjr_spark.operators.query_language import run_user_queries
+
+    _, idx, meta = engine
+    lines = [
+        "banana cherry",          # plain -> batched
+        "+banana cherry",         # mixed -> individual
+        "apple -cherry",          # negated -> individual
+        "lang:py apple",          # scoped -> individual
+        "apple orange",           # plain -> batched
+        "",                       # empty -> dropped
+    ]
+    got = sorted(
+        (r.query_id, r.docno, r.rank, r.rsv)
+        for r in run_user_queries(idx, lines, metadata=meta).collect()
+    )
+    want = sorted(
+        (qid, r.docno, r.rank, r.rsv)
+        for qid, line in enumerate(lines)
+        if line
+        for r in run_user_query(idx, line, metadata=meta,
+                                query_id=qid).collect()
+    )
+    assert got == want and got
+    # empty input
+    assert run_user_queries(idx, []).collect() == []

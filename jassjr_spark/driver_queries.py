@@ -258,6 +258,80 @@ QUALIFY rank <= {k}
 """
 
 
+# Query-time boosting workload: (query_id, [(term, weight), ...]).
+# q4 carries the same term twice at different boosts — bag semantics must
+# weight each OCCURRENCE independently.
+BOOST_QUERIES: list[tuple[int, list[tuple[str, float]]]] = [
+    (1, [("spark", 2.0), ("join", 1.0)]),
+    (2, [("window", 0.5), ("merge", 3.0), ("sort", 1.0)]),
+    (3, [("data", 1.5), ("query", 1.5), ("zzzmissing", 9.0)]),
+    (4, [("hash", 2.5), ("hash", 1.0)]),
+]
+
+
+def q_ft_boost_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Query-time term boosting (the ``term^w`` operator of every
+    production engine; the reference scores all terms equally,
+    JASSjr_search.py:64-88): each query-term occurrence's BM25
+    contribution is multiplied by its weight before the fold. Weight
+    rides the scored stream as a column — same plan as ft_bm25_top10."""
+    idx = corpus_index(spark, sf_dir)
+    s = idx.scalar_stats()
+    qrows = [
+        (qid, pos, t, w)
+        for qid, tws in BOOST_QUERIES for pos, (t, w) in enumerate(tws)
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, pos int, term string, weight double"
+    )
+    scored = score_postings(queries, idx.postings, idx.dictionary,
+                            s["n_docs"], s["avgdl"])
+    acc = accumulate(scored).withColumn("rsv", F.round("rsv", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        acc.filter(F.col("rsv") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
+def _sql_ft_boost(k: int = 10) -> str:
+    vals = ", ".join(
+        f"({qid}, {pos}, '{t}', {w!r})"
+        for qid, tws in BOOST_QUERIES for pos, (t, w) in enumerate(tws)
+    )
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term, w) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         (ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl))))) * q.w
+           AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 def corpus_blocks(spark: SparkSession, sf_dir: str, idx, s: dict) -> DataFrame:
     """Per-process memo of the compressed blocks table per corpus: blocks
     are an index-time artifact (plans/build_job.py persists them), so
@@ -3399,6 +3473,7 @@ def catalog() -> dict[str, tuple]:
         "ft_postings": (q_ft_postings, SQL_FT_POSTINGS),
         "ft_idf": (q_ft_idf, _sql_ft_idf()),
         "ft_bm25_top10": (q_ft_bm25_top10, _sql_ft_bm25()),
+        "ft_boost_top10": (q_ft_boost_top10, _sql_ft_boost()),
         "ft_bm25_wand": (q_ft_bm25_wand, _sql_ft_bm25()),
         "ft_bm25_maxscore": (q_ft_bm25_maxscore, _sql_ft_bm25()),
         "ft_bm25_and": (q_ft_bm25_and, _sql_ft_bm25_and()),

@@ -11,6 +11,7 @@ the execution is entirely existing plans:
     hash -merge           -> '-' terms excluded            (search_negated)
     "hash table"          -> exact phrase                  (phrase_search)
     lang:py hash          -> metadata scope                (search_scoped)
+    hash^2.5 table        -> '^w' term boost               (weighted search)
 
 Terms are normalized with the INDEX tokenizer rules (lowercase,
 255-char truncate, the reference's lexer alphabet), so a query spelled
@@ -19,7 +20,9 @@ with punctuation finds what indexing stored.
 Composition matrix (anything else raises loudly rather than guessing):
 plain terms compose with any ONE of {required, negated, scope};
 required+negated compose (exclusion applied on a wide-margin mixed run);
-a phrase must be the whole query.
+a phrase must be the whole query. Boosts ride the scored-term stream, so
+they compose with plain, negated, and scoped queries (the modes whose
+scoring kernel is score_postings); boosting a required term raises.
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ from jassjr_spark.operators.index_build import Index
 
 _PHRASE_RE = re.compile(r'"([^"]*)"')
 _FIELD_RE = re.compile(r"^(\w+):(.+)$")
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 
 NEGATION_MARGIN = 400   # extra depth for post-cut exclusion in mixed mode
 
@@ -46,6 +50,11 @@ class ParsedQuery:
     negated: list[str] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
     filters: dict[str, str] = field(default_factory=dict)
+    weights: list[float] = field(default_factory=list)  # 1:1 with positive
+
+    @property
+    def boosted(self) -> bool:
+        return any(w != 1.0 for w in self.weights)
 
 
 def _lex(text: str) -> list[str]:
@@ -74,6 +83,14 @@ def parse_user_query(line: str) -> ParsedQuery:
         if fm:
             out.filters[fm.group(1).lower()] = fm.group(2)
             continue
+        weight = 1.0
+        bm = _BOOST_RE.match(body)
+        if bm:
+            body, weight = bm.group(1), float(bm.group(2))
+            if neg:
+                raise ValueError(
+                    f"boost on an excluded term is meaningless: {raw!r}"
+                )
         toks = _lex(body)
         if not toks:
             continue
@@ -81,7 +98,14 @@ def parse_user_query(line: str) -> ParsedQuery:
             out.negated.extend(toks)
         else:
             out.positive.extend(toks)
+            out.weights.extend([weight] * len(toks))
             if req:
+                if weight != 1.0:
+                    raise ValueError(
+                        "boosting a required term is not supported: "
+                        f"{raw!r} (required terms gate; drop the '+' to "
+                        "boost, or the '^w' to require)"
+                    )
                 out.required.extend(toks)
     return out
 
@@ -169,10 +193,17 @@ def run_user_query(
             [], "query_id long, docno string, rank long, rsv double"
         )
 
-    queries = spark.createDataFrame(
-        [(query_id, i, t) for i, t in enumerate(p.positive)],
-        "query_id long, pos int, term string",
-    )
+    if p.boosted:
+        queries = spark.createDataFrame(
+            [(query_id, i, t, w)
+             for i, (t, w) in enumerate(zip(p.positive, p.weights))],
+            "query_id long, pos int, term string, weight double",
+        )
+    else:
+        queries = spark.createDataFrame(
+            [(query_id, i, t) for i, t in enumerate(p.positive)],
+            "query_id long, pos int, term string",
+        )
 
     if p.filters:
         if metadata is None:
@@ -242,8 +273,11 @@ def run_user_queries(
         p = parse_user_query(line)
         if (p.positive and not p.required and not p.negated
                 and not p.phrases and not p.filters):
+            # boosted-but-otherwise-plain lines still share the batched
+            # plan: weight is just a column of the scored stream
             plain_rows += [
-                (qid, i, t) for i, t in enumerate(p.positive)
+                (qid, i, t, w)
+                for i, (t, w) in enumerate(zip(p.positive, p.weights))
             ]
         elif p.positive or p.phrases:
             runs.append(
@@ -252,7 +286,7 @@ def run_user_queries(
             )
     if plain_rows:
         queries = spark.createDataFrame(
-            plain_rows, "query_id long, pos int, term string"
+            plain_rows, "query_id long, pos int, term string, weight double"
         )
         runs.insert(0, search(index, queries, k=k))
     if not runs:

@@ -139,14 +139,23 @@ def score_postings(
     BM25 contribution. Pure Column math (whole-stage codegen); the
     broadcast join on term doubles as the postings fetch — with a
     term-sorted Parquet postings table the join's ``term IN (...)`` pushes
-    into the scan and prunes untouched lists (S5)."""
+    into the scan and prunes untouched lists (S5).
+
+    Query-time boosting: when ``queries`` carries a ``weight`` column
+    (double), each occurrence's contribution is the unweighted BM25
+    contribution *then* multiplied by the weight — ``(idf * tf_part) * w``,
+    grouping fixed so weight=1.0 rows are bit-identical to the unweighted
+    kernel (x * 1.0 == x in IEEE 754 for finite x)."""
     q = attach_idf(queries, dictionary, n_docs, qterms=qterms,
                    local_dict=local_dict)
-    joined = postings.join(
-        F.broadcast(q.select("query_id", "pos", "term", "idf")), "term"
-    )
+    boosted = "weight" in queries.columns
+    cols = ["query_id", "pos", "term", "idf"] + (["weight"] if boosted else [])
+    joined = postings.join(F.broadcast(q.select(*cols)), "term")
+    contrib = bm25_contrib(avgdl)
+    if boosted:
+        contrib = contrib * F.col("weight").cast("double")
     return joined.select(
-        "query_id", "docid", "pos", bm25_contrib(avgdl).alias("contrib")
+        "query_id", "docid", "pos", contrib.alias("contrib")
     )
 
 

@@ -159,3 +159,72 @@ def test_run_user_queries_batches_plain_lines(spark, engine):
     assert got == want and got
     # empty input
     assert run_user_queries(idx, []).collect() == []
+
+
+def test_parse_boost():
+    p = parse_user_query("apple^2 banana cherry^0.5")
+    assert p.positive == ["apple", "banana", "cherry"]
+    assert p.weights == [2.0, 1.0, 0.5]
+    assert p.boosted
+    # boost+required and boost-on-negated raise loudly
+    with pytest.raises(ValueError):
+        parse_user_query("+apple^2 banana")
+    with pytest.raises(ValueError):
+        parse_user_query("apple -banana^2")
+
+
+def test_boost_weight_one_is_bitwise_plain(spark, engine):
+    _, idx, _ = engine
+    got = {(r.docno, r.rank, r.rsv)
+           for r in run_user_query(idx, "banana^1 cherry^1.0").collect()}
+    want = {(r.docno, r.rank, r.rsv)
+            for r in run_user_query(idx, "banana cherry").collect()}
+    assert got == want and got
+
+
+def test_boost_scales_contributions(spark, engine):
+    _, idx, _ = engine
+
+    def rsv_map(line):
+        return {r.docno: r.rsv for r in run_user_query(idx, line).collect()}
+
+    single_b = rsv_map("banana")
+    single_c = rsv_map("cherry")
+    boosted = rsv_map("banana^3 cherry^0.25")
+    docs = set(single_b) | set(single_c)
+    assert set(boosted) == docs
+    for d in docs:
+        want = 3.0 * single_b.get(d, 0.0) + 0.25 * single_c.get(d, 0.0)
+        assert boosted[d] == pytest.approx(want, abs=1e-12)
+    # boosting changes the ranking vs unboosted when scores differ
+    assert rsv_map("banana cherry") != boosted
+
+
+def test_boost_composes_with_scope_and_negation(spark, engine):
+    _, idx, meta = engine
+    scoped = run_user_query(idx, "lang:py banana^4 cherry",
+                            metadata=meta).collect()
+    assert {r.docno for r in scoped} <= {"d0", "d1", "d4"}
+    assert scoped  # banana^4 still matches d0
+    negated = run_user_query(idx, "apple^2 -cherry").collect()
+    assert {r.docno for r in negated} == {"d0", "d3"}
+    plain = {r.docno: r.rsv for r in run_user_query(idx, "apple -cherry").collect()}
+    for r in negated:
+        assert r.rsv == pytest.approx(2.0 * plain[r.docno], abs=1e-12)
+
+
+def test_run_user_queries_batches_boosted_plain_lines(spark, engine):
+    from jassjr_spark.operators.query_language import run_user_queries
+
+    _, idx, _ = engine
+    lines = ["banana^2 cherry", "apple orange^0.5"]
+    got = sorted(
+        (r.query_id, r.docno, r.rank, r.rsv)
+        for r in run_user_queries(idx, lines).collect()
+    )
+    want = sorted(
+        (qid, r.docno, r.rank, r.rsv)
+        for qid, line in enumerate(lines)
+        for r in run_user_query(idx, line, query_id=qid).collect()
+    )
+    assert got == want and got

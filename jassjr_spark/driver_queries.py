@@ -332,6 +332,108 @@ QUALIFY rank <= {k}
 """
 
 
+# Fuzzy workload: (query_id, plain terms, [(fuzzy term, max_dist), ...]).
+# Misspellings of corpus vocabulary; q2 is fuzzy-only, q3 allows dist 2.
+FUZZY_QUERIES: list[tuple[int, list[str], list[tuple[str, int]]]] = [
+    (1, ["join"], [("spak", 1)]),
+    (2, [], [("windoe", 1), ("vektor", 1)]),
+    (3, ["data"], [("qury", 2)]),
+]
+
+
+def q_ft_fuzzy_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Fuzzy (edit-distance) term matching — the ``term~d`` operator.
+    Each fuzzy term expands to <= MAX_EXPANSIONS dictionary terms within
+    levenshtein distance d (banded vocab scan; (dist, cf, term) cap
+    ranking), each expansion scoring with its OWN idf; rank over the
+    ROUNDED score like every cross-engine ranking entry."""
+    from jassjr_spark.operators.fuzzy import expand_fuzzy
+
+    idx = corpus_index(spark, sf_dir)
+    s = idx.scalar_stats()
+    plain_rows = [
+        (qid, pos, t)
+        for qid, plain, _ in FUZZY_QUERIES for pos, t in enumerate(plain)
+    ]
+    fuzzy_rows = [
+        (qid, slot, t, d)
+        for qid, _, fz in FUZZY_QUERIES for slot, (t, d) in enumerate(fz)
+    ]
+    queries = spark.createDataFrame(
+        plain_rows, "query_id long, pos int, term string"
+    ).unionByName(expand_fuzzy(idx, fuzzy_rows))
+    scored = score_postings(queries, idx.postings, idx.dictionary,
+                            s["n_docs"], s["avgdl"])
+    acc = accumulate(scored).withColumn("rsv", F.round("rsv", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        acc.filter(F.col("rsv") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
+def _sql_ft_fuzzy(k: int = 10) -> str:
+    from jassjr_spark.operators.fuzzy import MAX_EXPANSIONS
+
+    fvals = ", ".join(
+        f"({qid}, {slot}, '{t}', {d})"
+        for qid, _, fz in FUZZY_QUERIES for slot, (t, d) in enumerate(fz)
+    )
+    pvals = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, plain, _ in FUZZY_QUERIES for pos, t in enumerate(plain)
+    )
+    return f"""{_INDEX_CTES},
+fuzzy(query_id, slot, fterm, dist) AS (VALUES {fvals}),
+plainq(query_id, pos, term) AS (VALUES {pvals}),
+exp AS (
+  SELECT f.query_id, f.slot, d.term, d.cf,
+         levenshtein(d.term, f.fterm) AS ed
+  FROM fuzzy f
+  JOIN dict d ON abs(length(d.term) - length(f.fterm)) <= f.dist
+  WHERE levenshtein(d.term, f.fterm) <= f.dist
+),
+expr AS (
+  SELECT query_id, slot, term,
+         row_number() OVER (PARTITION BY query_id, slot
+                            ORDER BY ed ASC, cf DESC, term ASC) AS rnk
+  FROM exp
+),
+equeries AS (
+  SELECT query_id, term FROM expr WHERE rnk <= {MAX_EXPANSIONS}
+  UNION ALL
+  SELECT query_id, term FROM plainq
+),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM equeries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 def corpus_blocks(spark: SparkSession, sf_dir: str, idx, s: dict) -> DataFrame:
     """Per-process memo of the compressed blocks table per corpus: blocks
     are an index-time artifact (plans/build_job.py persists them), so
@@ -3474,6 +3576,7 @@ def catalog() -> dict[str, tuple]:
         "ft_idf": (q_ft_idf, _sql_ft_idf()),
         "ft_bm25_top10": (q_ft_bm25_top10, _sql_ft_bm25()),
         "ft_boost_top10": (q_ft_boost_top10, _sql_ft_boost()),
+        "ft_fuzzy_top10": (q_ft_fuzzy_top10, _sql_ft_fuzzy()),
         "ft_bm25_wand": (q_ft_bm25_wand, _sql_ft_bm25()),
         "ft_bm25_maxscore": (q_ft_bm25_maxscore, _sql_ft_bm25()),
         "ft_bm25_and": (q_ft_bm25_and, _sql_ft_bm25_and()),

@@ -12,6 +12,7 @@ the execution is entirely existing plans:
     "hash table"          -> exact phrase                  (phrase_search)
     lang:py hash          -> metadata scope                (search_scoped)
     hash^2.5 table        -> '^w' term boost               (weighted search)
+    hsah~ table           -> '~d' fuzzy term (default d=1) (search_fuzzy)
 
 Terms are normalized with the INDEX tokenizer rules (lowercase,
 255-char truncate, the reference's lexer alphabet), so a query spelled
@@ -23,6 +24,7 @@ required+negated compose (exclusion applied on a wide-margin mixed run);
 a phrase must be the whole query. Boosts ride the scored-term stream, so
 they compose with plain, negated, and scoped queries (the modes whose
 scoring kernel is score_postings); boosting a required term raises.
+Fuzzy terms compose with plain (boosted or not) terms only.
 """
 
 from __future__ import annotations
@@ -39,6 +41,7 @@ from jassjr_spark.operators.index_build import Index
 _PHRASE_RE = re.compile(r'"([^"]*)"')
 _FIELD_RE = re.compile(r"^(\w+):(.+)$")
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+_FUZZY_RE = re.compile(r"^(.+)~(\d)?$")
 
 NEGATION_MARGIN = 400   # extra depth for post-cut exclusion in mixed mode
 
@@ -51,6 +54,7 @@ class ParsedQuery:
     phrases: list[list[str]] = field(default_factory=list)
     filters: dict[str, str] = field(default_factory=dict)
     weights: list[float] = field(default_factory=list)  # 1:1 with positive
+    fuzzy: list[tuple[str, int]] = field(default_factory=list)  # (term, dist)
 
     @property
     def boosted(self) -> bool:
@@ -82,6 +86,19 @@ def parse_user_query(line: str) -> ParsedQuery:
         fm = _FIELD_RE.match(body) if not (neg or req) else None
         if fm:
             out.filters[fm.group(1).lower()] = fm.group(2)
+            continue
+        fz = _FUZZY_RE.match(body)
+        if fz:
+            if neg or req:
+                raise ValueError(
+                    f"fuzzy composes with plain terms only: {raw!r}"
+                )
+            fbody, fdist = fz.group(1), int(fz.group(2) or 1)
+            if "^" in fbody:
+                raise ValueError(
+                    f"boost and fuzzy on one term is not supported: {raw!r}"
+                )
+            out.fuzzy.extend((t, fdist) for t in _lex(fbody))
             continue
         weight = 1.0
         bm = _BOOST_RE.match(body)
@@ -166,7 +183,8 @@ def run_user_query(
     spark = index.dictionary.sparkSession
 
     if p.phrases:
-        if (p.positive or p.negated or p.filters or len(p.phrases) > 1):
+        if (p.positive or p.negated or p.filters or p.fuzzy
+                or len(p.phrases) > 1):
             raise ValueError(
                 "a quoted phrase must be the whole query; combine results "
                 "of separate queries for phrase+boolean needs"
@@ -188,6 +206,31 @@ def run_user_query(
 
     if p.filters and (p.required or p.negated):
         raise ValueError("field filters compose only with plain terms")
+
+    if p.fuzzy:
+        if p.required or p.negated or p.filters:
+            raise ValueError(
+                "fuzzy terms compose with plain (optionally boosted) "
+                "terms only"
+            )
+        from jassjr_spark.operators.fuzzy import search_fuzzy
+
+        plain = None
+        if p.positive:
+            if p.boosted:
+                plain = spark.createDataFrame(
+                    [(query_id, i, t, w)
+                     for i, (t, w) in enumerate(zip(p.positive, p.weights))],
+                    "query_id long, pos int, term string, weight double",
+                )
+            else:
+                plain = spark.createDataFrame(
+                    [(query_id, i, t) for i, t in enumerate(p.positive)],
+                    "query_id long, pos int, term string",
+                )
+        fz = [(query_id, slot, t, d) for slot, (t, d) in enumerate(p.fuzzy)]
+        return search_fuzzy(index, plain, fz, k=k)
+
     if not p.positive:
         return spark.createDataFrame(
             [], "query_id long, docno string, rank long, rsv double"
@@ -272,14 +315,14 @@ def run_user_queries(
     for qid, line in enumerate(lines):
         p = parse_user_query(line)
         if (p.positive and not p.required and not p.negated
-                and not p.phrases and not p.filters):
+                and not p.phrases and not p.filters and not p.fuzzy):
             # boosted-but-otherwise-plain lines still share the batched
             # plan: weight is just a column of the scored stream
             plain_rows += [
                 (qid, i, t, w)
                 for i, (t, w) in enumerate(zip(p.positive, p.weights))
             ]
-        elif p.positive or p.phrases:
+        elif p.positive or p.phrases or p.fuzzy:
             runs.append(
                 run_user_query(index, line, k=k, metadata=metadata,
                                positions=positions, query_id=qid)

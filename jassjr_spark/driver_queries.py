@@ -881,6 +881,54 @@ FROM documents WHERE CAST(doc_id AS VARCHAR) = '{SHOW_DOCNO}'
 """
 
 
+def q_ft_term_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term vector (operators/tooling.py:term_vector):
+    re-tokenize the forward doc (one-doc plan), df from the dictionary."""
+    from jassjr_spark.operators.tooling import term_vector
+
+    idx = corpus_index(spark, sf_dir)
+    docs = load_documents(spark, sf_dir)
+    return term_vector(idx, docs, SHOW_DOCNO)
+
+
+SQL_FT_TERM_VECTOR = f"""{_INDEX_CTES}
+SELECT p.term, CAST(p.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df
+FROM postings p JOIN dict d USING (term)
+WHERE p.docid = {SHOW_DOCNO}
+"""
+
+
+EXPLAIN_TERMS = ["spark", "join", "the", "zzzmissing"]
+
+
+def q_ft_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring explanation (operators/tooling.py:explain_score): per-term
+    BM25 breakdown for one (query, doc) pair; sum(contrib) == the doc's
+    rsv under ft_bm25 scoring."""
+    from jassjr_spark.operators.tooling import explain_score
+
+    idx = corpus_index(spark, sf_dir)
+    return explain_score(idx, EXPLAIN_TERMS, SHOW_DOCNO)
+
+
+def _sql_ft_explain() -> str:
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(EXPLAIN_TERMS)))
+    return f"""{_INDEX_CTES}
+SELECT p.term, CAST(p.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+       CAST(a.len AS BIGINT) AS dl,
+       round(ln(CAST(s.n AS DOUBLE) / d.df), 6) AS idf,
+       round(ln(CAST(s.n AS DOUBLE) / d.df)
+             * ((p.tf * ({K1} + 1.0))
+                / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))), 6)
+         AS contrib
+FROM postings p
+JOIN dict d USING (term)
+JOIN alldl a USING (docid)
+CROSS JOIN stats s
+WHERE p.docid = {SHOW_DOCNO} AND p.term IN ({in_list}) AND d.df < s.n
+"""
+
+
 SUGGEST_WORD = "hast"
 
 
@@ -3585,6 +3633,8 @@ def catalog() -> dict[str, tuple]:
         "ft_bm25_saat": (q_ft_bm25_saat, _sql_ft_saat()),
         "ft_top_terms": (q_ft_top_terms, SQL_FT_TOP_TERMS),
         "ft_show_document": (q_ft_show_document, SQL_FT_SHOW_DOCUMENT),
+        "ft_term_vector": (q_ft_term_vector, SQL_FT_TERM_VECTOR),
+        "ft_explain": (q_ft_explain, _sql_ft_explain()),
         "ft_vocab_diff": (q_ft_vocab_diff, SQL_FT_VOCAB_DIFF),
         "ft_suggest": (q_ft_suggest, _sql_ft_suggest()),
         "ft_complete": (q_ft_complete, _sql_ft_complete()),

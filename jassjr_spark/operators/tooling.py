@@ -57,6 +57,81 @@ def show_document(docs: DataFrame, docno: str) -> DataFrame:
     return docs.filter(F.col("docno") == docno)
 
 
+def term_vector(
+    index: Index, docs: DataFrame, docno: str, prepend_docno: bool = False
+) -> DataFrame:
+    """Per-document term vector -> (term, tf, df): Lucene's TermVectors /
+    the termvectors API of production engines (the reference exposes only
+    whole-document fetch, tools/show_document.cpp:25-78).
+
+    Access-path choice: re-tokenize the FORWARD document — a one-doc plan
+    whose docno predicate pushes into the documents scan — rather than
+    filtering the term-partitioned postings store, where a docid predicate
+    reads every term bucket (the inverted layout is the wrong access path
+    for a one-doc question; engines keep a forward/stored view for this).
+    df rides in from the dictionary via a broadcast of the doc's own
+    (bounded-by-doclen) term set; terms absent from the CURRENT dictionary
+    are dropped (inner join) — the vector describes the indexed corpus.
+    ``prepend_docno`` must match how the index was built."""
+    from jassjr_spark.functions.tokenize import doc_term_frequencies
+
+    one = docs.filter(F.col("docno") == docno)
+    tfs = doc_term_frequencies(one, prepend_docno=prepend_docno).select(
+        "term", F.col("tf").cast("long").alias("tf")
+    )
+    return (
+        index.dictionary.join(F.broadcast(tfs), "term")
+        .select("term", "tf", F.col("df").cast("long").alias("df"))
+    )
+
+
+def explain_score(
+    index: Index, terms: list[str], docno: str, stats: dict | None = None
+) -> DataFrame:
+    """Scoring explanation -> one row per scorable query term matching the
+    doc: (term, tf, df, dl, idf, contrib) with ``sum(contrib)`` == the
+    doc's rsv in ``search`` — Lucene's Explanation / the _explain API.
+    Same elision rules as the engine (OOV and df==N terms are absent),
+    same CPython-idf + shared bm25_contrib kernel, so the breakdown IS
+    the score, not a re-derivation. idf/contrib rounded to 6 dp for
+    cross-engine display stability.
+
+    Plan: one docno probe on the docids table + the standard pruned
+    postings fetch filtered to that docid — never a corpus scan."""
+    from jassjr_spark.operators.search import attach_idf, bm25_contrib
+    from jassjr_spark.sources.index_store import pruned_postings
+
+    s = stats or index.scalar_stats()
+    spark = index.dictionary.sparkSession
+    hit = index.docids.filter(F.col("docno") == docno).collect()
+    if not hit:
+        return spark.createDataFrame(
+            [], "term string, tf long, df long, dl long, idf double, "
+                "contrib double")
+    docid = hit[0].docid
+    qterms = sorted(set(terms))
+    queries = spark.createDataFrame(
+        [(0, i, t) for i, t in enumerate(qterms)],
+        "query_id long, pos int, term string",
+    )
+    q = attach_idf(queries, index.dictionary, s["n_docs"], qterms=qterms)
+    return (
+        pruned_postings(index, qterms)
+        .filter(F.col("docid") == docid)
+        .join(F.broadcast(q.select("term", "idf")), "term")
+        .join(F.broadcast(index.dictionary
+                          .filter(F.col("term").isin(qterms))
+                          .select("term", "df")), "term")
+        .select(
+            "term", F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("dl").cast("long").alias("dl"),
+            F.round("idf", 6).alias("idf"),
+            F.round(bm25_contrib(s["avgdl"]), 6).alias("contrib"),
+        )
+    )
+
+
 def suggest_terms(
     index: Index, word: str, max_dist: int = 2, k: int = 5
 ) -> DataFrame:

@@ -143,3 +143,63 @@ def test_suggest_terms(spark):
     assert all(abs(len(r.term) - 5) <= 2 for r in far)
     # k cut
     assert len(suggest_terms(idx, "tabel", max_dist=3, k=2).collect()) == 2
+
+
+def test_term_vector(spark):
+    from jassjr_spark.operators.tooling import term_vector
+
+    docs = spark.createDataFrame(
+        [
+            (0, "d0", "apple banana apple orange"),
+            (1, "d1", "apple cherry"),
+            (2, "d2", "banana"),
+        ],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(docs, prepend_docno=False).cache()
+    got = {(r.term, r.tf, r.df)
+           for r in term_vector(idx, docs, "d0").collect()}
+    assert got == {("apple", 2, 2), ("banana", 1, 2), ("orange", 1, 1)}
+    # missing docno -> empty; prepend_docno indexes count the DOCNO token
+    assert term_vector(idx, docs, "nope").collect() == []
+    idx2 = build_index(docs).cache()  # prepend_docno=True (TREC semantics)
+    got2 = {(r.term, r.tf)
+            for r in term_vector(idx2, docs, "d1", prepend_docno=True)
+            .collect()}
+    assert got2 == {("d1", 1), ("apple", 1), ("cherry", 1)}
+
+
+def test_explain_score_sums_to_rsv(spark):
+    from jassjr_spark.operators.search import search
+    from jassjr_spark.operators.tooling import explain_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "d0", "apple banana apple orange"),
+            (1, "d1", "apple cherry"),
+            (2, "d2", "banana melon"),
+        ],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(docs, prepend_docno=False).cache()
+    rows = explain_score(idx, ["apple", "banana", "zzz"], "d0").collect()
+    by_term = {r.term: r for r in rows}
+    assert set(by_term) == {"apple", "banana"}   # OOV 'zzz' absent
+    assert by_term["apple"].tf == 2 and by_term["apple"].df == 2
+    assert by_term["apple"].dl == 4
+    q = spark.createDataFrame(
+        [(0, 0, "apple"), (0, 1, "banana"), (0, 2, "zzz")],
+        "query_id long, pos int, term string",
+    )
+    rsv = {r.docno: r.rsv for r in search(idx, q).collect()}["d0"]
+    assert abs(sum(r.contrib for r in rows) - rsv) < 5e-6
+    # df==N terms are elided from the explanation like the scorer
+    docs_all = spark.createDataFrame(
+        [(0, "d0", "common apple"), (1, "d1", "common pear")],
+        "docid long, docno string, content string",
+    )
+    idx_all = build_index(docs_all, prepend_docno=False).cache()
+    terms = {r.term for r in explain_score(idx_all, ["common", "apple"],
+                                           "d0").collect()}
+    assert terms == {"apple"}
+    assert explain_score(idx, ["apple"], "missing").collect() == []

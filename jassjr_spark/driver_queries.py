@@ -434,6 +434,103 @@ QUALIFY rank <= {k}
 """
 
 
+# Wildcard workload: (query_id, plain terms, prefix list) — 'pfx*'.
+WILDCARD_QUERIES: list[tuple[int, list[str], list[str]]] = [
+    (1, ["join"], ["sp"]),
+    (2, [], ["wind", "vec"]),
+    (3, ["data"], ["quer"]),
+]
+
+
+def q_ft_wildcard_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Wildcard-prefix matching — the trailing-'*' operator. Each prefix
+    expands to <= MAX_EXPANSIONS dictionary terms (literal StartsWith
+    filters that min/max-prune a term-sorted dictionary; (cf desc, term
+    asc) cap ranking), each expansion scoring with its OWN idf."""
+    from jassjr_spark.operators.fuzzy import expand_prefix
+
+    idx = corpus_index(spark, sf_dir)
+    s = idx.scalar_stats()
+    plain_rows = [
+        (qid, pos, t)
+        for qid, plain, _ in WILDCARD_QUERIES for pos, t in enumerate(plain)
+    ]
+    pfx_rows = [
+        (qid, slot, p)
+        for qid, _, pfx in WILDCARD_QUERIES for slot, p in enumerate(pfx)
+    ]
+    queries = spark.createDataFrame(
+        plain_rows, "query_id long, pos int, term string"
+    ).unionByName(expand_prefix(idx, pfx_rows))
+    scored = score_postings(queries, idx.postings, idx.dictionary,
+                            s["n_docs"], s["avgdl"])
+    acc = accumulate(scored).withColumn("rsv", F.round("rsv", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        acc.filter(F.col("rsv") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
+def _sql_ft_wildcard(k: int = 10) -> str:
+    from jassjr_spark.operators.fuzzy import MAX_EXPANSIONS
+
+    pxvals = ", ".join(
+        f"({qid}, {slot}, '{p}')"
+        for qid, _, pfx in WILDCARD_QUERIES for slot, p in enumerate(pfx)
+    )
+    pvals = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, plain, _ in WILDCARD_QUERIES for pos, t in enumerate(plain)
+    )
+    return f"""{_INDEX_CTES},
+prefixes(query_id, slot, pfx) AS (VALUES {pxvals}),
+plainq(query_id, pos, term) AS (VALUES {pvals}),
+exp AS (
+  SELECT x.query_id, x.slot, d.term, d.cf
+  FROM prefixes x JOIN dict d ON starts_with(d.term, x.pfx)
+),
+expr AS (
+  SELECT query_id, slot, term,
+         row_number() OVER (PARTITION BY query_id, slot
+                            ORDER BY cf DESC, term ASC) AS rnk
+  FROM exp
+),
+equeries AS (
+  SELECT query_id, term FROM expr WHERE rnk <= {MAX_EXPANSIONS}
+  UNION ALL
+  SELECT query_id, term FROM plainq
+),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM equeries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 def corpus_blocks(spark: SparkSession, sf_dir: str, idx, s: dict) -> DataFrame:
     """Per-process memo of the compressed blocks table per corpus: blocks
     are an index-time artifact (plans/build_job.py persists them), so
@@ -3625,6 +3722,7 @@ def catalog() -> dict[str, tuple]:
         "ft_bm25_top10": (q_ft_bm25_top10, _sql_ft_bm25()),
         "ft_boost_top10": (q_ft_boost_top10, _sql_ft_boost()),
         "ft_fuzzy_top10": (q_ft_fuzzy_top10, _sql_ft_fuzzy()),
+        "ft_wildcard_top10": (q_ft_wildcard_top10, _sql_ft_wildcard()),
         "ft_bm25_wand": (q_ft_bm25_wand, _sql_ft_bm25()),
         "ft_bm25_maxscore": (q_ft_bm25_maxscore, _sql_ft_bm25()),
         "ft_bm25_and": (q_ft_bm25_and, _sql_ft_bm25_and()),

@@ -1,4 +1,5 @@
-"""Fuzzy (edit-distance) term matching: ``term~d`` query rewrite.
+"""Multi-term query rewrites: fuzzy ``term~d`` and wildcard-prefix
+``term*`` — dictionary-expansion operators over the vocabulary.
 
 The reference matches query terms exactly (``JASSjr_search.py:65-75``);
 every production engine pairs that with a fuzzy operator. Lucene's
@@ -75,6 +76,58 @@ def expand_fuzzy(
     )
 
 
+MIN_PREFIX_LEN = 2
+
+
+def expand_prefix(
+    index: Index,
+    prefixes: list[tuple[int, int, str]],
+    max_expansions: int = MAX_EXPANSIONS,
+    min_prefix_len: int = MIN_PREFIX_LEN,
+) -> DataFrame:
+    """``prefixes``: (query_id, slot, prefix) rows -> (query_id, pos,
+    term) expansion rows for the wildcard-prefix operator ``prefix*``:
+    dictionary terms starting with the prefix, capped at
+    ``max_expansions`` per slot by (cf desc, term asc) — most-frequent
+    variants first, spelling breaks ties (the ft_complete ranking).
+
+    Plan shape: prefixes are driver-known and few, so each becomes a
+    LITERAL ``StartsWith`` filter on the dictionary — a predicate Parquet
+    min/max-prunes on a term-sorted dictionary — and the per-prefix scans
+    union. (A broadcast-join formulation would evaluate the prefix test
+    against every vocabulary row and push nothing.) Prefixes shorter
+    than ``min_prefix_len`` are refused: a 1-char prefix at web scale
+    names a constant fraction of the vocabulary (Lucene's
+    prefix-length guardrail for the same reason).
+    """
+    from functools import reduce
+
+    for _, _, p in prefixes:
+        if len(p) < min_prefix_len:
+            raise ValueError(
+                f"wildcard prefix {p!r} shorter than min_prefix_len="
+                f"{min_prefix_len}; a 1-char prefix expands to a "
+                "vocabulary slice"
+            )
+    outs = []
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    for qid, slot, p in prefixes:
+        outs.append(
+            index.dictionary
+            .filter(F.col("term").startswith(p))
+            .select("term", "cf")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= max_expansions)
+            .select(
+                F.lit(qid).cast("long").alias("query_id"),
+                (F.lit((slot + 1) * EXPANSION_POS_BASE) + F.col("rank"))
+                .cast("int").alias("pos"),
+                "term",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def search_fuzzy(
     index: Index,
     queries: DataFrame | None,
@@ -82,21 +135,25 @@ def search_fuzzy(
     k: int = 10,
     max_expansions: int = MAX_EXPANSIONS,
     stats: dict | None = None,
+    prefixes: list[tuple[int, int, str]] | None = None,
 ) -> DataFrame:
     """Disjunctive BM25 over plain ``queries`` (query_id, pos, term[,
-    weight]; may be None) plus the expansions of the ``fuzzy`` terms ->
-    (query_id, docno, rank, rsv).
+    weight]; may be None) plus the expansions of the ``fuzzy`` terms and
+    wildcard ``prefixes`` -> (query_id, docno, rank, rsv). Expansion
+    slot numbers must be unique across fuzzy+prefix within a query.
 
     The expansion set is collected driver-side first (it is bounded by
-    ``#fuzzy * max_expansions`` — the rewrite happens before scoring,
-    exactly like Lucene's MultiTermQuery rewrite), so the follow-on
-    ``search()`` knows its full term list and keeps the pruned
+    ``#expansions * max_expansions`` — the rewrite happens before
+    scoring, exactly like Lucene's MultiTermQuery rewrite), so the
+    follow-on ``search()`` knows its full term list and keeps the pruned
     postings fetch + single-job plan of every other mode.
     """
     from jassjr_spark.operators.search import search
 
     spark = index.dictionary.sparkSession
     exp = expand_fuzzy(index, fuzzy, max_expansions).collect() if fuzzy else []
+    if prefixes:
+        exp += expand_prefix(index, prefixes, max_expansions).collect()
     boosted = queries is not None and "weight" in queries.columns
     rows = [(r.query_id, r.pos, r.term) for r in exp]
     if boosted:

@@ -13,6 +13,7 @@ the execution is entirely existing plans:
     lang:py hash          -> metadata scope                (search_scoped)
     hash^2.5 table        -> '^w' term boost               (weighted search)
     hsah~ table           -> '~d' fuzzy term (default d=1) (search_fuzzy)
+    has* table            -> trailing-'*' prefix wildcard  (search_fuzzy)
 
 Terms are normalized with the INDEX tokenizer rules (lowercase,
 255-char truncate, the reference's lexer alphabet), so a query spelled
@@ -24,7 +25,7 @@ required+negated compose (exclusion applied on a wide-margin mixed run);
 a phrase must be the whole query. Boosts ride the scored-term stream, so
 they compose with plain, negated, and scoped queries (the modes whose
 scoring kernel is score_postings); boosting a required term raises.
-Fuzzy terms compose with plain (boosted or not) terms only.
+Fuzzy and wildcard terms compose with plain (boosted or not) terms only.
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ _PHRASE_RE = re.compile(r'"([^"]*)"')
 _FIELD_RE = re.compile(r"^(\w+):(.+)$")
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.+)~(\d)?$")
+_WILD_RE = re.compile(r"^([^*]+)\*$")
 
 NEGATION_MARGIN = 400   # extra depth for post-cut exclusion in mixed mode
 
@@ -55,6 +57,7 @@ class ParsedQuery:
     filters: dict[str, str] = field(default_factory=dict)
     weights: list[float] = field(default_factory=list)  # 1:1 with positive
     fuzzy: list[tuple[str, int]] = field(default_factory=list)  # (term, dist)
+    prefixes: list[str] = field(default_factory=list)  # 'pfx*' wildcards
 
     @property
     def boosted(self) -> bool:
@@ -86,6 +89,18 @@ def parse_user_query(line: str) -> ParsedQuery:
         fm = _FIELD_RE.match(body) if not (neg or req) else None
         if fm:
             out.filters[fm.group(1).lower()] = fm.group(2)
+            continue
+        if "*" in body:
+            wm = _WILD_RE.match(body)
+            if not wm or neg or req:
+                raise ValueError(
+                    "wildcards are trailing-'*' prefixes on plain terms "
+                    f"only: {raw!r}"
+                )
+            pfx = wm.group(1).lower()
+            if _lex(pfx) != [pfx]:
+                raise ValueError(f"invalid wildcard prefix: {raw!r}")
+            out.prefixes.append(pfx)
             continue
         fz = _FUZZY_RE.match(body)
         if fz:
@@ -183,7 +198,7 @@ def run_user_query(
     spark = index.dictionary.sparkSession
 
     if p.phrases:
-        if (p.positive or p.negated or p.filters or p.fuzzy
+        if (p.positive or p.negated or p.filters or p.fuzzy or p.prefixes
                 or len(p.phrases) > 1):
             raise ValueError(
                 "a quoted phrase must be the whole query; combine results "
@@ -207,11 +222,11 @@ def run_user_query(
     if p.filters and (p.required or p.negated):
         raise ValueError("field filters compose only with plain terms")
 
-    if p.fuzzy:
+    if p.fuzzy or p.prefixes:
         if p.required or p.negated or p.filters:
             raise ValueError(
-                "fuzzy terms compose with plain (optionally boosted) "
-                "terms only"
+                "fuzzy/wildcard terms compose with plain (optionally "
+                "boosted) terms only"
             )
         from jassjr_spark.operators.fuzzy import search_fuzzy
 
@@ -229,7 +244,9 @@ def run_user_query(
                     "query_id long, pos int, term string",
                 )
         fz = [(query_id, slot, t, d) for slot, (t, d) in enumerate(p.fuzzy)]
-        return search_fuzzy(index, plain, fz, k=k)
+        pf = [(query_id, len(p.fuzzy) + slot, pfx)
+              for slot, pfx in enumerate(p.prefixes)]
+        return search_fuzzy(index, plain, fz, k=k, prefixes=pf)
 
     if not p.positive:
         return spark.createDataFrame(
@@ -315,14 +332,15 @@ def run_user_queries(
     for qid, line in enumerate(lines):
         p = parse_user_query(line)
         if (p.positive and not p.required and not p.negated
-                and not p.phrases and not p.filters and not p.fuzzy):
+                and not p.phrases and not p.filters and not p.fuzzy
+                and not p.prefixes):
             # boosted-but-otherwise-plain lines still share the batched
             # plan: weight is just a column of the scored stream
             plain_rows += [
                 (qid, i, t, w)
                 for i, (t, w) in enumerate(zip(p.positive, p.weights))
             ]
-        elif p.positive or p.phrases or p.fuzzy:
+        elif p.positive or p.phrases or p.fuzzy or p.prefixes:
             runs.append(
                 run_user_query(index, line, k=k, metadata=metadata,
                                positions=positions, query_id=qid)

@@ -88,3 +88,48 @@ def test_fuzzy_composes_with_boosted_plain(spark, engine):
     for d, rsv in boosted.items():
         assert rsv == pytest.approx(2.0 * b.get(d, 0.0) + a.get(d, 0.0),
                                     abs=1e-12)
+
+
+def test_parse_wildcard():
+    p = parse_user_query("ban* appl~ cherry")
+    assert p.prefixes == ["ban"] and p.fuzzy == [("appl", 1)]
+    assert p.positive == ["cherry"]
+    for bad in ["*ban", "b*an", "+ban*", "-ban*", "ba*n*"]:
+        with pytest.raises(ValueError):
+            parse_user_query(bad)
+
+
+def test_wildcard_expands_prefix(spark, engine):
+    # 'ban*' -> {banana}; bitwise equal to the plain query
+    got = {(r.docno, r.rank, r.rsv)
+           for r in run_user_query(engine, "ban* cherry").collect()}
+    want = {(r.docno, r.rank, r.rsv)
+            for r in run_user_query(engine, "banana cherry").collect()}
+    assert got == want and got
+    # no dictionary term starts with 'zz'
+    assert run_user_query(engine, "zz*").collect() == []
+
+
+def test_expand_prefix_cap_ranking_and_guard(spark):
+    from jassjr_spark.operators.fuzzy import expand_prefix
+    from jassjr_spark.operators.index_build import build_index
+
+    docs = spark.createDataFrame(
+        [(0, "x0", "cat cat cat cab cab car can dog")],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(docs, prepend_docno=False).cache()
+    rows = expand_prefix(idx, [(3, 0, "ca")], max_expansions=2).collect()
+    assert [(r.query_id, r.pos, r.term)
+            for r in sorted(rows, key=lambda r: r.pos)] \
+        == [(3, 1001, "cat"), (3, 1002, "cab")]
+    with pytest.raises(ValueError):
+        expand_prefix(idx, [(0, 0, "c")])
+
+
+def test_wildcard_plan_pushes_prefix(spark, engine):
+    from jassjr_spark.operators.fuzzy import expand_prefix
+
+    plan = expand_prefix(engine, [(0, 0, "ba")])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "StartsWith" in plan

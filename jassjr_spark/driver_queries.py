@@ -3649,6 +3649,130 @@ GROUP BY 1, 2
 """
 
 
+def _code_queries_df(spark: SparkSession) -> DataFrame:
+    qrows = [
+        (qid, pos, t)
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    return spark.createDataFrame(qrows, "query_id long, pos int, term string")
+
+
+def _sql_code_queries_values() -> str:
+    return ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    )
+
+
+_SQL_MATCHED_CTE = """
+matched AS (
+  SELECT DISTINCT q.query_id, p.docid
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+)"""
+
+
+def q_code_hit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-hits (operators/search.py:hit_counts): size of the ranked run
+    at k=inf per query — no scoring, a pruned distinct-count."""
+    from jassjr_spark.operators.search import hit_counts
+
+    idx = code_index(spark, sf_dir)
+    return hit_counts(idx, _code_queries_df(spark)).select(
+        F.col("query_id").cast("long"), "n_hits"
+    )
+
+
+def _sql_code_hit_counts() -> str:
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_sql_code_queries_values()}),
+{_SQL_MATCHED_CTE.lstrip()}
+SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       CAST(COALESCE(m.n, 0) AS BIGINT) AS n_hits
+FROM (SELECT DISTINCT query_id FROM queries) q
+LEFT JOIN (SELECT query_id, count(*) AS n FROM matched GROUP BY query_id) m
+       USING (query_id)
+"""
+
+
+def q_code_sortby_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Sort-by-field (operators/search.py:search_ordered): the matching
+    set ordered by file size (n_chars desc) instead of relevance — the
+    ES/Solr sort clause over the input_hint corpus."""
+    from jassjr_spark.operators.search import search_ordered
+
+    idx = code_index(spark, sf_dir)
+    keys = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.col("n_chars").cast("long").alias("sort_key"),
+    )
+    return search_ordered(idx, _code_queries_df(spark), keys, k=k).select(
+        F.col("query_id").cast("long"), "docno", "rank",
+        F.col("sort_key").cast("long").alias("sort_key"),
+    )
+
+
+def _sql_code_sortby(k: int = 10) -> str:
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {_sql_code_queries_values()}),
+{_SQL_MATCHED_CTE.lstrip()},
+ranked AS (
+  SELECT m.query_id, c.docno, CAST(d2.n_chars AS BIGINT) AS sort_key,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY d2.n_chars DESC, m.docid DESC) AS rank
+  FROM matched m
+  JOIN codedocs c USING (docid)
+  JOIN documents d2 ON d2.doc_id = m.docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docno,
+       CAST(rank AS BIGINT) AS rank, sort_key
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_code_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats facet (operators/search.py:facet_stats): per (query, lang),
+    count/min/max/avg file size over the matching set — the aggregation
+    companion to the facet counts."""
+    from jassjr_spark.operators.search import facet_stats
+
+    idx = code_index(spark, sf_dir)
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    langs = code_documents(_code_corpus(spark, sf_dir)).select("docid", "lang")
+    sizes = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docid"), F.col("n_chars")
+    )
+    facets = langs.join(sizes, "docid").select(
+        "docid", F.col("lang").alias("facet"), F.col("n_chars").alias("val")
+    )
+    return facet_stats(idx, _code_queries_df(spark), facets).select(
+        F.col("query_id").cast("long"), "facet", "n_docs",
+        "min_val", "max_val", "avg_val",
+    )
+
+
+def _sql_code_facet_stats() -> str:
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {_sql_code_queries_values()}),
+{_SQL_MATCHED_CTE.lstrip()}
+SELECT CAST(m.query_id AS BIGINT) AS query_id, c.lang AS facet,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(CAST(d2.n_chars AS DOUBLE)) AS min_val,
+       max(CAST(d2.n_chars AS DOUBLE)) AS max_val,
+       round(avg(CAST(d2.n_chars AS DOUBLE)), 6) AS avg_val
+FROM matched m
+JOIN codedocs c USING (docid)
+JOIN documents d2 ON d2.doc_id = m.docid
+GROUP BY m.query_id, c.lang
+"""
+
+
 def q_code_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style same-language clone candidates
     (sources/code_corpus.py:clone_pairs): winnowing fingerprints,
@@ -3786,6 +3910,9 @@ def catalog() -> dict[str, tuple]:
         "code_mixed_top10": (q_code_mixed_top10, _sql_code_mixed()),
         "code_syn_top10": (q_code_syn_top10, _sql_code_syn()),
         "code_facet_lang": (q_code_facet_lang, _sql_code_facet_lang()),
+        "code_hit_counts": (q_code_hit_counts, _sql_code_hit_counts()),
+        "code_sortby_top10": (q_code_sortby_top10, _sql_code_sortby()),
+        "code_facet_stats": (q_code_facet_stats, _sql_code_facet_stats()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),
     }

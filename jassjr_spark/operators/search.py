@@ -553,6 +553,114 @@ def facet_counts(
     )
 
 
+def _matched_docids(index: Index, queries: DataFrame, s: dict) -> DataFrame:
+    """The boolean-OR candidate set -> distinct (query_id, docid): every
+    doc containing at least one SCORABLE query term (OOV and df==N terms
+    drop out via attach_idf — identical elision to the scorer, and since
+    every per-posting contribution is strictly positive, this set equals
+    {rsv > 0} without computing a single score). Shared by the
+    total-hits / sort-by-field / stats-facet companions."""
+    from jassjr_spark.sources.index_store import pruned_postings
+
+    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    q = attach_idf(queries, index.dictionary, s["n_docs"], qterms=qterms)
+    return (
+        pruned_postings(index, qterms)
+        .join(F.broadcast(q.select("query_id", "term").distinct()), "term")
+        .select("query_id", "docid")
+        .distinct()
+    )
+
+
+def hit_counts(index: Index, queries: DataFrame,
+               stats: dict | None = None) -> DataFrame:
+    """Total hits per query -> (query_id, n_hits): the size of the ranked
+    run at k=infinity (the total-hits number every engine reports beside
+    its top-k page). Queries matching nothing report 0, not absence.
+
+    Plan shape: pruned postings fetch + a two-phase distinct-count — no
+    scoring, no window; the distinct shuffles at most one row per
+    (query, matched doc)."""
+    s = stats or index.scalar_stats()
+    counts = (
+        _matched_docids(index, queries, s)
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        queries.select("query_id").distinct()
+        .join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+def search_ordered(
+    index: Index, queries: DataFrame, order_keys: DataFrame, k: int = TOP_K,
+    ascending: bool = False, stats: dict | None = None,
+) -> DataFrame:
+    """Sort-by-field: the boolean-OR candidate set ordered by a metadata
+    key instead of relevance -> (query_id, docno, rank, sort_key) — the
+    ES/Solr ``sort`` clause (newest-first, largest-first listings).
+
+    ``order_keys`` is (docid, sort_key); docs without a key drop out
+    (inner join — a doc that cannot be ordered cannot be listed).
+    Tie-break: docid desc, the engine's standard.
+
+    Plan shape: the matched set is one row per (query, doc); the key map
+    joins on docid BEFORE the per-query window, so the window input is
+    candidate-sized, never postings-sized."""
+    s = stats or index.scalar_stats()
+    key = F.col("sort_key")
+    w = Window.partitionBy("query_id").orderBy(
+        key.asc() if ascending else key.desc(), F.col("docid").desc()
+    )
+    ranked = (
+        _matched_docids(index, queries, s)
+        .join(order_keys.select(
+            F.col("docid").cast("long").alias("docid"), "sort_key"), "docid")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    if s["n_docs"] <= BROADCAST_DOCIDS_MAX:
+        out = ranked.join(F.broadcast(index.docids), "docid")
+    else:
+        out = index.docids.join(F.broadcast(ranked), "docid")
+    return out.select("query_id", "docno", "rank", "sort_key")
+
+
+def facet_stats(
+    index: Index, queries: DataFrame, facets: DataFrame,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Stats facet (the aggregation companion to facet_counts): per
+    (query, facet value), count/min/max/avg of a numeric field over the
+    MATCHING documents -> (query_id, facet, n_docs, min_val, max_val,
+    avg_val) — "python: 1,204 files, avg 8.3 KB" next to the counts.
+
+    ``facets`` is (docid, facet, val). Same unscoped match set as
+    facet_counts; the aggregate is low-cardinality and partial-aggregates
+    map-side. avg is rounded to 6 dp for cross-engine stability."""
+    s = stats or index.scalar_stats()
+    f = facets.select(
+        F.col("docid").cast("long").alias("docid"), "facet",
+        F.col("val").cast("double").alias("val"),
+    )
+    return (
+        _matched_docids(index, queries, s)
+        .join(f, "docid")
+        .groupBy("query_id", "facet")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.round(F.avg("val"), 6).alias("avg_val"),
+        )
+    )
+
+
 def resolve_docnos(
     index: Index, ranked: DataFrame, n_docs: int,
     extra: tuple[str, ...] = (),

@@ -228,3 +228,80 @@ def test_clone_pairs_stop_gram_cap(spark):
     capped = clone_pairs(corpus, max_fp_df=5, min_shared=1).count()
     uncapped = clone_pairs(corpus, max_fp_df=50, min_shared=1).count()
     assert capped < uncapped == 66  # identical boiler => all-pairs uncapped
+
+
+def test_hit_counts_identity(spark, corpus):
+    """hit_counts == the full run's size at k=inf; an OOV-only query
+    reports 0 instead of dropping out of the result."""
+    from jassjr_spark.operators.search import hit_counts
+
+    cd = code_documents(corpus).select("docid", "docno", "content")
+    idx = build_index(cd, prepend_docno=False).cache()
+    queries = spark.createDataFrame(
+        [(1, 0, "hash"), (1, 1, "table"), (2, 0, "zzzmissing")],
+        "query_id long, pos int, term string",
+    )
+    got = {r.query_id: r.n_hits for r in hit_counts(idx, queries).collect()}
+    full = search(idx, queries, k=10**9).groupBy("query_id").count().collect()
+    want = {r.query_id: r["count"] for r in full}
+    assert got[1] == want[1] > 0
+    assert got[2] == 0 and 2 not in want
+
+
+def test_search_ordered(spark, corpus):
+    """search_ordered lists the exact matched set ordered by the key,
+    desc and asc, ties broken docid desc."""
+    from jassjr_spark.operators.search import hit_counts, search_ordered
+
+    cd = code_documents(corpus).select("docid", "docno", "content")
+    idx = build_index(cd, prepend_docno=False).cache()
+    keys = corpus.select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.length("content").cast("long").alias("sort_key"),
+    )
+    queries = spark.createDataFrame(
+        [(1, 0, "hash"), (1, 1, "table")],
+        "query_id long, pos int, term string",
+    )
+    n = hit_counts(idx, queries).collect()[0].n_hits
+    got = search_ordered(idx, queries, keys, k=10**9).collect()
+    assert len(got) == n
+    seq = [(r.sort_key, r.docno) for r in sorted(got, key=lambda r: r.rank)]
+    assert [s for s, _ in seq] == sorted([s for s, _ in seq], reverse=True)
+    asc = search_ordered(idx, queries, keys, k=5, ascending=True).collect()
+    asc_keys = [r.sort_key for r in sorted(asc, key=lambda r: r.rank)]
+    assert asc_keys == sorted(asc_keys)
+    assert len(asc) == min(5, n)
+
+
+def test_facet_stats_identity(spark, corpus):
+    """facet_stats == pandas aggregation of (matched run x facets)."""
+    from jassjr_spark.operators.search import facet_stats
+
+    cd = code_documents(corpus).select("docid", "docno", "content")
+    idx = build_index(cd, prepend_docno=False).cache()
+    facets = code_documents(corpus).select(
+        "docid", F.col("lang").alias("facet"),
+        F.length("content").cast("double").alias("val"),
+    )
+    queries = spark.createDataFrame(
+        [(1, 0, "hash"), (1, 1, "table")],
+        "query_id long, pos int, term string",
+    )
+    got = {(r.query_id, r.facet): (r.n_docs, r.min_val, r.max_val, r.avg_val)
+           for r in facet_stats(idx, queries, facets).collect()}
+    full = (
+        search(idx, queries, k=10**9)
+        .join(cd.select("docid", "docno"), "docno")
+        .join(facets, "docid")
+        .collect()
+    )
+    import collections
+    vals = collections.defaultdict(list)
+    for r in full:
+        vals[(r.query_id, r.facet)].append(r.val)
+    assert set(got) == set(vals) and got
+    for key, vs in vals.items():
+        n, mn, mx, avg = got[key]
+        assert (n, mn, mx) == (len(vs), min(vs), max(vs))
+        assert avg == pytest.approx(sum(vs) / len(vs), abs=1e-6)

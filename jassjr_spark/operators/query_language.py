@@ -11,6 +11,7 @@ the execution is entirely existing plans:
     hash -merge           -> '-' terms excluded            (search_negated)
     "hash table"          -> exact phrase                  (phrase_search)
     lang:py hash          -> metadata scope                (search_scoped)
+    n_chars:>=100 hash    -> numeric range scope            (search_scoped)
     hash^2.5 table        -> '^w' term boost               (weighted search)
     hsah~ table           -> '~d' fuzzy term (default d=1) (search_fuzzy)
     has* table            -> trailing-'*' prefix wildcard  (search_fuzzy)
@@ -44,6 +45,7 @@ _FIELD_RE = re.compile(r"^(\w+):(.+)$")
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.+)~(\d)?$")
 _WILD_RE = re.compile(r"^([^*]+)\*$")
+_RANGE_RE = re.compile(r"^(>=|<=|>|<)(\d+(?:\.\d+)?)$")
 
 NEGATION_MARGIN = 400   # extra depth for post-cut exclusion in mixed mode
 
@@ -55,6 +57,8 @@ class ParsedQuery:
     negated: list[str] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
     filters: dict[str, str] = field(default_factory=dict)
+    ranges: list[tuple[str, str, float]] = field(default_factory=list)
+    # (field, op, bound) from field:>x / >=x / <x / <=x
     weights: list[float] = field(default_factory=list)  # 1:1 with positive
     fuzzy: list[tuple[str, int]] = field(default_factory=list)  # (term, dist)
     prefixes: list[str] = field(default_factory=list)  # 'pfx*' wildcards
@@ -88,7 +92,14 @@ def parse_user_query(line: str) -> ParsedQuery:
         body = raw[1:] if (neg or req) else raw
         fm = _FIELD_RE.match(body) if not (neg or req) else None
         if fm:
-            out.filters[fm.group(1).lower()] = fm.group(2)
+            value = fm.group(2)
+            rm = _RANGE_RE.match(value)
+            if rm:
+                out.ranges.append(
+                    (fm.group(1).lower(), rm.group(1), float(rm.group(2)))
+                )
+            else:
+                out.filters[fm.group(1).lower()] = value
             continue
         if "*" in body:
             wm = _WILD_RE.match(body)
@@ -198,8 +209,8 @@ def run_user_query(
     spark = index.dictionary.sparkSession
 
     if p.phrases:
-        if (p.positive or p.negated or p.filters or p.fuzzy or p.prefixes
-                or len(p.phrases) > 1):
+        if (p.positive or p.negated or p.filters or p.ranges or p.fuzzy
+                or p.prefixes or len(p.phrases) > 1):
             raise ValueError(
                 "a quoted phrase must be the whole query; combine results "
                 "of separate queries for phrase+boolean needs"
@@ -219,11 +230,11 @@ def run_user_query(
         return resolve_docnos(index, run.select(
             "query_id", "docid", "rank", "rsv"), n)
 
-    if p.filters and (p.required or p.negated):
+    if (p.filters or p.ranges) and (p.required or p.negated):
         raise ValueError("field filters compose only with plain terms")
 
     if p.fuzzy or p.prefixes:
-        if p.required or p.negated or p.filters:
+        if p.required or p.negated or p.filters or p.ranges:
             raise ValueError(
                 "fuzzy/wildcard terms compose with plain (optionally "
                 "boosted) terms only"
@@ -265,13 +276,16 @@ def run_user_query(
             "query_id long, pos int, term string",
         )
 
-    if p.filters:
+    if p.filters or p.ranges:
         if metadata is None:
-            raise ValueError(f"query uses field filters {p.filters} but "
-                             "no metadata frame was provided")
+            raise ValueError(f"query uses field filters {p.filters or p.ranges}"
+                             " but no metadata frame was provided")
         allowed = metadata
         for f_name, value in p.filters.items():
             allowed = allowed.filter(F.col(f_name) == value)
+        ops = {">": "__gt__", ">=": "__ge__", "<": "__lt__", "<=": "__le__"}
+        for f_name, op, bound in p.ranges:
+            allowed = allowed.filter(getattr(F.col(f_name), ops[op])(bound))
         return search_scoped(index, queries, allowed.select("docid"), k=k)
 
     if p.required:
@@ -332,8 +346,8 @@ def run_user_queries(
     for qid, line in enumerate(lines):
         p = parse_user_query(line)
         if (p.positive and not p.required and not p.negated
-                and not p.phrases and not p.filters and not p.fuzzy
-                and not p.prefixes):
+                and not p.phrases and not p.filters and not p.ranges
+                and not p.fuzzy and not p.prefixes):
             # boosted-but-otherwise-plain lines still share the batched
             # plan: weight is just a column of the scored stream
             plain_rows += [

@@ -228,3 +228,35 @@ def test_run_user_queries_batches_boosted_plain_lines(spark, engine):
         for r in run_user_query(idx, line, query_id=qid).collect()
     )
     assert got == want and got
+
+
+def test_parse_and_dispatch_range_filter(spark, engine):
+    from jassjr_spark.operators.query_language import parse_user_query
+
+    p = parse_user_query("apple n_chars:>=19 lang:py size:<2.5")
+    assert p.ranges == [("n_chars", ">=", 19.0), ("size", "<", 2.5)]
+    assert p.filters == {"lang": "py"}
+
+    docs, idx, _ = engine
+    meta = docs.select(
+        "docid", "lang", F.length("content").alias("n_chars")
+    )
+    # d0/d1 have 19-char content; d3 'apple orange' is 12
+    got = {r.docno for r in run_user_query(
+        idx, "apple n_chars:>=19", metadata=meta).collect()}
+    assert got == {"d0", "d1", "d2"}
+    # composes with equality filters: lang:rs AND n_chars:>=19 -> d2 only
+    got2 = {r.docno for r in run_user_query(
+        idx, "apple lang:rs n_chars:>=19", metadata=meta).collect()}
+    assert got2 == {"d2"}
+    # strict < excludes the boundary
+    got3 = {r.docno for r in run_user_query(
+        idx, "apple n_chars:<19", metadata=meta).collect()}
+    assert got3 == {"d3"}
+    # ranges keep the filters-only-with-plain rule
+    with pytest.raises(ValueError):
+        run_user_query(idx, "+apple n_chars:>5", metadata=meta)
+    # scores match the unfiltered run (global stats, the scoped contract)
+    plain = {r.docno: r.rsv for r in run_user_query(idx, "apple").collect()}
+    for r in run_user_query(idx, "apple n_chars:>=19", metadata=meta).collect():
+        assert r.rsv == plain[r.docno]

@@ -29,6 +29,10 @@ ENTRIES = [
     "code_bm25f_top10", "code_syn_top10", "code_grouped_top10",
     "code_page2_top10", "ft_complete", "ft_related", "ft_ndcg",
     "decon_pairs", "text_redact", "pipe_curated",
+    # round-4 continuation additions
+    "ft_boost_top10", "ft_fuzzy_top10", "ft_wildcard_top10",
+    "ft_term_vector", "ft_explain", "code_hit_counts",
+    "code_sortby_top10", "code_facet_stats",
 ]
 
 

@@ -531,6 +531,105 @@ QUALIFY rank <= {k}
 """
 
 
+# Regex workload: (query_id, plain terms, pattern list) — '/pat/' terms.
+# Portable syntax only (classes, ., +, |): Spark evaluates Java regex,
+# the oracle RE2.
+REGEX_QUERIES: list[tuple[int, list[str], list[str]]] = [
+    (1, ["join"], ["sp.rk"]),
+    (2, [], ["wind[a-z]+", "vec.*"]),
+    (3, ["data"], ["qu.+y|batch"]),
+]
+
+
+def q_ft_regex_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Regex term matching — the ``/pat/`` operator (Lucene RegexpQuery:
+    FULL-match against the vocabulary). Each pattern costs one
+    vocab-sized dictionary scan; expansions capped by (cf desc, term
+    asc) and scored with their OWN idf like the other rewrites."""
+    from jassjr_spark.operators.fuzzy import expand_regex
+
+    idx = corpus_index(spark, sf_dir)
+    s = idx.scalar_stats()
+    plain_rows = [
+        (qid, pos, t)
+        for qid, plain, _ in REGEX_QUERIES for pos, t in enumerate(plain)
+    ]
+    pat_rows = [
+        (qid, slot, p)
+        for qid, _, pats in REGEX_QUERIES for slot, p in enumerate(pats)
+    ]
+    queries = spark.createDataFrame(
+        plain_rows, "query_id long, pos int, term string"
+    ).unionByName(expand_regex(idx, pat_rows))
+    scored = score_postings(queries, idx.postings, idx.dictionary,
+                            s["n_docs"], s["avgdl"])
+    acc = accumulate(scored).withColumn("rsv", F.round("rsv", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        acc.filter(F.col("rsv") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
+def _sql_ft_regex(k: int = 10) -> str:
+    from jassjr_spark.operators.fuzzy import MAX_EXPANSIONS
+
+    rxvals = ", ".join(
+        f"({qid}, {slot}, '{p}')"
+        for qid, _, pats in REGEX_QUERIES for slot, p in enumerate(pats)
+    )
+    pvals = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, plain, _ in REGEX_QUERIES for pos, t in enumerate(plain)
+    )
+    return f"""{_INDEX_CTES},
+pats(query_id, slot, pat) AS (VALUES {rxvals}),
+plainq(query_id, pos, term) AS (VALUES {pvals}),
+exp AS (
+  SELECT x.query_id, x.slot, d.term, d.cf
+  FROM pats x JOIN dict d ON regexp_full_match(d.term, x.pat)
+),
+expr AS (
+  SELECT query_id, slot, term,
+         row_number() OVER (PARTITION BY query_id, slot
+                            ORDER BY cf DESC, term ASC) AS rnk
+  FROM exp
+),
+equeries AS (
+  SELECT query_id, term FROM expr WHERE rnk <= {MAX_EXPANSIONS}
+  UNION ALL
+  SELECT query_id, term FROM plainq
+),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM equeries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 def corpus_blocks(spark: SparkSession, sf_dir: str, idx, s: dict) -> DataFrame:
     """Per-process memo of the compressed blocks table per corpus: blocks
     are an index-time artifact (plans/build_job.py persists them), so
@@ -3847,6 +3946,7 @@ def catalog() -> dict[str, tuple]:
         "ft_boost_top10": (q_ft_boost_top10, _sql_ft_boost()),
         "ft_fuzzy_top10": (q_ft_fuzzy_top10, _sql_ft_fuzzy()),
         "ft_wildcard_top10": (q_ft_wildcard_top10, _sql_ft_wildcard()),
+        "ft_regex_top10": (q_ft_regex_top10, _sql_ft_regex()),
         "ft_bm25_wand": (q_ft_bm25_wand, _sql_ft_bm25()),
         "ft_bm25_maxscore": (q_ft_bm25_maxscore, _sql_ft_bm25()),
         "ft_bm25_and": (q_ft_bm25_and, _sql_ft_bm25_and()),

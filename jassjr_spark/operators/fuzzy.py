@@ -1,5 +1,6 @@
-"""Multi-term query rewrites: fuzzy ``term~d`` and wildcard-prefix
-``term*`` — dictionary-expansion operators over the vocabulary.
+"""Multi-term query rewrites: fuzzy ``term~d``, wildcard-prefix
+``term*``, and regex ``/pat/`` — dictionary-expansion operators over
+the vocabulary.
 
 The reference matches query terms exactly (``JASSjr_search.py:65-75``);
 every production engine pairs that with a fuzzy operator. Lucene's
@@ -128,6 +129,43 @@ def expand_prefix(
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
+def expand_regex(
+    index: Index,
+    patterns: list[tuple[int, int, str]],
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """``patterns``: (query_id, slot, pattern) rows -> (query_id, pos,
+    term) expansions: dictionary terms FULLY matching the pattern
+    (Lucene RegexpQuery semantics — the pattern is anchored), capped at
+    ``max_expansions`` per slot by (cf desc, term asc).
+
+    Scale shape: a regex cannot min/max-prune, so each pattern costs one
+    full vocabulary scan (vocab-sized, never corpus-sized — same class
+    as the fuzzy band scan). The vocabulary is lowercase; write patterns
+    accordingly. Stick to portable syntax (classes, ., *, +, ?, |):
+    the filter runs Java regex while the DuckDB oracle runs RE2 —
+    portable subsets behave identically, lookarounds/backrefs do not."""
+    from functools import reduce
+
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    outs = []
+    for qid, slot, pat in patterns:
+        outs.append(
+            index.dictionary
+            .filter(F.col("term").rlike(f"^(?:{pat})$"))
+            .select("term", "cf")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= max_expansions)
+            .select(
+                F.lit(qid).cast("long").alias("query_id"),
+                (F.lit((slot + 1) * EXPANSION_POS_BASE) + F.col("rank"))
+                .cast("int").alias("pos"),
+                "term",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def search_fuzzy(
     index: Index,
     queries: DataFrame | None,
@@ -136,11 +174,13 @@ def search_fuzzy(
     max_expansions: int = MAX_EXPANSIONS,
     stats: dict | None = None,
     prefixes: list[tuple[int, int, str]] | None = None,
+    patterns: list[tuple[int, int, str]] | None = None,
 ) -> DataFrame:
     """Disjunctive BM25 over plain ``queries`` (query_id, pos, term[,
-    weight]; may be None) plus the expansions of the ``fuzzy`` terms and
-    wildcard ``prefixes`` -> (query_id, docno, rank, rsv). Expansion
-    slot numbers must be unique across fuzzy+prefix within a query.
+    weight]; may be None) plus the expansions of the ``fuzzy`` terms,
+    wildcard ``prefixes``, and regex ``patterns`` -> (query_id, docno,
+    rank, rsv). Expansion slot numbers must be unique across
+    fuzzy+prefix+regex within a query.
 
     The expansion set is collected driver-side first (it is bounded by
     ``#expansions * max_expansions`` — the rewrite happens before
@@ -154,6 +194,8 @@ def search_fuzzy(
     exp = expand_fuzzy(index, fuzzy, max_expansions).collect() if fuzzy else []
     if prefixes:
         exp += expand_prefix(index, prefixes, max_expansions).collect()
+    if patterns:
+        exp += expand_regex(index, patterns, max_expansions).collect()
     boosted = queries is not None and "weight" in queries.columns
     rows = [(r.query_id, r.pos, r.term) for r in exp]
     if boosted:

@@ -15,6 +15,7 @@ the execution is entirely existing plans:
     hash^2.5 table        -> '^w' term boost               (weighted search)
     hsah~ table           -> '~d' fuzzy term (default d=1) (search_fuzzy)
     has* table            -> trailing-'*' prefix wildcard  (search_fuzzy)
+    /ha.h/ table          -> /regex/ term (full match)      (search_fuzzy)
 
 Terms are normalized with the INDEX tokenizer rules (lowercase,
 255-char truncate, the reference's lexer alphabet), so a query spelled
@@ -62,6 +63,7 @@ class ParsedQuery:
     weights: list[float] = field(default_factory=list)  # 1:1 with positive
     fuzzy: list[tuple[str, int]] = field(default_factory=list)  # (term, dist)
     prefixes: list[str] = field(default_factory=list)  # 'pfx*' wildcards
+    patterns: list[str] = field(default_factory=list)  # '/regex/' terms
 
     @property
     def boosted(self) -> bool:
@@ -100,6 +102,13 @@ def parse_user_query(line: str) -> ParsedQuery:
                 )
             else:
                 out.filters[fm.group(1).lower()] = value
+            continue
+        if body.startswith("/"):
+            if not (body.endswith("/") and len(body) > 2) or neg or req:
+                raise ValueError(
+                    f"regex terms are plain /pattern/ tokens: {raw!r}"
+                )
+            out.patterns.append(body[1:-1])
             continue
         if "*" in body:
             wm = _WILD_RE.match(body)
@@ -210,7 +219,7 @@ def run_user_query(
 
     if p.phrases:
         if (p.positive or p.negated or p.filters or p.ranges or p.fuzzy
-                or p.prefixes or len(p.phrases) > 1):
+                or p.prefixes or p.patterns or len(p.phrases) > 1):
             raise ValueError(
                 "a quoted phrase must be the whole query; combine results "
                 "of separate queries for phrase+boolean needs"
@@ -233,7 +242,7 @@ def run_user_query(
     if (p.filters or p.ranges) and (p.required or p.negated):
         raise ValueError("field filters compose only with plain terms")
 
-    if p.fuzzy or p.prefixes:
+    if p.fuzzy or p.prefixes or p.patterns:
         if p.required or p.negated or p.filters or p.ranges:
             raise ValueError(
                 "fuzzy/wildcard terms compose with plain (optionally "
@@ -257,7 +266,9 @@ def run_user_query(
         fz = [(query_id, slot, t, d) for slot, (t, d) in enumerate(p.fuzzy)]
         pf = [(query_id, len(p.fuzzy) + slot, pfx)
               for slot, pfx in enumerate(p.prefixes)]
-        return search_fuzzy(index, plain, fz, k=k, prefixes=pf)
+        rx = [(query_id, len(p.fuzzy) + len(p.prefixes) + slot, pat)
+              for slot, pat in enumerate(p.patterns)]
+        return search_fuzzy(index, plain, fz, k=k, prefixes=pf, patterns=rx)
 
     if not p.positive:
         return spark.createDataFrame(
@@ -347,14 +358,15 @@ def run_user_queries(
         p = parse_user_query(line)
         if (p.positive and not p.required and not p.negated
                 and not p.phrases and not p.filters and not p.ranges
-                and not p.fuzzy and not p.prefixes):
+                and not p.fuzzy and not p.prefixes and not p.patterns):
             # boosted-but-otherwise-plain lines still share the batched
             # plan: weight is just a column of the scored stream
             plain_rows += [
                 (qid, i, t, w)
                 for i, (t, w) in enumerate(zip(p.positive, p.weights))
             ]
-        elif p.positive or p.phrases or p.fuzzy or p.prefixes:
+        elif p.positive or p.phrases or p.fuzzy or p.prefixes \
+                or p.patterns:
             runs.append(
                 run_user_query(index, line, k=k, metadata=metadata,
                                positions=positions, query_id=qid)

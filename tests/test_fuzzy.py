@@ -133,3 +133,25 @@ def test_wildcard_plan_pushes_prefix(spark, engine):
     plan = expand_prefix(engine, [(0, 0, "ba")])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "StartsWith" in plan
+
+
+def test_parse_regex():
+    p = parse_user_query("/ba.*a/ cherry")
+    assert p.patterns == ["ba.*a"] and p.positive == ["cherry"]
+    for bad in ["/ba", "+/ba/", "-/ba/", "//"]:
+        with pytest.raises(ValueError):
+            parse_user_query(bad)
+
+
+def test_regex_full_match_expansion(spark, engine):
+    # /ba.*a/ full-matches only 'banana' in this vocabulary
+    got = {(r.docno, r.rank, r.rsv)
+           for r in run_user_query(engine, "/ba.*a/ cherry").collect()}
+    want = {(r.docno, r.rank, r.rsv)
+            for r in run_user_query(engine, "banana cherry").collect()}
+    assert got == want and got
+    # anchored: /ana/ matches nothing (substring must not match)
+    assert run_user_query(engine, "/ana/").collect() == []
+    # alternation across the vocabulary
+    both = {r.docno for r in run_user_query(engine, "/grape|kiwi/").collect()}
+    assert both == {"d4"}

@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--interactive", action="store_true",
                     help="true REPL: answer each line as it arrives "
                          "(sub-second p50; byte-identical output)")
+    ap.add_argument("--syntax", action="store_true",
+                    help="parse lines with the full query language "
+                         "(+req -not term^w term~d pfx* /re/) instead of "
+                         "the reference's bare disjunctive terms; qid = "
+                         "input line number. Field filters and phrases "
+                         "need metadata/positions tables and are "
+                         "rejected here.")
     args = ap.parse_args()
 
     from jassjr_spark.operators.search import (
@@ -44,6 +51,35 @@ def main() -> None:
     from jassjr_spark.sources.index_store import read_index
 
     spark = get_spark("jassjr_search")
+
+    if args.syntax:
+        from jassjr_spark.operators.query_language import (
+            run_user_queries, run_user_query,
+        )
+
+        idx = read_index(spark, args.index).cache()
+        idx.postings.count()  # warm
+        if args.interactive:
+            source = open(args.queries) if args.queries else sys.stdin
+            for ln in source:
+                if not ln.strip():
+                    continue
+                for out_ln in to_trec_lines(
+                        run_user_query(idx, ln.strip(), k=args.k)):
+                    print(out_ln, flush=True)
+            return
+        if args.queries:
+            lines = [ln for ln in open(args.queries).read().splitlines()
+                     if ln.strip()]
+        else:
+            lines = [ln for ln in sys.stdin.read().splitlines() if ln.strip()]
+        out = regroup_lines(
+            to_trec_lines(run_user_queries(idx, lines, k=args.k)),
+            [str(i) for i in range(len(lines))],
+        )
+        for ln in out:
+            print(ln)
+        return
 
     if args.interactive:
         # the reference's REPL shape (JASSjr_search.cpp:168): load state

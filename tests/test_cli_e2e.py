@@ -95,3 +95,32 @@ def test_indexer_cli_end_to_end(tmp_path):
         n = len(want)
         found = [got[i:i + n] == want for i in range(len(got) - n + 1)]
         assert any(found), f"golden block for {q!r} missing"
+
+
+def test_cli_syntax_mode(spark, titles_index, tmp_path):
+    """--syntax: operator lines through the query language, qid = line
+    number, batch == per-line library dispatch."""
+    from jassjr_spark.operators.query_language import run_user_query
+
+    path, _ = titles_index
+    idx = read_index(spark, path).cache()
+    lines = ["south african", "+south african", "african -south",
+             "sout~ african", "sou* african", "south^2 african"]
+    want = []
+    for qid, ln in enumerate(lines):
+        rows = run_user_query(idx, ln, k=5, query_id=qid).collect()
+        for r in sorted(rows, key=lambda r: r.rank):
+            want.append("{} Q0 {} {} {:.4f} JASSjr".format(
+                qid, r.docno, r.rank, r.rsv))
+    qf = tmp_path / "syntax_queries.txt"
+    qf.write_text("\n".join(lines) + "\n")
+    got = _run_cli(["--index", path, "--queries", str(qf), "--k", "5",
+                    "--syntax"])
+    assert got == want and got
+    # interactive syntax REPL over stdin: per-line qid 0
+    got_i = _run_cli(["--index", path, "--k", "5", "--syntax",
+                      "--interactive"], stdin_text="south^2 african\n")
+    want_i = ["0 Q0 {} {} {:.4f} JASSjr".format(r.docno, r.rank, r.rsv)
+              for r in sorted(run_user_query(idx, "south^2 african", k=5)
+                              .collect(), key=lambda r: r.rank)]
+    assert got_i == want_i and got_i

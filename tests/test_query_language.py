@@ -260,3 +260,62 @@ def test_parse_and_dispatch_range_filter(spark, engine):
     plain = {r.docno: r.rsv for r in run_user_query(idx, "apple").collect()}
     for r in run_user_query(idx, "apple n_chars:>=19", metadata=meta).collect():
         assert r.rsv == plain[r.docno]
+
+
+def test_parser_never_crashes_unexpectedly():
+    """Property: parse_user_query on arbitrary printable lines either
+    returns a ParsedQuery or raises ValueError (the documented loud
+    rejections) — never any other exception. Derandomized so the gate
+    stays deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jassjr_spark.operators.query_language import parse_user_query
+
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    @given(st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=40,
+    ))
+    def check(line):
+        try:
+            p = parse_user_query(line)
+        except ValueError:
+            return
+        assert len(p.weights) == len(p.positive)
+        assert all(w > 0 for w in p.weights)
+        assert set(p.required) <= set(p.positive)
+        assert all(d >= 0 for _, d in p.fuzzy)
+        assert all(len(x) >= 1 for x in p.prefixes)
+
+    check()
+
+
+def test_parsed_plain_lines_execute(spark, engine):
+    """Property: any line that parses to PLAIN terms only dispatches
+    identically to search() (the parser cannot invent terms the
+    tokenizer wouldn't)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jassjr_spark.operators.query_language import parse_user_query
+
+    _, idx, _ = engine
+    word = st.sampled_from(["apple", "banana", "Cherry!", "kiwi", "zz-9"])
+
+    @settings(max_examples=5, deadline=None, derandomize=True)
+    @given(st.lists(word, min_size=1, max_size=4))
+    def check(words):
+        line = " ".join(words)
+        p = parse_user_query(line)
+        got = sorted((r.docno, r.rank, round(r.rsv, 6))
+                     for r in run_user_query(idx, line).collect())
+        q = spark.createDataFrame(
+            [(0, i, t) for i, t in enumerate(p.positive)],
+            "query_id long, pos int, term string",
+        )
+        want = sorted((r.docno, r.rank, round(r.rsv, 6))
+                      for r in search(idx, q).collect())
+        assert got == want
+
+    check()

@@ -3872,6 +3872,117 @@ GROUP BY m.query_id, c.lang
 """
 
 
+def q_code_cursor_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Cursor pagination (operators/search.py:search_after): page 2 as
+    "strictly below the (rsv, docid) cursor of page 1's last row", ranked
+    page-locally — O(page) deep paging, the ES search_after pattern.
+    Rounded-score twin of the operator (cross-engine rank stability);
+    search_after itself is pytest-asserted bitwise against offset paging."""
+    from jassjr_spark.operators.search import accumulate, score_postings
+
+    idx = code_index(spark, sf_dir)
+    s = idx.scalar_stats()
+    queries = _code_queries_df(spark)
+    scored = score_postings(queries, idx.postings, idx.dictionary,
+                            s["n_docs"], s["avgdl"])
+    acc = accumulate(scored).withColumn("rsv", F.round("rsv", 4)) \
+        .filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    ranked = acc.withColumn("rank", F.row_number().over(w))
+    cursor = ranked.filter(F.col("rank") == k).select(
+        "query_id", F.col("rsv").alias("cur_rsv"),
+        F.col("docid").alias("cur_docid"),
+    )
+    page2 = (
+        acc.join(F.broadcast(cursor), "query_id")
+        .filter(
+            (F.col("rsv") < F.col("cur_rsv"))
+            | ((F.col("rsv") == F.col("cur_rsv"))
+               & (F.col("docid") < F.col("cur_docid")))
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    return page2.select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+
+
+def _sql_code_cursor(k: int = 10) -> str:
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_sql_code_queries_values()}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+  HAVING round(sum(contrib), 4) > 0
+),
+ranked AS (
+  SELECT query_id, docid, rsv,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rsv DESC, docid DESC) AS rank
+  FROM acc
+),
+cursor AS (
+  SELECT query_id, rsv AS cur_rsv, docid AS cur_docid
+  FROM ranked WHERE rank = {k}
+)
+SELECT CAST(a.query_id AS BIGINT) AS query_id, a.docid,
+       CAST(row_number() OVER (PARTITION BY a.query_id
+                               ORDER BY a.rsv DESC, a.docid DESC) AS BIGINT)
+         AS rank,
+       a.rsv
+FROM acc a
+JOIN cursor c USING (query_id)
+WHERE a.rsv < c.cur_rsv
+   OR (a.rsv = c.cur_rsv AND a.docid < c.cur_docid)
+QUALIFY rank <= {k}
+"""
+
+
+HISTOGRAM_INTERVAL = 200.0
+
+
+def q_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram facet (operators/search.py:facet_histogram): matching
+    docs per fixed-width n_chars bucket — the ES histogram aggregation."""
+    from jassjr_spark.operators.search import facet_histogram
+
+    idx = code_index(spark, sf_dir)
+    vals = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.col("n_chars").alias("val"),
+    )
+    return facet_histogram(
+        idx, _code_queries_df(spark), vals, HISTOGRAM_INTERVAL
+    ).select(F.col("query_id").cast("long"), "bucket", "n_docs")
+
+
+def _sql_code_histogram() -> str:
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_sql_code_queries_values()}),
+{_SQL_MATCHED_CTE.lstrip()}
+SELECT CAST(m.query_id AS BIGINT) AS query_id,
+       floor(CAST(d2.n_chars AS DOUBLE) / {HISTOGRAM_INTERVAL})
+         * {HISTOGRAM_INTERVAL} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matched m
+JOIN documents d2 ON d2.doc_id = m.docid
+GROUP BY m.query_id, bucket
+"""
+
+
 def q_code_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style same-language clone candidates
     (sources/code_corpus.py:clone_pairs): winnowing fingerprints,
@@ -4013,6 +4124,8 @@ def catalog() -> dict[str, tuple]:
         "code_hit_counts": (q_code_hit_counts, _sql_code_hit_counts()),
         "code_sortby_top10": (q_code_sortby_top10, _sql_code_sortby()),
         "code_facet_stats": (q_code_facet_stats, _sql_code_facet_stats()),
+        "code_cursor_top10": (q_code_cursor_top10, _sql_code_cursor()),
+        "code_histogram": (q_code_histogram, _sql_code_histogram()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),
     }

@@ -661,6 +661,79 @@ def facet_stats(
     )
 
 
+def search_after(
+    index: Index, queries: DataFrame, k: int = TOP_K,
+    after: dict[int, tuple[float, int]] | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Cursor pagination (the ES ``search_after`` pattern): per query,
+    the next page strictly BELOW an ``(rsv, docid)`` cursor in the
+    engine's total order (rsv desc, docid desc) -> (query_id, docno,
+    rank, rsv) with PAGE-LOCAL ranks 1..k (a cursor names a position,
+    not an offset — global ranks are what ``top_k(offset=)`` is for).
+    ``after`` maps query_id -> cursor; queries without one get page 1.
+
+    Why it exists next to offset paging: ``offset`` paging ranks
+    offset+k rows per query — O(depth) window work that grows with every
+    page. The cursor filter prunes everything at-or-above the cursor
+    BEFORE the window, so page N costs the same as page 1 however deep N
+    is. The cursor is the last row of the previous page; rsv equality is
+    exact because the engine's scores are bit-reproducible (ordered
+    fold) — resuming from a stored cursor re-finds the identical
+    boundary."""
+    from jassjr_spark.sources.index_store import pruned_postings
+
+    s = stats or index.scalar_stats()
+    spark = queries.sparkSession
+    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    scored = score_postings(
+        queries, pruned_postings(index, qterms), index.dictionary,
+        s["n_docs"], s["avgdl"], qterms=qterms,
+    )
+    acc = accumulate(scored)
+    if after:
+        cur = spark.createDataFrame(
+            [(int(q), float(r), int(d)) for q, (r, d) in after.items()],
+            "query_id long, cur_rsv double, cur_docid long",
+        )
+        acc = (
+            acc.join(F.broadcast(cur), "query_id", "left")
+            .filter(
+                F.col("cur_rsv").isNull()
+                | (F.col("rsv") < F.col("cur_rsv"))
+                | ((F.col("rsv") == F.col("cur_rsv"))
+                   & (F.col("docid") < F.col("cur_docid")))
+            )
+            .drop("cur_rsv", "cur_docid")
+        )
+    return resolve_docnos(index, top_k(acc, k), s["n_docs"])
+
+
+def facet_histogram(
+    index: Index, queries: DataFrame, vals: DataFrame, interval: float,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Histogram facet (the ES histogram aggregation): matching-document
+    counts in fixed-width numeric buckets -> (query_id, bucket, n_docs),
+    ``bucket = floor(val / interval) * interval`` (the bucket's lower
+    bound). ``vals`` is (docid, val). Same unscoped match set and
+    low-cardinality partial-aggregated groupBy as the other facets."""
+    s = stats or index.scalar_stats()
+    v = vals.select(
+        F.col("docid").cast("long").alias("docid"),
+        F.col("val").cast("double").alias("val"),
+    )
+    bucket = (F.floor(F.col("val") / F.lit(float(interval)))
+              * F.lit(float(interval)))
+    return (
+        _matched_docids(index, queries, s)
+        .join(v, "docid")
+        .withColumn("bucket", bucket)
+        .groupBy("query_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
 def resolve_docnos(
     index: Index, ranked: DataFrame, n_docs: int,
     extra: tuple[str, ...] = (),

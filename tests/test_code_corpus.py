@@ -305,3 +305,69 @@ def test_facet_stats_identity(spark, corpus):
         n, mn, mx, avg = got[key]
         assert (n, mn, mx) == (len(vs), min(vs), max(vs))
         assert avg == pytest.approx(sum(vs) / len(vs), abs=1e-6)
+
+
+def test_search_after_equals_offset_paging(spark, corpus):
+    """Page 2 via the (rsv, docid) cursor == page 2 via offset, bitwise,
+    with page-local ranks; no cursor == page 1; exhausted pages empty."""
+    from jassjr_spark.operators.search import search_after
+
+    cd = code_documents(corpus).select("docid", "docno", "content")
+    idx = build_index(cd, prepend_docno=False).cache()
+    queries = spark.createDataFrame(
+        [(1, 0, "hash"), (1, 1, "table"), (2, 0, "merge")],
+        "query_id long, pos int, term string",
+    )
+    page1 = search_after(idx, queries, k=5)
+    assert {(r.query_id, r.docno, r.rank, r.rsv) for r in page1.collect()} \
+        == {(r.query_id, r.docno, r.rank, r.rsv)
+            for r in search(idx, queries, k=5).collect()}
+    # cursors: last row of page 1 per query (need docid for the cursor)
+    did = {r.docno: r.docid for r in cd.select("docid", "docno").collect()}
+    cur = {}
+    for r in page1.collect():
+        if r.rank == 5:
+            cur[r.query_id] = (r.rsv, did[r.docno])
+    page2 = {(r.query_id, r.docno, r.rank, r.rsv)
+             for r in search_after(idx, queries, k=5, after=cur).collect()}
+    from jassjr_spark.operators.search import (
+        accumulate, resolve_docnos, score_postings, top_k,
+    )
+    s = idx.scalar_stats()
+    scored = score_postings(queries, idx.postings, idx.dictionary,
+                            s["n_docs"], s["avgdl"])
+    off = resolve_docnos(idx, top_k(accumulate(scored), k=5, offset=5),
+                         s["n_docs"])
+    want = {(r.query_id, r.docno, r.rank - 5, r.rsv) for r in off.collect()}
+    assert page2 == want and page2
+    # paging past the end returns nothing
+    deep = {q: (0.0, -1) for q in (1, 2)}
+    assert search_after(idx, queries, k=5, after=deep).collect() == []
+
+
+def test_facet_histogram(spark, corpus):
+    from jassjr_spark.operators.search import facet_histogram
+
+    cd = code_documents(corpus).select("docid", "docno", "content")
+    idx = build_index(cd, prepend_docno=False).cache()
+    vals = corpus.select(
+        F.col("doc_id").cast("long").alias("docid"),
+        F.length("content").alias("val"),
+    )
+    queries = spark.createDataFrame(
+        [(1, 0, "hash"), (1, 1, "table")],
+        "query_id long, pos int, term string",
+    )
+    got = {(r.query_id, r.bucket): r.n_docs
+           for r in facet_histogram(idx, queries, vals, 100.0).collect()}
+    full = (
+        search(idx, queries, k=10**9)
+        .join(cd.select("docid", "docno"), "docno")
+        .join(vals, "docid")
+        .collect()
+    )
+    want = {}
+    for r in full:
+        b = (r.query_id, (r.val // 100) * 100.0)
+        want[b] = want.get(b, 0) + 1
+    assert got == want and got

@@ -229,3 +229,106 @@ def phrase_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "docid", "rank", "rsv")
     )
+
+
+PHRASE_POS_BASE = 1_000_000  # fold slots for phrase clauses in composed queries
+
+
+def phrase_contribs(
+    positions: DataFrame,
+    doc_lengths: DataFrame,
+    phrases: list[tuple],
+    stats: dict,
+    window: int | None = None,
+) -> DataFrame | None:
+    """phrases = [(query_id, slot, [term, ...]), ...] -> (query_id,
+    docid, pos, contrib): the per-doc BM25 contribution of each phrase
+    as ONE synthetic term (df from its own match set, same formula as
+    phrase_search), with ``pos = PHRASE_POS_BASE + slot`` so the
+    contribution unions into the scored-term stream and the ordered rsv
+    fold stays deterministic. Returns None when no phrase is scorable
+    (unmatched, or df == N elision)."""
+    import math
+
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    runs = []
+    for qid, slot, phrase in phrases:
+        if window is None:
+            occ = phrase_occurrences(positions, phrase)
+        else:
+            occ = proximity_occurrences(positions, phrase, window) \
+                .withColumnRenamed("prox_tf", "phrase_tf")
+        df_count = occ.count()
+        if df_count == 0 or df_count >= n_docs:
+            continue
+        idf = math.log(n_docs / df_count)
+        tf = F.col("phrase_tf").cast("double")
+        contrib = F.lit(idf) * (
+            (tf * (K1 + 1.0))
+            / (tf + K1 * (1.0 - B + B * (F.col("len").cast("double")
+                                         / F.lit(float(avgdl)))))
+        )
+        runs.append(
+            occ.join(doc_lengths, "docid").select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "docid",
+                F.lit(PHRASE_POS_BASE + slot).cast("int").alias("pos"),
+                contrib.alias("contrib"),
+            )
+        )
+    if not runs:
+        return None
+    out = runs[0]
+    for r in runs[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def search_with_phrases(
+    index,
+    queries: DataFrame | None,
+    phrases: list[tuple],
+    positions: DataFrame,
+    k: int = TOP_K,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Composed boolean query with phrase clauses (Lucene's BooleanQuery
+    holding PhraseQuery + TermQuery clauses): rsv = sum of the plain
+    terms' contributions (``queries``: query_id, pos<PHRASE_POS_BASE,
+    term[, weight]) and each phrase's synthetic-term contribution ->
+    (query_id, docno, rank, rsv). Disjunctive like the core engine:
+    phrases lift the score, they do not gate.
+
+    Plan shape: the phrase contribs are one extra stream unioned into
+    the SAME accumulate — no second window, no extra shuffle beyond the
+    phrase occurrence joins themselves."""
+    from jassjr_spark.operators.search import (
+        accumulate, resolve_docnos, score_postings, top_k,
+    )
+    from jassjr_spark.sources.index_store import pruned_postings
+
+    s = stats or index.scalar_stats()
+    spark = positions.sparkSession
+    ph = phrase_contribs(
+        positions, index.doc_lengths,
+        [(qid, slot, p) for qid, slot, p in phrases], s,
+    )
+    scored = None
+    if queries is not None:
+        bad = queries.filter(F.col("pos") >= PHRASE_POS_BASE).count()
+        if bad:
+            raise ValueError(
+                f"plain-term positions must stay < {PHRASE_POS_BASE}"
+            )
+        qterms = [r.term for r in queries.select("term").distinct().collect()]
+        scored = score_postings(
+            queries, pruned_postings(index, qterms), index.dictionary,
+            s["n_docs"], s["avgdl"], qterms=qterms,
+        ).select("query_id", "docid", "pos", "contrib")
+    if scored is None and ph is None:
+        return spark.createDataFrame(
+            [], "query_id long, docno string, rank long, rsv double"
+        )
+    both = scored.unionByName(ph) if scored is not None and ph is not None \
+        else (scored if scored is not None else ph)
+    return resolve_docnos(index, top_k(accumulate(both), k), s["n_docs"])

@@ -24,10 +24,13 @@ with punctuation finds what indexing stored.
 Composition matrix (anything else raises loudly rather than guessing):
 plain terms compose with any ONE of {required, negated, scope};
 required+negated compose (exclusion applied on a wide-margin mixed run);
-a phrase must be the whole query. Boosts ride the scored-term stream, so
-they compose with plain, negated, and scoped queries (the modes whose
-scoring kernel is score_postings); boosting a required term raises.
-Fuzzy and wildcard terms compose with plain (boosted or not) terms only.
+phrases compose with plain (optionally boosted) terms — each phrase is
+one synthetic scored clause in the same disjunctive sum (Lucene's
+BooleanQuery-holding-a-PhraseQuery) — but not with boolean/scope
+operators. Boosts ride the scored-term stream, so they compose with
+plain, negated, scoped, and phrase-bearing queries; boosting a required
+term raises. Fuzzy, wildcard, and regex terms compose with plain
+(boosted or not) terms only.
 """
 
 from __future__ import annotations
@@ -201,6 +204,22 @@ def suggest_rewrite(index: Index, line: str, max_dist: int = 2) -> str | None:
     )
 
 
+def _plain_frame(spark, p: ParsedQuery, query_id: int) -> DataFrame:
+    """The (query_id, pos, term[, weight]) frame for p.positive; the
+    weight column appears only when some boost != 1 (weight-1 rows are
+    bit-identical to the unweighted kernel either way)."""
+    if p.boosted:
+        return spark.createDataFrame(
+            [(query_id, i, t, w)
+             for i, (t, w) in enumerate(zip(p.positive, p.weights))],
+            "query_id long, pos int, term string, weight double",
+        )
+    return spark.createDataFrame(
+        [(query_id, i, t) for i, t in enumerate(p.positive)],
+        "query_id long, pos int, term string",
+    )
+
+
 def run_user_query(
     index: Index,
     line: str,
@@ -218,26 +237,22 @@ def run_user_query(
     spark = index.dictionary.sparkSession
 
     if p.phrases:
-        if (p.positive or p.negated or p.filters or p.ranges or p.fuzzy
-                or p.prefixes or p.patterns or len(p.phrases) > 1):
+        if (p.required or p.negated or p.filters or p.ranges or p.fuzzy
+                or p.prefixes or p.patterns):
             raise ValueError(
-                "a quoted phrase must be the whole query; combine results "
-                "of separate queries for phrase+boolean needs"
+                "phrases compose with plain (optionally boosted) terms "
+                "only; combine results of separate queries for "
+                "phrase+boolean needs"
             )
         if positions is None:
             raise ValueError("query quotes a phrase but no positional "
                              "table was provided")
-        from jassjr_spark.operators.positional import phrase_search
+        from jassjr_spark.operators.positional import search_with_phrases
 
-        run = phrase_search(
-            positions, index.doc_lengths, [(query_id, p.phrases[0])], k=k,
-            stats=index.scalar_stats(),
-        )
-        n = index.scalar_stats()["n_docs"]
-        from jassjr_spark.operators.search import resolve_docnos
-
-        return resolve_docnos(index, run.select(
-            "query_id", "docid", "rank", "rsv"), n)
+        plain = _plain_frame(spark, p, query_id) if p.positive else None
+        ph = [(query_id, slot, phr) for slot, phr in enumerate(p.phrases)]
+        return search_with_phrases(index, plain, ph, positions, k=k,
+                                   stats=index.scalar_stats())
 
     if (p.filters or p.ranges) and (p.required or p.negated):
         raise ValueError("field filters compose only with plain terms")
@@ -250,19 +265,7 @@ def run_user_query(
             )
         from jassjr_spark.operators.fuzzy import search_fuzzy
 
-        plain = None
-        if p.positive:
-            if p.boosted:
-                plain = spark.createDataFrame(
-                    [(query_id, i, t, w)
-                     for i, (t, w) in enumerate(zip(p.positive, p.weights))],
-                    "query_id long, pos int, term string, weight double",
-                )
-            else:
-                plain = spark.createDataFrame(
-                    [(query_id, i, t) for i, t in enumerate(p.positive)],
-                    "query_id long, pos int, term string",
-                )
+        plain = _plain_frame(spark, p, query_id) if p.positive else None
         fz = [(query_id, slot, t, d) for slot, (t, d) in enumerate(p.fuzzy)]
         pf = [(query_id, len(p.fuzzy) + slot, pfx)
               for slot, pfx in enumerate(p.prefixes)]
@@ -275,17 +278,7 @@ def run_user_query(
             [], "query_id long, docno string, rank long, rsv double"
         )
 
-    if p.boosted:
-        queries = spark.createDataFrame(
-            [(query_id, i, t, w)
-             for i, (t, w) in enumerate(zip(p.positive, p.weights))],
-            "query_id long, pos int, term string, weight double",
-        )
-    else:
-        queries = spark.createDataFrame(
-            [(query_id, i, t) for i, t in enumerate(p.positive)],
-            "query_id long, pos int, term string",
-        )
+    queries = _plain_frame(spark, p, query_id)
 
     if p.filters or p.ranges:
         if metadata is None:

@@ -99,8 +99,10 @@ def test_phrase_query(spark, engine):
 
 def test_unsupported_combos_raise(spark, engine):
     _, idx, meta = engine
-    with pytest.raises(ValueError, match="whole query"):
-        run_user_query(idx, '"a b" extra')
+    with pytest.raises(ValueError, match="phrases compose"):
+        run_user_query(idx, '"a b" -extra')
+    with pytest.raises(ValueError, match="phrases compose"):
+        run_user_query(idx, '"a b" lang:py')
     with pytest.raises(ValueError, match="field filters"):
         run_user_query(idx, "lang:py +apple", metadata=meta)
     with pytest.raises(ValueError, match="metadata"):
@@ -319,3 +321,43 @@ def test_parsed_plain_lines_execute(spark, engine):
         assert got == want
 
     check()
+
+
+def test_phrase_composes_with_terms(spark, engine):
+    """'"apple banana" cherry' == phrase clause + term clause in one
+    disjunctive sum: rsv = phrase-only rsv + term-only rsv per doc."""
+    docs, idx, _ = engine
+    from jassjr_spark.operators.positional import build_positions
+
+    pos = build_positions(docs.select("docid", "content")).cache()
+    ph = {r.docno: r.rsv
+          for r in run_user_query(idx, '"apple banana"',
+                                  positions=pos).collect()}
+    tm = {r.docno: r.rsv for r in run_user_query(idx, "cherry").collect()}
+    both = {r.docno: r.rsv
+            for r in run_user_query(idx, '"apple banana" cherry',
+                                    positions=pos).collect()}
+    assert set(both) == set(ph) | set(tm)
+    for d, rsv in both.items():
+        assert rsv == pytest.approx(ph.get(d, 0.0) + tm.get(d, 0.0),
+                                    abs=1e-12)
+    # two phrases compose too
+    two = {r.docno: r.rsv
+           for r in run_user_query(idx, '"apple banana" "apple cherry"',
+                                   positions=pos).collect()}
+    ph2 = {r.docno: r.rsv
+           for r in run_user_query(idx, '"apple cherry"',
+                                   positions=pos).collect()}
+    assert set(two) == set(ph) | set(ph2)
+    for d, rsv in two.items():
+        assert rsv == pytest.approx(ph.get(d, 0.0) + ph2.get(d, 0.0),
+                                    abs=1e-12)
+    # pure-phrase result unchanged by the composed path
+    assert set(ph) == {"d0", "d2"}
+    # boosted terms compose with phrases
+    bo = {r.docno: r.rsv
+          for r in run_user_query(idx, '"apple banana" cherry^2',
+                                  positions=pos).collect()}
+    for d, rsv in bo.items():
+        assert rsv == pytest.approx(ph.get(d, 0.0) + 2 * tm.get(d, 0.0),
+                                    abs=1e-12)

@@ -797,6 +797,127 @@ QUALIFY rank <= {k}
 """
 
 
+# Composed phrase+terms workload: (query_id, plain terms, phrases).
+PHRASE_MIX_QUERIES: list[tuple[int, list[str], list[list[str]]]] = [
+    (1, ["spark"], [["merge", "group"]]),
+    (2, [], [["merge", "group"], ["hash", "hash"]]),   # two phrase clauses
+    (3, ["data", "join"], [["key", "batch", "zzzmissing"]]),  # dead phrase
+]
+
+
+def q_ft_phrase_mix_top10(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Phrase clauses composed with scored terms in ONE disjunctive sum
+    (operators/positional.py:search_with_phrases — Lucene's BooleanQuery
+    holding PhraseQuery + TermQuery clauses). Rounded re-rank like every
+    cross-engine ranked entry."""
+    from jassjr_spark.operators.positional import phrase_contribs
+
+    idx = corpus_index(spark, sf_dir)
+    s = idx.scalar_stats()
+    pos = corpus_positions(spark, sf_dir)
+    plain_rows = [
+        (qid, i, t)
+        for qid, plain, _ in PHRASE_MIX_QUERIES for i, t in enumerate(plain)
+    ]
+    queries = spark.createDataFrame(
+        plain_rows, "query_id long, pos int, term string"
+    )
+    scored = score_postings(queries, idx.postings, idx.dictionary,
+                            s["n_docs"], s["avgdl"]) \
+        .select("query_id", "docid", "pos", "contrib")
+    ph = phrase_contribs(
+        pos, idx.doc_lengths,
+        [(qid, slot, p)
+         for qid, _, phs in PHRASE_MIX_QUERIES for slot, p in enumerate(phs)],
+        s,
+    )
+    both = scored.unionByName(ph) if ph is not None else scored
+    acc = accumulate(both).withColumn("rsv", F.round("rsv", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        acc.filter(F.col("rsv") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
+def _sql_ft_phrase_mix(k: int = 10) -> str:
+    occ_selects = []
+    for qid, _, phs in PHRASE_MIX_QUERIES:
+        for slot, phrase in enumerate(phs):
+            L = len(phrase)
+            conds = " AND ".join(
+                f"ptoks[i + {j}] = '{t}'" for j, t in enumerate(phrase)
+            )
+            occ_selects.append(
+                f"SELECT {qid} AS query_id, {slot} AS slot, docid,\n"
+                f"       len(list_filter(range(1, len(ptoks) - {L} + 2),"
+                f" i -> {conds})) AS phrase_tf\n"
+                f"FROM ptoks"
+            )
+    occ_union = "\nUNION ALL\n".join(occ_selects)
+    pvals = ", ".join(
+        f"({qid}, {i}, '{t}')"
+        for qid, plain, _ in PHRASE_MIX_QUERIES for i, t in enumerate(plain)
+    )
+    return f"""{_INDEX_CTES},
+ptoks AS (
+  SELECT doc_id AS docid,
+         list_transform(regexp_extract_all(lower(text), '{_TOK_SQL}'),
+                        t -> substr(t, 1, 255)) AS ptoks
+  FROM documents
+),
+queries(query_id, pos, term) AS (VALUES {pvals}),
+occ AS (
+  SELECT * FROM ({occ_union}) WHERE phrase_tf > 0
+),
+pdfs AS (
+  SELECT query_id, slot, count(*) AS df FROM occ GROUP BY query_id, slot
+),
+termscored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+phrasescored AS (
+  SELECT o.query_id, o.docid,
+         ln(CAST(s.n AS DOUBLE) / f.df)
+           * ((o.phrase_tf * ({K1} + 1.0))
+              / (o.phrase_tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl))))
+           AS contrib
+  FROM occ o
+  JOIN pdfs f USING (query_id, slot)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE f.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM (SELECT * FROM termscored UNION ALL SELECT * FROM phrasescored)
+  GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 # (query_id, terms, window): anchored unordered proximity workload
 PROX_QUERIES: list[tuple[int, list[str], int]] = [
     (1, ["merge", "group"], 3),
@@ -4062,6 +4183,7 @@ def catalog() -> dict[str, tuple]:
         "ft_bm25_maxscore": (q_ft_bm25_maxscore, _sql_ft_bm25()),
         "ft_bm25_and": (q_ft_bm25_and, _sql_ft_bm25_and()),
         "ft_phrase_top10": (q_ft_phrase_top10, _sql_ft_phrase()),
+        "ft_phrase_mix_top10": (q_ft_phrase_mix_top10, _sql_ft_phrase_mix()),
         "ft_prox_top10": (q_ft_prox_top10, _sql_ft_prox()),
         "ft_bm25_saat": (q_ft_bm25_saat, _sql_ft_saat()),
         "ft_top_terms": (q_ft_top_terms, SQL_FT_TOP_TERMS),

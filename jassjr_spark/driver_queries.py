@@ -229,14 +229,14 @@ def q_ft_bm25_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
-def _sql_ft_bm25(k: int = 10) -> str:
+def _sql_ft_bm25(k: int = 10, k1: float = K1, b: float = B) -> str:
     return f"""{_INDEX_CTES},
 queries(query_id, pos, term) AS (VALUES {_values_queries()}),
 scored AS (
   SELECT q.query_id, p.docid,
          ln(CAST(s.n AS DOUBLE) / d.df)
-           * ((p.tf * ({K1} + 1.0))
-              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+           * ((p.tf * ({k1} + 1.0))
+              / (p.tf + {k1} * ((1.0 - {b}) + {b} * (a.len / s.avgdl)))) AS contrib
   FROM queries q
   JOIN dict d USING (term)
   JOIN postings p USING (term)
@@ -256,6 +256,30 @@ FROM acc
 WHERE rsv > 0
 QUALIFY rank <= {k}
 """
+
+
+TUNED_K1, TUNED_B = 1.2, 0.75   # the Robertson-classic parametrization
+
+
+def q_ft_bm25_tuned(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Per-call BM25 parameter tuning (k1=1.2, b=0.75 — the classic
+    Robertson setting; the reference hardcodes 0.9/0.4,
+    JASSjr_search.py:24-25): same flagship workload, tuned scorer."""
+    idx = corpus_index(spark, sf_dir)
+    s = idx.scalar_stats()
+    scored = score_postings(_bm25_queries_df(spark), idx.postings,
+                            idx.dictionary, s["n_docs"], s["avgdl"],
+                            k1=TUNED_K1, b=TUNED_B)
+    acc = accumulate(scored).withColumn("rsv", F.round("rsv", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        acc.filter(F.col("rsv") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
 
 
 # Query-time boosting workload: (query_id, [(term, weight), ...]).
@@ -4175,6 +4199,8 @@ def catalog() -> dict[str, tuple]:
         "ft_postings": (q_ft_postings, SQL_FT_POSTINGS),
         "ft_idf": (q_ft_idf, _sql_ft_idf()),
         "ft_bm25_top10": (q_ft_bm25_top10, _sql_ft_bm25()),
+        "ft_bm25_tuned": (q_ft_bm25_tuned,
+                          _sql_ft_bm25(k1=TUNED_K1, b=TUNED_B)),
         "ft_boost_top10": (q_ft_boost_top10, _sql_ft_boost()),
         "ft_fuzzy_top10": (q_ft_fuzzy_top10, _sql_ft_fuzzy()),
         "ft_wildcard_top10": (q_ft_wildcard_top10, _sql_ft_wildcard()),

@@ -133,7 +133,7 @@ def attach_idf(
 def score_postings(
     queries: DataFrame, postings: DataFrame, dictionary: DataFrame,
     n_docs: int, avgdl: float, qterms: list[str] | None = None,
-    local_dict: dict | None = None,
+    local_dict: dict | None = None, k1: float = K1, b: float = B,
 ) -> DataFrame:
     """-> (query_id, docid, pos, contrib): per (query-term-occurrence, doc)
     BM25 contribution. Pure Column math (whole-stage codegen); the
@@ -151,7 +151,7 @@ def score_postings(
     boosted = "weight" in queries.columns
     cols = ["query_id", "pos", "term", "idf"] + (["weight"] if boosted else [])
     joined = postings.join(F.broadcast(q.select(*cols)), "term")
-    contrib = bm25_contrib(avgdl)
+    contrib = bm25_contrib(avgdl, k1=k1, b=b)
     if boosted:
         contrib = contrib * F.col("weight").cast("double")
     return joined.select(
@@ -159,14 +159,17 @@ def score_postings(
     )
 
 
-def bm25_contrib(avgdl: float):
+def bm25_contrib(avgdl: float, k1: float = K1, b: float = B):
     """The ATIRE-BM25 per-posting contribution as ONE Column expression
     over (idf, tf, dl) columns — shared by the naive and the blocks/WAND
-    scoring kernels so both paths produce bit-identical doubles."""
+    scoring kernels so both paths produce bit-identical doubles.
+    ``k1``/``b`` default to the reference's constants (JASSjr_search.py:
+    24-25); overriding them is the standard per-collection tuning knob
+    the reference hardcodes away."""
     tf = F.col("tf").cast("double")
     return F.col("idf") * (
-        (tf * (K1 + 1.0))
-        / (tf + K1 * (1.0 - B + B * (F.col("dl").cast("double") / F.lit(float(avgdl)))))
+        (tf * (k1 + 1.0))
+        / (tf + k1 * (1.0 - b + b * (F.col("dl").cast("double") / F.lit(float(avgdl)))))
     )
 
 
@@ -203,13 +206,14 @@ def top_k(accumulated: DataFrame, k: int = TOP_K, offset: int = 0) -> DataFrame:
 def search(
     index: Index, queries: DataFrame, k: int = TOP_K,
     stats: dict | None = None, qterms: list[str] | None = None,
-    local_dict: dict | None = None,
+    local_dict: dict | None = None, k1: float = K1, b: float = B,
 ) -> DataFrame:
     """Full S1-S10 pipeline -> (query_id, docno, rank, rsv) ranked run.
 
     Pass ``qterms`` when the query terms are already known driver-side
     (they always are for text workloads) — it saves one Spark job per
     call; job-count, not data volume, dominates small-batch latency.
+    ``k1``/``b`` tune the scorer per call (reference defaults otherwise).
     """
     s = stats or index.scalar_stats()
     # Prune the postings scan to the query's terms (and, for a persisted
@@ -222,7 +226,7 @@ def search(
     postings = pruned_postings(index, qterms)
     scored = score_postings(
         queries, postings, index.dictionary, s["n_docs"], s["avgdl"],
-        qterms=qterms, local_dict=local_dict,
+        qterms=qterms, local_dict=local_dict, k1=k1, b=b,
     )
     ranked = top_k(accumulate(scored), k)
     return resolve_docnos(index, ranked, s["n_docs"])

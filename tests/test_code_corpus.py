@@ -371,3 +371,43 @@ def test_facet_histogram(spark, corpus):
         b = (r.query_id, (r.val // 100) * 100.0)
         want[b] = want.get(b, 0) + 1
     assert got == want and got
+
+
+def test_bm25_tuning_knobs(spark, corpus):
+    """k1/b per call: defaults == the reference constants bitwise; a
+    tuned call changes scores; b=0 removes length normalization."""
+    from jassjr_spark.constants import B, K1
+
+    cd = code_documents(corpus).select("docid", "docno", "content")
+    idx = build_index(cd, prepend_docno=False).cache()
+    queries = spark.createDataFrame(
+        [(1, 0, "hash"), (1, 1, "table")],
+        "query_id long, pos int, term string",
+    )
+    base = {(r.docno, r.rsv) for r in search(idx, queries).collect()}
+    explicit = {(r.docno, r.rsv)
+                for r in search(idx, queries, k1=K1, b=B).collect()}
+    assert base == explicit and base
+    tuned = {r.docno: r.rsv
+             for r in search(idx, queries, k1=1.2, b=0.75).collect()}
+    assert tuned and any(abs(tuned[d] - rsv) > 1e-9
+                         for d, rsv in base if d in tuned)
+    # b=0: two docs with identical tf sets score identically regardless
+    # of length (no normalization) — check score is len-independent by
+    # comparing against the closed form idf * tf(k1+1)/(tf+k1)
+    import math
+    flat = search(idx, queries, k1=1.2, b=0.0).collect()
+    s = idx.scalar_stats()
+    post = {(r.term, r.docid): r.tf
+            for r in idx.postings.filter(
+                F.col("term").isin(["hash", "table"])).collect()}
+    dfs = {r.term: r.df for r in idx.dictionary.filter(
+        F.col("term").isin(["hash", "table"])).collect()}
+    did = {r.docno: r.docid for r in cd.select("docid", "docno").collect()}
+    for r in flat[:10]:
+        want = sum(
+            math.log(s["n_docs"] / dfs[t]) * (post[(t, did[r.docno])] * 2.2)
+            / (post[(t, did[r.docno])] + 1.2)
+            for t in ("hash", "table") if (t, did[r.docno]) in post
+        )
+        assert r.rsv == pytest.approx(want, abs=1e-9)

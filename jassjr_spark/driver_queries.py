@@ -282,6 +282,69 @@ def q_ft_bm25_tuned(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+SIG_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["spark", "join"]),
+    (2, ["vector", "stream"]),
+]
+SIG_SAMPLE, SIG_K = 200, 15
+
+
+def q_ft_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant-terms aggregation (operators/search.py:
+    significant_terms): terms overrepresented in the matching docs vs the
+    corpus, JLH-scored over a deterministic docid-asc sample."""
+    from jassjr_spark.operators.search import significant_terms
+
+    idx = corpus_index(spark, sf_dir)
+    docs = load_documents(spark, sf_dir)
+    qrows = [
+        (qid, pos, t) for qid, ts in SIG_QUERIES for pos, t in enumerate(ts)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    return significant_terms(idx, docs, queries,
+                             sample=SIG_SAMPLE, k=SIG_K).select(
+        F.col("query_id").cast("long"), "term", "fg_df", "bg_df", "score"
+    )
+
+
+def _sql_ft_sig_terms() -> str:
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, ts in SIG_QUERIES for pos, t in enumerate(ts)
+    )
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {rows}),
+{_SQL_MATCHED_CTE.lstrip()},
+sampled AS (
+  SELECT query_id, docid FROM (
+    SELECT query_id, docid,
+           row_number() OVER (PARTITION BY query_id ORDER BY docid ASC) AS rn
+    FROM matched
+  ) WHERE rn <= {SIG_SAMPLE}
+),
+nfg AS (SELECT query_id, count(*) AS n_fg FROM sampled GROUP BY query_id),
+doc_terms AS (SELECT DISTINCT docid, term FROM toks),
+fg AS (
+  SELECT s.query_id, t.term, CAST(count(*) AS BIGINT) AS fg_df
+  FROM sampled s JOIN doc_terms t USING (docid)
+  GROUP BY s.query_id, t.term
+)
+SELECT CAST(f.query_id AS BIGINT) AS query_id, f.term, f.fg_df,
+       CAST(d.df AS BIGINT) AS bg_df,
+       round(((CAST(f.fg_df AS DOUBLE) / g.n_fg)
+              - (CAST(d.df AS DOUBLE) / s.n))
+             * ((CAST(f.fg_df AS DOUBLE) / g.n_fg)
+                / (CAST(d.df AS DOUBLE) / s.n)), 6) AS score
+FROM fg f
+JOIN nfg g USING (query_id)
+JOIN dict d USING (term)
+CROSS JOIN stats s
+WHERE (CAST(f.fg_df AS DOUBLE) / g.n_fg) > (CAST(d.df AS DOUBLE) / s.n)
+QUALIFY row_number() OVER (PARTITION BY f.query_id
+                           ORDER BY score DESC, f.term ASC) <= {SIG_K}
+"""
+
+
 # Query-time boosting workload: (query_id, [(term, weight), ...]).
 # q4 carries the same term twice at different boosts — bag semantics must
 # weight each OCCURRENCE independently.
@@ -4220,6 +4283,7 @@ def catalog() -> dict[str, tuple]:
         "ft_suggest": (q_ft_suggest, _sql_ft_suggest()),
         "ft_complete": (q_ft_complete, _sql_ft_complete()),
         "ft_related": (q_ft_related, _sql_ft_related()),
+        "ft_sig_terms": (q_ft_sig_terms, _sql_ft_sig_terms()),
         "ft_trec_eval": (q_ft_trec_eval, _sql_trec_eval()),
         "ft_ndcg": (q_ft_ndcg, _sql_ft_ndcg()),
         "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),

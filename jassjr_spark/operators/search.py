@@ -738,6 +738,66 @@ def facet_histogram(
     )
 
 
+def significant_terms(
+    index: Index, docs: DataFrame, queries: DataFrame,
+    sample: int = 500, k: int = 20, stats: dict | None = None,
+) -> DataFrame:
+    """Significant-terms aggregation (the ES significant_terms + sampler
+    pattern): terms overrepresented in the MATCHING documents versus the
+    corpus -> (query_id, term, fg_df, bg_df, score), top-k per query by
+    the JLH score ``(fgPct - bgPct) * (fgPct / bgPct)`` where fgPct =
+    fg_df/n_sampled and bgPct = df/N; only positively-associated terms
+    (fgPct > bgPct) qualify. Ties: term asc on the 6-dp-rounded score.
+
+    The foreground is a deterministic SAMPLE of the match set (first
+    ``sample`` docids per query, docid asc) exactly because the honest
+    alternative — joining the full match set back to term data — is a
+    corpus-sized join at web scale; ES's sampler agg makes the same
+    trade. The sampled docs are re-tokenized from the FORWARD ``docs``
+    view (bounded by sample x #queries documents), never via a docid
+    probe into the term-partitioned postings."""
+    from jassjr_spark.functions.tokenize import doc_term_frequencies
+
+    s = stats or index.scalar_stats()
+    n = float(s["n_docs"])
+    w = Window.partitionBy("query_id").orderBy(F.col("docid").asc())
+    sampled = (
+        _matched_docids(index, queries, s)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= sample)
+        .select("query_id", "docid")
+    )
+    n_fg = sampled.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_fg")
+    )
+    sdocs = docs.join(sampled.select("docid").distinct(), "docid")
+    tfs = doc_term_frequencies(sdocs, prepend_docno=False) \
+        .select("docid", "term")
+    fg = (
+        sampled.join(tfs, "docid")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+    )
+    fg_pct = F.col("fg_df").cast("double") / F.col("n_fg")
+    bg_pct = F.col("df").cast("double") / F.lit(n)
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    ranked = (
+        fg.join(F.broadcast(n_fg), "query_id")
+        .join(index.dictionary.select("term", "df"), "term")
+        .withColumn("score", F.round(score, 6))
+        .filter(fg_pct > bg_pct)
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "term", "fg_df",
+                F.col("df").cast("long").alias("bg_df"), "score")
+    )
+
+
 def resolve_docnos(
     index: Index, ranked: DataFrame, n_docs: int,
     extra: tuple[str, ...] = (),

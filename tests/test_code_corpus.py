@@ -411,3 +411,35 @@ def test_bm25_tuning_knobs(spark, corpus):
             for t in ("hash", "table") if (t, did[r.docno]) in post
         )
         assert r.rsv == pytest.approx(want, abs=1e-9)
+
+
+def test_significant_terms(spark):
+    """JLH scoring over the matched sample: the planted co-occurring
+    term outranks corpus-common terms; query matching nothing -> empty;
+    sample cap bounds the foreground."""
+    from jassjr_spark.operators.search import significant_terms
+
+    rows = []
+    # 10 docs about 'needle' always co-occurring with 'gold'; 90 background
+    for i in range(10):
+        rows.append((i, f"n{i}", "needle gold common"))
+    for i in range(10, 100):
+        rows.append((i, f"b{i}", "common filler"))
+    docs = spark.createDataFrame(
+        rows, "docid long, docno string, content string")
+    idx = build_index(docs, prepend_docno=False).cache()
+    queries = spark.createDataFrame(
+        [(1, 0, "needle"), (2, 0, "zzzmissing")],
+        "query_id long, pos int, term string",
+    )
+    got = significant_terms(idx, docs, queries, sample=500, k=5).collect()
+    assert {r.query_id for r in got} == {1}
+    by_rank = sorted(got, key=lambda r: -r.score)
+    # 'gold' and 'needle': fg_df 10/10, bg_df 10/100 -> top scores;
+    # 'common' (bg_df 100 == N) has fgPct == bgPct and is excluded
+    assert {by_rank[0].term, by_rank[1].term} == {"needle", "gold"}
+    assert all(r.term != "common" for r in got)
+    assert all(r.fg_df == 10 and r.bg_df == 10 for r in by_rank[:2])
+    # sample cap: foreground limited to first 3 matched docids
+    capped = significant_terms(idx, docs, queries, sample=3, k=5).collect()
+    assert max(r.fg_df for r in capped) == 3

@@ -3292,6 +3292,124 @@ QUALIFY rank <= {k}
 """
 
 
+DISMAX_TIE = 0.3
+
+
+def q_code_dismax_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Disjunction-max fielded ranking (operators/bm25f.py:dismax_search):
+    per term, max over the content/path field scores + tie*rest — the
+    "best field wins" companion to BM25F's tf blending. Same fielded
+    index memo, queries, and rounded re-rank as the BM25F entry."""
+    from jassjr_spark.operators.bm25f import (
+        Field,
+        build_fielded_index,
+        dismax_search,
+    )
+    from jassjr_spark.sources.code_corpus import code_docno_col
+
+    key = (spark.sparkContext.applicationId, sf_dir, "bm25f")
+    if key not in _INDEX_MEMO:
+        corpus = _code_corpus(spark, sf_dir)
+        docs = corpus.select(
+            F.col("doc_id").cast("long").alias("docid"),
+            code_docno_col().alias("docno"),
+            "content", "path",
+        )
+        _INDEX_MEMO[key] = build_fielded_index(
+            docs, tuple(Field(*f) for f in BM25F_FIELDS)
+        ).cache()
+    idx = _INDEX_MEMO[key]
+    qrows = [
+        (qid, pos, t)
+        for qid, terms in CODE_QUERIES + [(4, ["py", "hash"])]
+        for pos, t in enumerate(terms)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    run = dismax_search(idx, queries, k=200, tie=DISMAX_TIE)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docno", "rank", "rsv")
+    )
+
+
+def _sql_code_dismax(k: int = 10) -> str:
+    (c1, w1, b1), (c2, w2, b2) = BM25F_FIELDS
+    assert (c1, c2) == ("content", "path")
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES + [(4, ["py", "hash"])]
+        for pos, t in enumerate(terms)
+    )
+    s1 = (f"{w1} * (ln(CAST(n AS DOUBLE) / df)"
+          f" * ((tf1 * ({K1} + 1.0))"
+          f" / (tf1 + {K1} * ((1.0 - {b1}) + {b1} * (len1 / avg1)))))")
+    s2 = (f"{w2} * (ln(CAST(n AS DOUBLE) / df)"
+          f" * ((tf2 * ({K1} + 1.0))"
+          f" / (tf2 + {K1} * ((1.0 - {b2}) + {b2} * (len2 / avg2)))))")
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+ptoks AS (
+  SELECT doc_id AS docid,
+         substr(unnest(regexp_extract_all(lower(path), '{_TOK_SQL}')), 1, 255)
+           AS term
+  FROM code
+),
+p2 AS (
+  SELECT term, docid, CAST(count(*) AS INT) AS tf FROM ptoks GROUP BY term, docid
+),
+dl2 AS (SELECT docid, count(*) AS len2 FROM ptoks GROUP BY docid),
+alldl2 AS (
+  SELECT d.doc_id AS docid, COALESCE(l.len2, 0) AS len2
+  FROM documents d LEFT JOIN dl2 l ON d.doc_id = l.docid
+),
+avg2 AS (SELECT avg(len2) AS a2 FROM alldl2),
+comb AS (
+  SELECT COALESCE(a.term, b.term) AS term,
+         COALESCE(a.docid, b.docid) AS docid,
+         COALESCE(a.tf, 0) AS tf1, COALESCE(b.tf, 0) AS tf2
+  FROM postings a FULL OUTER JOIN p2 b
+    ON a.term = b.term AND a.docid = b.docid
+),
+fdict AS (SELECT term, count(*) AS df FROM comb GROUP BY term),
+fjoin AS (
+  SELECT q.query_id, q.pos, cb.docid, fd.df, s.n,
+         cb.tf1, cb.tf2, a1.len AS len1, a2.len2, s.avgdl AS avg1, v.a2 AS avg2
+  FROM queries q
+  JOIN fdict fd USING (term)
+  JOIN comb cb USING (term)
+  JOIN alldl a1 ON cb.docid = a1.docid
+  JOIN alldl2 a2 ON cb.docid = a2.docid
+  CROSS JOIN stats s
+  CROSS JOIN avg2 v
+  WHERE fd.df < s.n
+),
+fscored AS (
+  SELECT query_id, docid,
+         greatest({s1}, {s2})
+           + {DISMAX_TIE} * ((({s1}) + ({s2})) - greatest({s1}, {s2}))
+           AS contrib
+  FROM fjoin
+),
+facc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM fscored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, c.docno,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, c.docno DESC) AS BIGINT) AS rank,
+       rsv
+FROM facc JOIN codedocs c USING (docid)
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 CODE_NEG_QUERIES: list[tuple[int, list[str]]] = [
     (1, ["merge"]),          # excludes docs containing 'merge'
     (2, ["table"]),
@@ -4330,6 +4448,7 @@ def catalog() -> dict[str, tuple]:
         "code_prf_top10": (q_code_prf_top10, _sql_code_prf()),
         "code_not_top10": (q_code_not_top10, _sql_code_not()),
         "code_bm25f_top10": (q_code_bm25f_top10, _sql_code_bm25f()),
+        "code_dismax_top10": (q_code_dismax_top10, _sql_code_dismax()),
         "code_mixed_top10": (q_code_mixed_top10, _sql_code_mixed()),
         "code_syn_top10": (q_code_syn_top10, _sql_code_syn()),
         "code_facet_lang": (q_code_facet_lang, _sql_code_facet_lang()),

@@ -176,3 +176,73 @@ def bm25f_search(
     return index.docids.join(F.broadcast(ranked), "docid").select(
         "query_id", "docno", "rank", "rsv"
     )
+
+
+def dismax_search(
+    index: FieldedIndex, queries: DataFrame, k: int = 10,
+    tie: float = 0.0, k1: float = K1,
+) -> DataFrame:
+    """Disjunction-max fielded ranking (Lucene's DisjunctionMaxQuery):
+    per query term a document scores the MAX of its per-field BM25
+    scores plus ``tie`` times the rest —
+
+        s_f = w_f * (idf * (tf_f (k1+1)) / (tf_f + k1 (1 - b_f + b_f dl_f/avgdl_f)))
+        contrib = max_f s_f + tie * (sum_f s_f - max_f s_f)
+
+    — the "best field wins" alternative to BM25F's tf blending: BM25F
+    normalizes-then-sums tf across fields into one saturated pseudo
+    frequency, dismax keeps the fields as competing whole scorers, so a
+    term matching a file's path AND its body takes the stronger signal
+    instead of compounding. tie=0 is pure max; tie=1 degenerates to the
+    weighted per-field sum. Same any-field df / CPython idf / elision
+    discipline, ordered fold, and tie-breaks as bm25f_search; the
+    operator grouping above is mirrored verbatim by the SQL oracle."""
+    spark = queries.sparkSession
+    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    pairs = [
+        (r.term, r.df)
+        for r in index.dictionary.filter(F.col("term").isin(qterms)).collect()
+    ]
+    idf = [
+        (t, math.log(index.n_docs / df)) for t, df in pairs
+        if df < index.n_docs
+    ]
+    q = queries.join(
+        F.broadcast(spark.createDataFrame(idf, "term string, idf double")),
+        "term",
+    )
+
+    def field_score(f: Field):
+        tf = F.col(f"tf_{f.column}").cast("double")
+        return F.lit(f.weight) * (
+            F.col("idf")
+            * ((tf * (k1 + 1.0))
+               / (tf + k1 * (1.0 - f.b + f.b
+                             * (F.col(f"dl_{f.column}").cast("double")
+                                / F.lit(index.avgdl[f.column])))))
+        )
+
+    scores = [field_score(f) for f in index.fields]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    total = reduce(lambda a, s: a + s, scores[1:], scores[0])
+    contrib = best + F.lit(float(tie)) * (total - best)
+    scored = (
+        index.postings.join(
+            F.broadcast(q.select("query_id", "pos", "term", "idf")), "term"
+        )
+        .select("query_id", "docid", "pos", contrib.alias("contrib"))
+    )
+    acc = (
+        scored.groupBy("query_id", "docid")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("pos", "contrib"))),
+                F.lit(0.0),
+                lambda a, x: a + x["contrib"],
+            ).alias("rsv")
+        )
+    )
+    ranked = top_k(acc, k)
+    return index.docids.join(F.broadcast(ranked), "docid").select(
+        "query_id", "docno", "rank", "rsv"
+    )

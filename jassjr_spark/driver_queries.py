@@ -345,6 +345,112 @@ QUALIFY row_number() OVER (PARTITION BY f.query_id
 """
 
 
+RESCORE_N, RESCORE_K = 50, 10
+
+
+def q_sim_rescore_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase retrieval (operators/similarity.py:rescore_by_vector):
+    BM25 top-50 lexical candidates re-ranked by exact embedding cosine
+    to the query's vector (qvec = embeddings[vec_id == query_id]).
+    Rounded phase-1 cut + rounded cosine for cross-engine determinism."""
+    idx = corpus_index(spark, sf_dir)
+    s = idx.scalar_stats()
+    emb = load_embeddings(spark, sf_dir)
+    qrows = [
+        (qid, pos, t) for qid, ts in SIG_QUERIES for pos, t in enumerate(ts)
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    scored = score_postings(queries, idx.postings, idx.dictionary,
+                            s["n_docs"], s["avgdl"])
+    acc = accumulate(scored).withColumn("rsv", F.round("rsv", 4)) \
+        .filter(F.col("rsv") > 0)
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    cands = (
+        acc.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= RESCORE_N)
+        .select("query_id", "docid")
+    )
+    qvecs = emb.filter(F.col("vec_id").isin([q for q, _ in SIG_QUERIES])) \
+        .select(F.col("vec_id").cast("long").alias("query_id"),
+                F.col("embedding").alias("qvec"))
+    from jassjr_spark.operators.similarity import with_cosine
+
+    resc = (
+        emb.select(F.col("vec_id").cast("long").alias("docid"), "embedding")
+        .join(F.broadcast(cands), "docid")
+        .join(F.broadcast(qvecs), "query_id")
+    )
+    resc = with_cosine(resc).withColumn("cosine", F.round("cosine", 6))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("docid").desc()
+    )
+    return (
+        resc.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= RESCORE_K)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "cosine")
+    )
+
+
+def _sql_sim_rescore() -> str:
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, ts in SIG_QUERIES for pos, t in enumerate(ts)
+    )
+    qids = ", ".join(str(q) for q, _ in SIG_QUERIES)
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {rows}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+  HAVING round(sum(contrib), 4) > 0
+),
+cand AS (
+  SELECT query_id, docid FROM (
+    SELECT query_id, docid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rsv DESC, docid DESC) AS rn
+    FROM acc
+  ) WHERE rn <= {RESCORE_N}
+),
+qv AS (
+  SELECT CAST(vec_id AS BIGINT) AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id IN ({qids})
+),
+resc AS (
+  SELECT c.query_id, c.docid,
+         round(list_dot_product(q.qvec, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6)
+           AS cosine
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.docid
+  JOIN qv q USING (query_id)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, docid DESC) AS BIGINT)
+         AS rank,
+       cosine
+FROM resc
+QUALIFY rank <= {RESCORE_K}
+"""
+
+
 # Query-time boosting workload: (query_id, [(term, weight), ...]).
 # q4 carries the same term twice at different boosts — bag semantics must
 # weight each OCCURRENCE independently.
@@ -4427,6 +4533,7 @@ def catalog() -> dict[str, tuple]:
         "sim_ivf_top5": (q_sim_ivf_top5, SQL_SIM_COSINE_TOP5),
         "sim_sq8_top5": (q_sim_sq8_top5, SQL_SIM_COSINE_TOP5),
         "sim_neardup_pairs": (q_sim_neardup_pairs, _sql_sim_neardup()),
+        "sim_rescore_top10": (q_sim_rescore_top10, _sql_sim_rescore()),
         "hybrid_rrf_top10": (q_hybrid_rrf_top10, _sql_hybrid_rrf()),
         "ev_windowed_counts": (q_ev_windowed_counts, SQL_EV_WINDOWED_COUNTS),
         "ev_user_sessions": (q_ev_user_sessions, SQL_EV_USER_SESSIONS),

@@ -194,3 +194,51 @@ def lsh_topk(
     )
     scored = with_cosine(joined).withColumn("cosine", F.round("cosine", 6))
     return rank_topk(scored, k)
+
+
+def rescore_by_vector(
+    index, queries: DataFrame, vectors: DataFrame, qvecs: DataFrame,
+    n: int = 100, k: int = 10, stats: dict | None = None,
+) -> DataFrame:
+    """Two-phase retrieval (the rescore-window pattern of production
+    engines): phase 1 ranks the corpus lexically — BM25 top-``n`` per
+    query, the cheap recall pass — and phase 2 re-ranks ONLY those n
+    candidates by exact embedding cosine to the query's vector ->
+    (query_id, docno, rank, cosine), rank by (cosine desc, docid desc).
+
+    ``vectors`` is (vec_id, embedding) with vec_id == docid; ``qvecs``
+    is (query_id, qvec). Scale shape: the expensive vector math touches
+    n x #queries rows, never the corpus — the candidate set broadcasts
+    into the vectors table so the cosine join is shuffle-free, and at
+    10^12 docs phase 2's cost is unchanged (phase 1's WAND/MaxScore
+    variants bound the lexical pass)."""
+    from jassjr_spark.operators.search import (
+        BROADCAST_DOCIDS_MAX, accumulate, score_postings, top_k,
+    )
+    from jassjr_spark.sources.index_store import pruned_postings
+
+    s = stats or index.scalar_stats()
+    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    scored = score_postings(
+        queries, pruned_postings(index, qterms), index.dictionary,
+        s["n_docs"], s["avgdl"], qterms=qterms,
+    )
+    cands = top_k(accumulate(scored), n).select("query_id", "docid")
+    rescored = (
+        vectors.select(F.col("vec_id").alias("docid"), "embedding")
+        .join(F.broadcast(cands), "docid")
+        .join(F.broadcast(qvecs), "query_id")
+    )
+    rescored = with_cosine(rescored).select("query_id", "docid", "cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("docid").desc()
+    )
+    ranked = (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    if s["n_docs"] <= BROADCAST_DOCIDS_MAX:
+        out = ranked.join(F.broadcast(index.docids), "docid")
+    else:
+        out = index.docids.join(F.broadcast(ranked), "docid")
+    return out.select("query_id", "docno", "rank", "cosine")

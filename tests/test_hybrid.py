@@ -49,3 +49,49 @@ def test_rrf_multi_query_independence(spark):
     by_q = {(r.query_id, r.docid): r.rrf for r in rows}
     assert by_q[(1, 10)] == 1.0 / 61.0
     assert by_q[(2, 30)] == pytest.approx(2 / 61, abs=0)
+
+
+def test_rescore_by_vector(spark):
+    """Phase 2 touches only phase-1 candidates: a lexically-unmatched doc
+    never appears however similar its vector; ranks follow cosine."""
+    import numpy as np
+
+    from jassjr_spark.operators.index_build import build_index
+    from jassjr_spark.operators.similarity import rescore_by_vector
+
+    docs = spark.createDataFrame(
+        [
+            (0, "d0", "apple banana"),
+            (1, "d1", "apple cherry"),
+            (2, "d2", "apple banana apple"),
+            (3, "d3", "unrelated words"),     # never matches 'apple'
+        ],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(docs, prepend_docno=False).cache()
+    # vectors: d3 identical to the query vector, others varied
+    vecs = [
+        (0, [1.0, 0.0, 1.0]),
+        (1, [0.9, 0.1, 0.2]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 2.0, 3.0]),   # == qvec but lexically unmatched
+    ]
+    vectors = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qvecs = spark.createDataFrame([(7, [1.0, 2.0, 3.0])],
+                                  "query_id long, qvec array<double>")
+    q = spark.createDataFrame([(7, 0, "apple")],
+                              "query_id long, pos int, term string")
+    got = rescore_by_vector(idx, q, vectors, qvecs, n=10, k=10).collect()
+    assert {r.docno for r in got} == {"d0", "d1", "d2"}  # d3 excluded
+    by_rank = [r.docno for r in sorted(got, key=lambda r: r.rank)]
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    want = sorted(
+        ((cos(v, [1.0, 2.0, 3.0]), i) for i, v in vecs if i != 3),
+        key=lambda t: (-t[0], -t[1]),
+    )
+    assert by_rank == [f"d{i}" for _, i in want]
+    # n=1 cuts phase 1 to the single best lexical candidate (d2: tf=2)
+    one = rescore_by_vector(idx, q, vectors, qvecs, n=1, k=10).collect()
+    assert [r.docno for r in one] == ["d2"]

@@ -233,3 +233,53 @@ def test_bm25f_postings_meet_in_one_join_per_field(spark):
     )
     p = _plan(bm25f_search(fidx, q, k=5))
     assert "BroadcastHashJoin" in p
+
+
+def test_hit_counts_plan_prunes_and_partial_aggregates(spark, tmp_path):
+    """The total-hits path must keep the persisted-index pushdown (term
+    filter reaches the scan) and count with a two-phase aggregate — and
+    never run Python in the plan."""
+    from jassjr_spark.operators.search import hit_counts
+
+    idx = build_index(_docs(spark, 300)).cache()
+    path = str(tmp_path / "hcidx")
+    write_index(idx, path)
+    on_disk = read_index(spark, path)
+    q = parse_queries(spark, ["51 the postings arrow"])
+    p = _plan(hit_counts(on_disk, q))
+    assert "PushedFilters" in p
+    assert "partial_count" in p or "partial_finalmerge" in p or \
+        "HashAggregate" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_search_ordered_single_window(spark, tmp_path):
+    """Sort-by-field ranks with exactly ONE per-query window, fed by the
+    candidate set (the key map joins before the window)."""
+    from jassjr_spark.operators.search import search_ordered
+
+    idx = build_index(_docs(spark, 300)).cache()
+    path = str(tmp_path / "soidx")
+    write_index(idx, path)
+    on_disk = read_index(spark, path)
+    q = parse_queries(spark, ["51 the postings arrow"])
+    keys = _docs(spark, 300).select(
+        "docid", F.length("content").cast("long").alias("sort_key")
+    )
+    p = _plan(search_ordered(on_disk, q, keys, k=5))
+    assert p.count("Window [") == 1
+    # Spark's rank<=k pushes into partial/final WindowGroupLimit — the
+    # per-partition top-k prune that keeps deep candidate sets cheap
+    assert p.count("WindowGroupLimit") == 2
+    assert "PushedFilters" in p
+
+
+def test_expansion_plans_are_vocab_scans_not_corpus_scans(spark):
+    """Fuzzy expansion scans the DICTIONARY (length-band filter visible);
+    the follow-on search still prunes postings to the expanded terms."""
+    from jassjr_spark.operators.fuzzy import expand_fuzzy
+
+    idx = build_index(_docs(spark, 300)).cache()
+    p = _plan(expand_fuzzy(idx, [(0, 0, "postings", 1)]))
+    assert "levenshtein" in p
+    assert "length" in p  # the band prefilter survives into the plan

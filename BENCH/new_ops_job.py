@@ -31,8 +31,10 @@ ENTRIES = [
     "decon_pairs", "text_redact", "pipe_curated",
     # round-4 continuation additions
     "ft_boost_top10", "ft_fuzzy_top10", "ft_wildcard_top10",
-    "ft_term_vector", "ft_explain", "code_hit_counts",
-    "code_sortby_top10", "code_facet_stats",
+    "ft_regex_top10", "ft_term_vector", "ft_explain", "ft_bm25_tuned",
+    "ft_sig_terms", "ft_phrase_mix_top10", "code_hit_counts",
+    "code_sortby_top10", "code_facet_stats", "code_cursor_top10",
+    "code_histogram", "code_dismax_top10", "sim_rescore_top10",
 ]
 
 

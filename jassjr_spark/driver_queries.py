@@ -345,6 +345,50 @@ QUALIFY row_number() OVER (PARTITION BY f.query_id
 """
 
 
+PERCOLATE_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["spark", "join"]),
+    (2, ["vector"]),
+    (3, ["spark", "zzzmissing"]),   # can never fire
+]
+
+
+def q_ft_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation (operators/percolate.py): registered conjunctive
+    queries matched against the document set -> (docid, query_id), the
+    saved-search / alerting direction of the engine."""
+    from jassjr_spark.operators.percolate import percolate
+
+    docs = load_documents(spark, sf_dir)
+    stored = spark.createDataFrame(
+        [(qid, t) for qid, ts in PERCOLATE_QUERIES for t in ts],
+        "query_id long, term string",
+    )
+    return percolate(docs, stored).select(
+        "docid", F.col("query_id").cast("long")
+    )
+
+
+def _sql_ft_percolate() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in PERCOLATE_QUERIES for t in ts
+    )
+    return f"""{_INDEX_CTES},
+stored(query_id, term) AS (VALUES {rows}),
+need AS (
+  SELECT query_id, count(DISTINCT term) AS need FROM stored GROUP BY query_id
+),
+doc_terms AS (SELECT DISTINCT docid, term FROM toks),
+m AS (
+  SELECT t.docid, s.query_id, count(DISTINCT t.term) AS matched
+  FROM doc_terms t JOIN stored s USING (term)
+  GROUP BY t.docid, s.query_id
+)
+SELECT m.docid, CAST(m.query_id AS BIGINT) AS query_id
+FROM m JOIN need n USING (query_id)
+WHERE m.matched = n.need
+"""
+
+
 RESCORE_N, RESCORE_K = 50, 10
 
 
@@ -4508,6 +4552,7 @@ def catalog() -> dict[str, tuple]:
         "ft_complete": (q_ft_complete, _sql_ft_complete()),
         "ft_related": (q_ft_related, _sql_ft_related()),
         "ft_sig_terms": (q_ft_sig_terms, _sql_ft_sig_terms()),
+        "ft_percolate": (q_ft_percolate, _sql_ft_percolate()),
         "ft_trec_eval": (q_ft_trec_eval, _sql_trec_eval()),
         "ft_ndcg": (q_ft_ndcg, _sql_ft_ndcg()),
         "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),

@@ -1,0 +1,83 @@
+"""Percolation: registered queries matched against incoming documents.
+
+Ordinary search asks "which documents match this query"; percolation
+inverts it — "which REGISTERED queries match this document" — the
+ES percolator / saved-search alerting pattern a production engine pairs
+with its streaming ingest (the reference has neither streams nor stored
+queries; this extends its search algebra to the alerting direction).
+
+Semantics: a stored query is a set of terms (query_id, term) with
+CONJUNCTIVE match — the document must contain every term (the classic
+boolean-alert contract: an alert that fires on a subset match is
+noise). Terms are compared under the index tokenizer rules; a stored
+query with zero lexable terms never matches.
+
+Plan shape (scale): the registered query set is small relative to the
+document stream, so it BROADCASTS; each incoming document tokenizes
+once (the same map-only Arrow kernel as indexing) into distinct
+(docid, term) rows, the broadcast join emits only (doc, query) pairs
+that share a term, and one partial-aggregated count-distinct == need
+filter finishes the conjunction. Nothing corpus-sized shuffles; cost
+is per-batch, independent of index size. The streaming face wraps the
+same batch operator in foreachBatch like search_stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def percolate(docs: DataFrame, stored: DataFrame) -> DataFrame:
+    """docs (docid, docno, content) x stored (query_id, term) ->
+    (docid, query_id): every registered query whose terms ALL occur in
+    the document. Both sides' multiplicities are irrelevant (set
+    semantics on terms)."""
+    from jassjr_spark.functions.tokenize import doc_term_frequencies
+
+    doc_terms = doc_term_frequencies(docs, prepend_docno=False) \
+        .select("docid", "term")
+    q = stored.select("query_id", "term").distinct()
+    need = q.groupBy("query_id").agg(
+        F.countDistinct("term").cast("long").alias("need")
+    )
+    return (
+        doc_terms.join(F.broadcast(q), "term")
+        .groupBy("docid", "query_id")
+        .agg(F.countDistinct("term").cast("long").alias("matched"))
+        .join(F.broadcast(need), "query_id")
+        .filter(F.col("matched") == F.col("need"))
+        .select("docid", "query_id")
+    )
+
+
+def start_percolate_stream(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    stored: DataFrame,
+    output_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """doc_stream: streaming DataFrame with (docid, docno, content).
+    Appends (docid, query_id) parquet per micro-batch — the alert feed.
+    The stored-query set is materialized ONCE at stream start (alert
+    registries change rarely; restart the stream to re-register) so a
+    mutated source table cannot silently change alerting mid-stream."""
+    reg = stored.select("query_id", "term").distinct().collect()
+    stored_rows = spark.createDataFrame(
+        [(r.query_id, r.term) for r in reg], "query_id long, term string"
+    )
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        percolate(batch, stored_rows).write.mode("append") \
+            .parquet(output_path)
+
+    writer = doc_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

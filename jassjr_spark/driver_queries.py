@@ -345,6 +345,115 @@ QUALIFY row_number() OVER (PARTITION BY f.query_id
 """
 
 
+_STEM_MEMO: dict = {}
+
+
+def _stemmed_corpus_index(spark: SparkSession, sf_dir: str):
+    from jassjr_spark.functions.stem import stemmed_index
+
+    key = (spark.sparkContext.applicationId, sf_dir, "stemmed")
+    if key not in _STEM_MEMO:
+        _STEM_MEMO[key] = stemmed_index(corpus_index(spark, sf_dir)).cache()
+    return _STEM_MEMO[key]
+
+
+def _sql_stemmed_ctes() -> str:
+    from jassjr_spark.functions.stem import sql_s_stem
+
+    return f"""
+sp AS (
+  SELECT {sql_s_stem('term')} AS term, docid, CAST(sum(tf) AS INT) AS tf
+  FROM postings GROUP BY 1, 2
+),
+sdict AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+  FROM sp GROUP BY term
+)"""
+
+
+def q_ft_stem_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-stemmed dictionary (functions/stem.py): the surface index's
+    vocabulary conflated by Harman's S stemmer — a pure relational
+    derivation (no re-tokenization), the opt-in analyzer next to the
+    reference-exact surface default."""
+    idx = _stemmed_corpus_index(spark, sf_dir)
+    return idx.dictionary.select("term", F.col("df").cast("long"), "cf")
+
+
+def _sql_ft_stem_dictionary() -> str:
+    return f"""{_INDEX_CTES},
+{_sql_stemmed_ctes().lstrip()}
+SELECT term, CAST(df AS BIGINT) AS df, cf FROM sdict
+"""
+
+
+def q_ft_stem_search_top10(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Flagship BM25 over the S-stemmed index with S-stemmed query terms
+    — scores move only through tf/df conflation (dl, avgdl, N are
+    analyzer-independent), exactly a production analyzer's behaviour."""
+    from jassjr_spark.functions.stem import stem_words
+
+    idx = _stemmed_corpus_index(spark, sf_dir)
+    s = idx.scalar_stats()
+    qrows = [
+        (qid, pos, t)
+        for qid, terms in BM25_QUERIES
+        for pos, t in enumerate(stem_words(terms))
+    ]
+    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
+    scored = score_postings(queries, idx.postings, idx.dictionary,
+                            s["n_docs"], s["avgdl"])
+    acc = accumulate(scored).withColumn("rsv", F.round("rsv", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        acc.filter(F.col("rsv") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
+def _sql_ft_stem_search(k: int = 10) -> str:
+    from jassjr_spark.functions.stem import stem_words
+
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in BM25_QUERIES
+        for pos, t in enumerate(stem_words(terms))
+    )
+    return f"""{_INDEX_CTES},
+{_sql_stemmed_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {rows}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN sdict d USING (term)
+  JOIN sp p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 PERCOLATE_QUERIES: list[tuple[int, list[str]]] = [
     (1, ["spark", "join"]),
     (2, ["vector"]),
@@ -4553,6 +4662,10 @@ def catalog() -> dict[str, tuple]:
         "ft_related": (q_ft_related, _sql_ft_related()),
         "ft_sig_terms": (q_ft_sig_terms, _sql_ft_sig_terms()),
         "ft_percolate": (q_ft_percolate, _sql_ft_percolate()),
+        "ft_stem_dictionary": (q_ft_stem_dictionary,
+                               _sql_ft_stem_dictionary()),
+        "ft_stem_search_top10": (q_ft_stem_search_top10,
+                                 _sql_ft_stem_search()),
         "ft_trec_eval": (q_ft_trec_eval, _sql_trec_eval()),
         "ft_ndcg": (q_ft_ndcg, _sql_ft_ndcg()),
         "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),

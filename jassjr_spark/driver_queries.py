@@ -498,6 +498,69 @@ WHERE m.matched = n.need
 """
 
 
+# (query_id, positive terms, negated suppression terms)
+PERCOLATE_NEG_QUERIES: list[tuple[int, list[str], list[str]]] = [
+    (1, ["spark"], ["join"]),       # spark-but-not-join docs
+    (2, ["vector"], ["zzzmissing"]),  # OOV suppression suppresses nothing
+]
+
+
+def q_ft_percolate_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation with suppression terms: the alert fires only when all
+    positive terms occur and NO negated term does."""
+    from jassjr_spark.operators.percolate import percolate
+
+    docs = load_documents(spark, sf_dir)
+    rows = [
+        (qid, t, False)
+        for qid, ts, _ in PERCOLATE_NEG_QUERIES for t in ts
+    ] + [
+        (qid, t, True)
+        for qid, _, ns in PERCOLATE_NEG_QUERIES for t in ns
+    ]
+    stored = spark.createDataFrame(
+        rows, "query_id long, term string, negated boolean"
+    )
+    return percolate(docs, stored).select(
+        "docid", F.col("query_id").cast("long")
+    )
+
+
+def _sql_ft_percolate_neg() -> str:
+    pos = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts, _ in PERCOLATE_NEG_QUERIES for t in ts
+    )
+    neg = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, _, ns in PERCOLATE_NEG_QUERIES for t in ns
+    )
+    return f"""{_INDEX_CTES},
+stored(query_id, term) AS (VALUES {pos}),
+supp(query_id, term) AS (VALUES {neg}),
+need AS (
+  SELECT query_id, count(DISTINCT term) AS need FROM stored GROUP BY query_id
+),
+doc_terms AS (SELECT DISTINCT docid, term FROM toks),
+m AS (
+  SELECT t.docid, s.query_id, count(DISTINCT t.term) AS matched
+  FROM doc_terms t JOIN stored s USING (term)
+  GROUP BY t.docid, s.query_id
+),
+hits AS (
+  SELECT m.docid, m.query_id
+  FROM m JOIN need n USING (query_id)
+  WHERE m.matched = n.need
+)
+SELECT h.docid, CAST(h.query_id AS BIGINT) AS query_id
+FROM hits h
+WHERE NOT EXISTS (
+  SELECT 1 FROM doc_terms t JOIN supp x USING (term)
+  WHERE t.docid = h.docid AND x.query_id = h.query_id
+)
+"""
+
+
 RESCORE_N, RESCORE_K = 50, 10
 
 
@@ -4662,6 +4725,7 @@ def catalog() -> dict[str, tuple]:
         "ft_related": (q_ft_related, _sql_ft_related()),
         "ft_sig_terms": (q_ft_sig_terms, _sql_ft_sig_terms()),
         "ft_percolate": (q_ft_percolate, _sql_ft_percolate()),
+        "ft_percolate_neg": (q_ft_percolate_neg, _sql_ft_percolate_neg()),
         "ft_stem_dictionary": (q_ft_stem_dictionary,
                                _sql_ft_stem_dictionary()),
         "ft_stem_search_top10": (q_ft_stem_search_top10,

@@ -29,19 +29,35 @@ from pyspark.sql import functions as F
 
 
 def percolate(docs: DataFrame, stored: DataFrame) -> DataFrame:
-    """docs (docid, docno, content) x stored (query_id, term) ->
-    (docid, query_id): every registered query whose terms ALL occur in
-    the document. Both sides' multiplicities are irrelevant (set
-    semantics on terms)."""
+    """docs (docid, docno, content) x stored (query_id, term[, negated
+    bool]) -> (docid, query_id): every registered query whose positive
+    terms ALL occur in the document and whose negated terms (alert
+    suppressions — '-term' in the alert definition) occur NOT AT ALL.
+    Both sides' multiplicities are irrelevant (set semantics on terms).
+    A stored query with no positive terms raises: a pure-negative alert
+    names (almost) the whole stream — define it positively instead."""
     from jassjr_spark.functions.tokenize import doc_term_frequencies
 
+    has_neg = "negated" in stored.columns
+    pos = stored.filter(~F.col("negated")) if has_neg else stored
+    q = pos.select("query_id", "term").distinct()
+    if has_neg:
+        dead = (
+            stored.select("query_id").distinct()
+            .join(q.select("query_id").distinct(), "query_id", "left_anti")
+            .collect()
+        )
+        if dead:
+            raise ValueError(
+                "stored queries with no positive terms: "
+                f"{sorted(r.query_id for r in dead)}"
+            )
     doc_terms = doc_term_frequencies(docs, prepend_docno=False) \
         .select("docid", "term")
-    q = stored.select("query_id", "term").distinct()
     need = q.groupBy("query_id").agg(
         F.countDistinct("term").cast("long").alias("need")
     )
-    return (
+    hits = (
         doc_terms.join(F.broadcast(q), "term")
         .groupBy("docid", "query_id")
         .agg(F.countDistinct("term").cast("long").alias("matched"))
@@ -49,6 +65,13 @@ def percolate(docs: DataFrame, stored: DataFrame) -> DataFrame:
         .filter(F.col("matched") == F.col("need"))
         .select("docid", "query_id")
     )
+    if has_neg:
+        neg = stored.filter(F.col("negated")) \
+            .select("query_id", "term").distinct()
+        suppressed = doc_terms.join(F.broadcast(neg), "term") \
+            .select("docid", "query_id").distinct()
+        hits = hits.join(suppressed, ["docid", "query_id"], "left_anti")
+    return hits
 
 
 def start_percolate_stream(

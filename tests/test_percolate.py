@@ -58,3 +58,21 @@ def test_percolate_stream_appends_alerts(spark, tmp_path):
     q2.awaitTermination(120)
     both = {(r.docid, r.query_id) for r in spark.read.parquet(out).collect()}
     assert both - first == {(2, 2), (3, 4)}
+
+
+def test_percolate_suppression(spark):
+    import pytest as _pt
+
+    stored = spark.createDataFrame(
+        [(1, "alpha", False), (1, "gamma", True),   # alpha but NOT gamma
+         (2, "beta", False), (2, "zzz", True)],     # OOV suppression: no-op
+        "query_id long, term string, negated boolean",
+    )
+    got = {(r.docid, r.query_id)
+           for r in percolate(_docs(spark), stored).collect()}
+    assert got == {(1, 1), (3, 1), (0, 2), (1, 2), (2, 2)}
+    # pure-negative stored query raises
+    bad = spark.createDataFrame(
+        [(9, "alpha", True)], "query_id long, term string, negated boolean")
+    with _pt.raises(ValueError):
+        percolate(_docs(spark), bad)

@@ -843,6 +843,94 @@ QUALIFY rank <= {k}
 """
 
 
+# Auto-correction workload: every term is run through the did-you-mean
+# ranking (dist<=2, (dist asc, cf desc, term asc)) and REPLACED by its
+# top suggestion — in-vocab terms self-correct at distance 0, hopeless
+# terms drop out. expand_fuzzy(max_expansions=1) IS that selection.
+AUTOCORRECT_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["sparkk", "joni"]),
+    (2, ["windoo", "mrege", "sort"]),      # 'sort' is in-vocab: no-op
+    (3, ["data", "zzzzzzzzzzzz"]),         # hopeless term drops out
+]
+
+
+def q_ft_autocorrect_top10(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Auto-corrected BM25: each query term replaced by its best
+    did-you-mean suggestion before ranking (search-with-spell-correction,
+    the 'showing results for ...' behaviour)."""
+    from jassjr_spark.operators.fuzzy import expand_fuzzy
+
+    idx = corpus_index(spark, sf_dir)
+    s = idx.scalar_stats()
+    fuzzy_rows = [
+        (qid, slot, t, 2)
+        for qid, ts in AUTOCORRECT_QUERIES for slot, t in enumerate(ts)
+    ]
+    queries = expand_fuzzy(idx, fuzzy_rows, max_expansions=1)
+    scored = score_postings(queries, idx.postings, idx.dictionary,
+                            s["n_docs"], s["avgdl"])
+    acc = accumulate(scored).withColumn("rsv", F.round("rsv", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        acc.filter(F.col("rsv") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
+def _sql_ft_autocorrect(k: int = 10) -> str:
+    fvals = ", ".join(
+        f"({qid}, {slot}, '{t}')"
+        for qid, ts in AUTOCORRECT_QUERIES for slot, t in enumerate(ts)
+    )
+    return f"""{_INDEX_CTES},
+raws(query_id, slot, raw) AS (VALUES {fvals}),
+cand AS (
+  SELECT r.query_id, r.slot, d.term, d.cf,
+         levenshtein(d.term, r.raw) AS ed
+  FROM raws r
+  JOIN dict d ON abs(length(d.term) - length(r.raw)) <= 2
+  WHERE levenshtein(d.term, r.raw) <= 2
+),
+corrected AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, slot, term,
+           row_number() OVER (PARTITION BY query_id, slot
+                              ORDER BY ed ASC, cf DESC, term ASC) AS rnk
+    FROM cand
+  ) WHERE rnk = 1
+),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM corrected q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 # Wildcard workload: (query_id, plain terms, prefix list) — 'pfx*'.
 WILDCARD_QUERIES: list[tuple[int, list[str], list[str]]] = [
     (1, ["join"], ["sp"]),
@@ -4707,6 +4795,8 @@ def catalog() -> dict[str, tuple]:
         "ft_boost_top10": (q_ft_boost_top10, _sql_ft_boost()),
         "ft_fuzzy_top10": (q_ft_fuzzy_top10, _sql_ft_fuzzy()),
         "ft_wildcard_top10": (q_ft_wildcard_top10, _sql_ft_wildcard()),
+        "ft_autocorrect_top10": (q_ft_autocorrect_top10,
+                                 _sql_ft_autocorrect()),
         "ft_regex_top10": (q_ft_regex_top10, _sql_ft_regex()),
         "ft_bm25_wand": (q_ft_bm25_wand, _sql_ft_bm25()),
         "ft_bm25_maxscore": (q_ft_bm25_maxscore, _sql_ft_bm25()),

@@ -155,3 +155,14 @@ def test_regex_full_match_expansion(spark, engine):
     # alternation across the vocabulary
     both = {r.docno for r in run_user_query(engine, "/grape|kiwi/").collect()}
     assert both == {"d4"}
+
+
+def test_autocorrect_selection(spark, engine):
+    """expand_fuzzy(max_expansions=1, dist=2) IS the did-you-mean top-1:
+    in-vocab terms self-correct at distance 0; hopeless terms vanish."""
+    rows = expand_fuzzy(
+        engine, [(0, 0, "aple", 2), (0, 1, "banana", 2), (0, 2, "zzzzzzzz", 2)],
+        max_expansions=1,
+    ).collect()
+    got = {r.pos: r.term for r in rows}
+    assert got == {1001: "apple", 2001: "banana"}

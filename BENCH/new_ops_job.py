@@ -35,6 +35,8 @@ ENTRIES = [
     "ft_sig_terms", "ft_phrase_mix_top10", "code_hit_counts",
     "code_sortby_top10", "code_facet_stats", "code_cursor_top10",
     "code_histogram", "code_dismax_top10", "sim_rescore_top10",
+    "ft_percolate", "ft_percolate_neg", "ft_stem_dictionary",
+    "ft_stem_search_top10", "ft_autocorrect_top10",
 ]
 
 

@@ -30,7 +30,8 @@ def main() -> None:
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--queries", type=int, default=50)
-    ap.add_argument("--mode", choices=["index", "search", "both", "grep"],
+    ap.add_argument("--mode",
+                    choices=["index", "search", "both", "grep", "percolate"],
                     default="both")
     args = ap.parse_args()
 
@@ -118,6 +119,32 @@ def main() -> None:
         t = median_time(run_grep, args.iters)
         out["grep_sec"] = round(t, 3)
         out["grep_needles_per_sec"] = round(len(needles) / t, 2)
+
+    if args.mode == "percolate":
+        # alerting throughput: a 200-query conjunctive registry matched
+        # against the whole corpus batch — the per-micro-batch work of
+        # start_percolate_stream, measured at batch size = corpus
+        from jassjr_spark.operators.percolate import percolate
+
+        lines = synth_queries(200)
+        stored_rows = [
+            (qid, t)
+            for qid, ln in enumerate(lines)
+            for t in (ln.split()[1:] if ln.split()[0].isnumeric()
+                      else ln.split())
+        ]
+        stored = spark.createDataFrame(
+            stored_rows, "query_id long, term string"
+        )
+        dd = docs.selectExpr("docid", "cast(docid as string) as docno",
+                             "content")
+
+        def run_percolate():
+            percolate(dd, stored).count()
+
+        t = median_time(run_percolate, args.iters)
+        out["percolate_sec"] = round(t, 3)
+        out["percolate_docs_per_sec"] = round(n_docs / t, 1)
 
     print(json.dumps(out))
 

@@ -565,10 +565,13 @@ RESCORE_N, RESCORE_K = 50, 10
 
 
 def q_sim_rescore_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase retrieval (operators/similarity.py:rescore_by_vector):
-    BM25 top-50 lexical candidates re-ranked by exact embedding cosine
-    to the query's vector (qvec = embeddings[vec_id == query_id]).
-    Rounded phase-1 cut + rounded cosine for cross-engine determinism."""
+    """Two-phase retrieval: BM25 top-50 lexical candidates re-ranked by
+    exact embedding cosine to the query's vector (qvec =
+    embeddings[vec_id == query_id]). This is the ROUNDED TWIN of
+    operators/similarity.py:rescore_by_vector (phase-1 cut and cosine
+    rounded for cross-engine rank determinism; the operator itself cuts
+    on raw rsv and is pytest-asserted against offset paging instead —
+    tests/test_hybrid.py::test_rescore_by_vector)."""
     idx = corpus_index(spark, sf_dir)
     s = idx.scalar_stats()
     emb = load_embeddings(spark, sf_dir)

@@ -80,6 +80,29 @@ def expand_fuzzy(
 MIN_PREFIX_LEN = 2
 
 
+def _cap_expansions(cands: DataFrame, max_expansions: int) -> DataFrame:
+    """(query_id, slot, term, cf) candidate rows -> (query_id, pos, term)
+    capped at ``max_expansions`` per slot by (cf desc, term asc),
+    ``pos = (slot+1)*EXPANSION_POS_BASE + rank``. The window partitions
+    by (query_id, slot), so Spark's rank<=k pushes into partial/final
+    WindowGroupLimit — an UNPARTITIONED orderBy here would funnel every
+    candidate of a hot prefix/pattern through one task (the plan-gate
+    tests assert the partitioned shape)."""
+    w = Window.partitionBy("query_id", "slot").orderBy(
+        F.col("cf").desc(), F.col("term").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max_expansions)
+        .select(
+            "query_id",
+            ((F.col("slot") + 1) * EXPANSION_POS_BASE + F.col("rank"))
+            .cast("int").alias("pos"),
+            "term",
+        )
+    )
+
+
 def expand_prefix(
     index: Index,
     prefixes: list[tuple[int, int, str]],
@@ -111,22 +134,19 @@ def expand_prefix(
                 "vocabulary slice"
             )
     outs = []
-    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
     for qid, slot, p in prefixes:
         outs.append(
             index.dictionary
             .filter(F.col("term").startswith(p))
-            .select("term", "cf")
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= max_expansions)
             .select(
                 F.lit(qid).cast("long").alias("query_id"),
-                (F.lit((slot + 1) * EXPANSION_POS_BASE) + F.col("rank"))
-                .cast("int").alias("pos"),
-                "term",
+                F.lit(slot).cast("int").alias("slot"),
+                "term", "cf",
             )
         )
-    return reduce(lambda a, b: a.unionByName(b), outs)
+    return _cap_expansions(
+        reduce(lambda a, b: a.unionByName(b), outs), max_expansions
+    )
 
 
 def expand_regex(
@@ -147,23 +167,20 @@ def expand_regex(
     portable subsets behave identically, lookarounds/backrefs do not."""
     from functools import reduce
 
-    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
     outs = []
     for qid, slot, pat in patterns:
         outs.append(
             index.dictionary
             .filter(F.col("term").rlike(f"^(?:{pat})$"))
-            .select("term", "cf")
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= max_expansions)
             .select(
                 F.lit(qid).cast("long").alias("query_id"),
-                (F.lit((slot + 1) * EXPANSION_POS_BASE) + F.col("rank"))
-                .cast("int").alias("pos"),
-                "term",
+                F.lit(slot).cast("int").alias("slot"),
+                "term", "cf",
             )
         )
-    return reduce(lambda a, b: a.unionByName(b), outs)
+    return _cap_expansions(
+        reduce(lambda a, b: a.unionByName(b), outs), max_expansions
+    )
 
 
 def search_fuzzy(

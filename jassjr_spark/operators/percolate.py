@@ -84,13 +84,25 @@ def start_percolate_stream(
 ):
     """doc_stream: streaming DataFrame with (docid, docno, content).
     Appends (docid, query_id) parquet per micro-batch — the alert feed.
-    The stored-query set is materialized ONCE at stream start (alert
-    registries change rarely; restart the stream to re-register) so a
-    mutated source table cannot silently change alerting mid-stream."""
-    reg = stored.select("query_id", "term").distinct().collect()
-    stored_rows = spark.createDataFrame(
-        [(r.query_id, r.term) for r in reg], "query_id long, term string"
+    The stored-query set — INCLUDING suppression flags — is materialized
+    ONCE at stream start (alert registries change rarely; restart the
+    stream to re-register) so a mutated source table cannot silently
+    change alerting mid-stream; a pure-negative registration fails here,
+    at start, not per batch."""
+    has_neg = "negated" in stored.columns
+    cols = ["query_id", "term"] + (["negated"] if has_neg else [])
+    reg = stored.select(*cols).distinct().collect()
+    schema = "query_id long, term string" + (
+        ", negated boolean" if has_neg else ""
     )
+    stored_rows = spark.createDataFrame([tuple(r) for r in reg], schema)
+    if has_neg:
+        with_pos = {r.query_id for r in reg if not r.negated}
+        dead = sorted({r.query_id for r in reg} - with_pos)
+        if dead:
+            raise ValueError(
+                f"stored queries with no positive terms: {dead}"
+            )
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():

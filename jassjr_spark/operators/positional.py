@@ -163,6 +163,40 @@ def proximity_occurrences(
     ).filter(F.col("prox_tf") > 0)
 
 
+def _scored_phrase(
+    positions: DataFrame, doc_lengths: DataFrame, phrase: list[str],
+    n_docs: int, avgdl: float, window: int | None,
+) -> DataFrame | None:
+    """One phrase's per-doc BM25 contribution -> (docid, contrib), or
+    None when the phrase matches nothing or everything (df==N elision).
+    The ONE scoring body shared by phrase_search and phrase_contribs:
+    df is a driver-side count over the match set (CPython math.log idf,
+    ulp-identical to the flat engine); the occurrence frame feeds both
+    that count and the returned plan — one extra evaluation of the
+    occurrence joins per phrase, inherent to a tf that has no stored
+    column (the match set is small: only matching docs survive)."""
+    import math
+
+    if window is None:
+        occ = phrase_occurrences(positions, phrase)
+    else:
+        occ = proximity_occurrences(positions, phrase, window) \
+            .withColumnRenamed("prox_tf", "phrase_tf")
+    df_count = occ.count()
+    if df_count == 0 or df_count >= n_docs:
+        return None
+    idf = math.log(n_docs / df_count)
+    tf = F.col("phrase_tf").cast("double")
+    contrib = F.lit(idf) * (
+        (tf * (K1 + 1.0))
+        / (tf + K1 * (1.0 - B + B * (F.col("len").cast("double")
+                                     / F.lit(float(avgdl)))))
+    )
+    return occ.join(doc_lengths, "docid").select(
+        "docid", contrib.alias("contrib")
+    )
+
+
 def phrase_search(
     positions: DataFrame,
     doc_lengths: DataFrame,
@@ -180,8 +214,6 @@ def phrase_search(
     ``doc_lengths`` is (docid, len); N and avgdl are derived from it when
     ``stats`` (n_docs, avgdl) isn't supplied. df is computed per query
     from the match set (one tiny aggregate over <= matching-docs rows)."""
-    import math
-
     spark = positions.sparkSession
     if stats is None:
         row = doc_lengths.agg(
@@ -192,25 +224,14 @@ def phrase_search(
 
     runs = []
     for qid, phrase in phrases:
-        if window is None:
-            occ = phrase_occurrences(positions, phrase)
-        else:
-            occ = proximity_occurrences(positions, phrase, window) \
-                .withColumnRenamed("prox_tf", "phrase_tf")
-        df_count = occ.count()
-        if df_count == 0 or df_count >= n_docs:
+        scored = _scored_phrase(positions, doc_lengths, phrase,
+                                n_docs, avgdl, window)
+        if scored is None:
             continue  # unmatched, or idf == 0 elision (df == N)
-        idf = math.log(n_docs / df_count)
-        tf = F.col("phrase_tf").cast("double")
-        rsv = F.lit(idf) * (
-            (tf * (K1 + 1.0))
-            / (tf + K1 * (1.0 - B + B * (F.col("len").cast("double")
-                                         / F.lit(float(avgdl)))))
-        )
         runs.append(
-            occ.join(doc_lengths, "docid")
-            .select(
-                F.lit(qid).alias("query_id"), "docid", rsv.alias("rsv")
+            scored.select(
+                F.lit(qid).alias("query_id"), "docid",
+                F.col("contrib").alias("rsv"),
             )
         )
     if not runs:
@@ -247,33 +268,21 @@ def phrase_contribs(
     phrase_search), with ``pos = PHRASE_POS_BASE + slot`` so the
     contribution unions into the scored-term stream and the ordered rsv
     fold stays deterministic. Returns None when no phrase is scorable
-    (unmatched, or df == N elision)."""
-    import math
-
+    (unmatched, or df == N elision). Scoring body shared with
+    phrase_search via _scored_phrase."""
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     runs = []
     for qid, slot, phrase in phrases:
-        if window is None:
-            occ = phrase_occurrences(positions, phrase)
-        else:
-            occ = proximity_occurrences(positions, phrase, window) \
-                .withColumnRenamed("prox_tf", "phrase_tf")
-        df_count = occ.count()
-        if df_count == 0 or df_count >= n_docs:
+        scored = _scored_phrase(positions, doc_lengths, phrase,
+                                n_docs, avgdl, window)
+        if scored is None:
             continue
-        idf = math.log(n_docs / df_count)
-        tf = F.col("phrase_tf").cast("double")
-        contrib = F.lit(idf) * (
-            (tf * (K1 + 1.0))
-            / (tf + K1 * (1.0 - B + B * (F.col("len").cast("double")
-                                         / F.lit(float(avgdl)))))
-        )
         runs.append(
-            occ.join(doc_lengths, "docid").select(
+            scored.select(
                 F.lit(qid).cast("long").alias("query_id"),
                 "docid",
                 F.lit(PHRASE_POS_BASE + slot).cast("int").alias("pos"),
-                contrib.alias("contrib"),
+                "contrib",
             )
         )
     if not runs:

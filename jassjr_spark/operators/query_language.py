@@ -49,7 +49,7 @@ _FIELD_RE = re.compile(r"^(\w+):(.+)$")
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.+)~(\d)?$")
 _WILD_RE = re.compile(r"^([^*]+)\*$")
-_RANGE_RE = re.compile(r"^(>=|<=|>|<)(\d+(?:\.\d+)?)$")
+_RANGE_RE = re.compile(r"^(>=|<=|>|<)(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)$")
 
 NEGATION_MARGIN = 400   # extra depth for post-cut exclusion in mixed mode
 
@@ -103,6 +103,14 @@ def parse_user_query(line: str) -> ParsedQuery:
                 out.ranges.append(
                     (fm.group(1).lower(), rm.group(1), float(rm.group(2)))
                 )
+            elif value[0] in "<>":
+                # an operator that didn't parse as a range bound must not
+                # degrade into a string-equality filter (it would match
+                # nothing, silently)
+                raise ValueError(
+                    f"malformed range bound in {raw!r}: use "
+                    "field:>x / >=x / <x / <=x with a numeric bound"
+                )
             else:
                 out.filters[fm.group(1).lower()] = value
             continue
@@ -138,6 +146,14 @@ def parse_user_query(line: str) -> ParsedQuery:
                 )
             out.fuzzy.extend((t, fdist) for t in _lex(fbody))
             continue
+        if "~" in body:
+            # raise-loudly contract: 'term~12' (multi-digit distance) or
+            # 'term~1^2' (fuzzy then boost) must not silently lex into
+            # plain terms containing literal digits
+            raise ValueError(
+                f"malformed fuzzy term {raw!r}: use term~ or term~d with "
+                "a single-digit distance; boost+fuzzy is not supported"
+            )
         weight = 1.0
         bm = _BOOST_RE.match(body)
         if bm:
@@ -368,7 +384,10 @@ def run_user_queries(
         queries = spark.createDataFrame(
             plain_rows, "query_id long, pos int, term string, weight double"
         )
-        runs.insert(0, search(index, queries, k=k))
+        # terms are driver-known — pass them so search() skips its own
+        # distinct-terms job (the job-count discipline this batch exists for)
+        runs.insert(0, search(index, queries, k=k,
+                              qterms=sorted({t for _, _, t, _ in plain_rows})))
     if not runs:
         return spark.createDataFrame(
             [], "query_id long, docno string, rank long, rsv double"

@@ -76,3 +76,29 @@ def test_percolate_suppression(spark):
         [(9, "alpha", True)], "query_id long, term string, negated boolean")
     with _pt.raises(ValueError):
         percolate(_docs(spark), bad)
+
+
+def test_percolate_stream_keeps_suppressions(spark, tmp_path):
+    """The streaming face must carry the negated flag through its
+    start-time registry materialization (regression: it was dropped,
+    turning suppressions into required terms)."""
+    import pytest as _pt
+
+    stored = spark.createDataFrame(
+        [(1, "alpha", False), (1, "gamma", True)],
+        "query_id long, term string, negated boolean",
+    )
+    src = tmp_path / "docs_in"; src.mkdir()
+    out, ck = str(tmp_path / "alerts"), str(tmp_path / "ck")
+    _docs(spark).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(
+        "docid long, docno string, content string").parquet(str(src))
+    q = start_percolate_stream(spark, stream, stored, out, ck)
+    q.awaitTermination(120)
+    got = {(r.docid, r.query_id) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 1), (3, 1)}   # alpha-without-gamma docs only
+    # pure-negative registration fails at stream START, not per batch
+    bad = spark.createDataFrame(
+        [(9, "alpha", True)], "query_id long, term string, negated boolean")
+    with _pt.raises(ValueError):
+        start_percolate_stream(spark, stream, bad, out + "2", ck + "2")

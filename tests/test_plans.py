@@ -276,10 +276,15 @@ def test_search_ordered_single_window(spark, tmp_path):
 
 def test_expansion_plans_are_vocab_scans_not_corpus_scans(spark):
     """Fuzzy expansion scans the DICTIONARY (length-band filter visible);
-    the follow-on search still prunes postings to the expanded terms."""
-    from jassjr_spark.operators.fuzzy import expand_fuzzy
+    prefix/regex cap-ranking windows are PARTITIONED by (query, slot) so
+    rank<=k pushes into WindowGroupLimit instead of funneling a hot
+    prefix's candidates through one unpartitioned sort."""
+    from jassjr_spark.operators.fuzzy import expand_fuzzy, expand_prefix
 
     idx = build_index(_docs(spark, 300)).cache()
     p = _plan(expand_fuzzy(idx, [(0, 0, "postings", 1)]))
     assert "levenshtein" in p
     assert "length" in p  # the band prefilter survives into the plan
+    p2 = _plan(expand_prefix(idx, [(0, 0, "po"), (0, 1, "ar")]))
+    assert "StartsWith" in p2
+    assert p2.count("WindowGroupLimit") == 2  # partial + final

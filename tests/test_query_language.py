@@ -361,3 +361,18 @@ def test_phrase_composes_with_terms(spark, engine):
     for d, rsv in bo.items():
         assert rsv == pytest.approx(ph.get(d, 0.0) + 2 * tm.get(d, 0.0),
                                     abs=1e-12)
+
+
+def test_malformed_operators_raise_loudly():
+    from jassjr_spark.operators.query_language import parse_user_query
+
+    # fuzzy-then-boost and multi-digit distances must not silently lex
+    for bad in ["spark~1^2", "spark~12", "don~t"]:
+        with pytest.raises(ValueError, match="fuzzy"):
+            parse_user_query(bad)
+    # malformed range bounds must not degrade to string equality
+    with pytest.raises(ValueError, match="range"):
+        parse_user_query("n_chars:>abc data")
+    # negative and scientific bounds are valid ranges now
+    p = parse_user_query("delta:>=-5 size:<1e5 data")
+    assert p.ranges == [("delta", ">=", -5.0), ("size", "<", 1e5)]

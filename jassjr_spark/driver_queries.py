@@ -1886,6 +1886,106 @@ def q_ft_trec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trec_eval_metrics(run, qrels, key="docid")
 
 
+def q_ft_bpref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpref (operators/tooling.py:bpref_metric) of the flagship k=1000
+    run against PARTIAL judgments: rel=1 where docid%13 == qid%13,
+    judged-NONrelevant (rel=0) where docid%13 == (qid+1)%13, everything
+    else unjudged — the incomplete-judgment regime bpref exists for."""
+    from jassjr_spark.operators.tooling import bpref_metric
+
+    run = q_ft_bm25_top10(spark, sf_dir, k=1000)
+    docs = load_documents(spark, sf_dir).select("docid")
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in BM25_QUERIES], "query_id long"
+    )
+    qrels = (
+        qids.crossJoin(docs)
+        .withColumn(
+            "rel",
+            F.when((F.col("docid") % 13) == (F.col("query_id") % 13), 1)
+            .when((F.col("docid") % 13) == ((F.col("query_id") + 1) % 13), 0)
+        )
+        .filter(F.col("rel").isNotNull())
+    )
+    return bpref_metric(run, qrels, key="docid")
+
+
+def _sql_ft_bpref(k: int = 1000) -> str:
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_values_queries()}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+  HAVING round(sum(contrib), 4) > 0
+),
+run AS (
+  SELECT query_id, docid,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rsv DESC, docid DESC) AS rank
+  FROM acc
+  QUALIFY rank <= {k}
+),
+qrels AS (
+  SELECT q.query_id, d.doc_id AS docid,
+         CASE WHEN d.doc_id % 13 = q.query_id % 13 THEN 1 ELSE 0 END AS rel
+  FROM (SELECT DISTINCT query_id FROM queries) q
+  CROSS JOIN documents d
+  WHERE d.doc_id % 13 = q.query_id % 13
+     OR d.doc_id % 13 = (q.query_id + 1) % 13
+),
+counts AS (
+  SELECT query_id, CAST(sum(rel) AS BIGINT) AS num_rel,
+         CAST(sum(1 - rel) AS BIGINT) AS num_jnr
+  FROM qrels GROUP BY query_id
+  HAVING sum(rel) > 0
+),
+j AS (
+  SELECT r.query_id, r.rank, COALESCE(x.rel, -1) AS rel
+  FROM run r LEFT JOIN qrels x USING (query_id, docid)
+),
+terms AS (
+  SELECT j.query_id, c.num_rel, c.num_jnr, j.rel,
+         CAST(COALESCE(
+           sum(CASE WHEN j.rel = 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY j.query_id ORDER BY j.rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS DOUBLE) AS nr_above
+  FROM j JOIN counts c USING (query_id)
+),
+perq AS (
+  SELECT query_id, any_value(num_rel) AS num_rel,
+         any_value(num_jnr) AS num_jnr,
+         COALESCE(sum(CASE WHEN rel = 1 THEN
+           CASE WHEN num_jnr = 0 THEN 1.0
+                WHEN num_jnr > num_rel
+                  THEN 1.0 - (least(nr_above, CAST(num_rel AS DOUBLE))
+                              / CAST(num_rel AS DOUBLE))
+                ELSE 1.0 - (nr_above / CAST(num_jnr AS DOUBLE))
+           END END), 0.0) / CAST(any_value(num_rel) AS DOUBLE) AS raw
+  FROM terms GROUP BY query_id
+)
+SELECT CAST(query_id AS VARCHAR) AS query_id, num_rel, num_jnr,
+       round(raw, 6) AS bpref
+FROM perq
+UNION ALL
+SELECT 'all', CAST(sum(num_rel) AS BIGINT), CAST(sum(num_jnr) AS BIGINT),
+       round(avg(raw), 6)
+FROM perq
+"""
+
+
 def q_ft_ndcg(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """NDCG@10 (operators/tooling.py:ndcg_at) of the flagship k=1000 run
     against the same synthetic qrels as ft_trec_eval — per-query rows
@@ -4825,6 +4925,7 @@ def catalog() -> dict[str, tuple]:
                                  _sql_ft_stem_search()),
         "ft_trec_eval": (q_ft_trec_eval, _sql_trec_eval()),
         "ft_ndcg": (q_ft_ndcg, _sql_ft_ndcg()),
+        "ft_bpref": (q_ft_bpref, _sql_ft_bpref()),
         "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_fingerprints": (q_dedup_fingerprints, SQL_DEDUP_FINGERPRINTS),

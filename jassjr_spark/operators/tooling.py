@@ -380,3 +380,71 @@ def ndcg_at(
         F.lit("all").alias("query_id"), "ndcg"
     )
     return out.unionByName(summary)
+
+
+def bpref_metric(
+    run: DataFrame, qrels: DataFrame, key: str = "docid",
+    include_summary: bool = True,
+) -> DataFrame:
+    """bpref (Buckley & Voorhees, SIGIR 2004; trec_eval's m_bpref) per
+    query plus the 'all' mean row — the judged-only metric that stays
+    stable under INCOMPLETE judgments, which MAP is not:
+
+        bpref = 1/R * sum over retrieved RELEVANT docs of
+                1 - min(nonrel_above, R) / min(R, N)
+
+    where nonrel_above counts JUDGED-nonrelevant docs (qrels rel == 0)
+    ranked above the relevant doc, R = judged relevant, N = judged
+    nonrelevant (trec_eval's branch: divide by R when N > R, else by N).
+    Unjudged retrieved docs contribute nothing anywhere — the metric's
+    point. Queries with R == 0 are dropped (as trec_eval does); N == 0
+    makes every term 1 (no evidence against any hit). 6-dp rounding on
+    display, mean over UNROUNDED per-query values for 'all'.
+    """
+    labeled = qrels.select(
+        "query_id", key,
+        F.when(F.col("rel") > 0, 1).otherwise(0).alias("is_rel"),
+        F.when(F.col("rel") > 0, 0).otherwise(1).alias("is_jnr"),
+    )
+    counts = labeled.groupBy("query_id").agg(
+        F.sum("is_rel").cast("long").alias("num_rel"),
+        F.sum("is_jnr").cast("long").alias("num_jnr"),
+    ).filter(F.col("num_rel") > 0)
+    j = (
+        run.join(labeled, ["query_id", key], "left")
+        .withColumn("is_rel", F.coalesce("is_rel", F.lit(0)))
+        .withColumn("is_jnr", F.coalesce("is_jnr", F.lit(0)))
+        .join(F.broadcast(counts), "query_id")
+    )
+    above = Window.partitionBy("query_id").orderBy("rank") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    nr_above = F.coalesce(F.sum("is_jnr").over(above), F.lit(0)) \
+        .cast("double")
+    r = F.col("num_rel").cast("double")
+    n = F.col("num_jnr").cast("double")
+    term = F.when(F.col("num_jnr") == 0, F.lit(1.0)).otherwise(
+        F.when(n > r, 1.0 - F.least(nr_above, r) / r)
+        .otherwise(1.0 - nr_above / n)
+    )
+    per_q = (
+        j.withColumn("_term", F.when(F.col("is_rel") == 1, term))
+        .groupBy("query_id")
+        .agg(
+            F.first("num_rel").alias("num_rel"),
+            F.first("num_jnr").alias("num_jnr"),
+            (F.coalesce(F.sum("_term"), F.lit(0.0))
+             / F.first("num_rel").cast("double")).alias("_raw"),
+        )
+    )
+    out = per_q.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        "num_rel", "num_jnr", F.round("_raw", 6).alias("bpref"),
+    )
+    if not include_summary:
+        return out
+    summary = per_q.agg(
+        F.sum("num_rel").alias("num_rel"),
+        F.sum("num_jnr").alias("num_jnr"),
+        F.round(F.avg("_raw"), 6).alias("bpref"),
+    ).select(F.lit("all").alias("query_id"), "num_rel", "num_jnr", "bpref")
+    return out.unionByName(summary)

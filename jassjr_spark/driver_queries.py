@@ -561,6 +561,49 @@ WHERE NOT EXISTS (
 """
 
 
+MMR_LAMBDA, MMR_N, MMR_K = 0.7, 50, 5
+
+
+def q_sim_mmr_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank (operators/similarity.py:mmr_rerank): the
+    exact-cosine top-50 candidates of each query vector, greedily
+    re-selected for diversity (lambda=0.7) -> (query_id, vec_id, pick,
+    mmr). Rows-only driver check: greedy MMR is an ITERATIVE algorithm
+    (selection i depends on selections 1..i-1) outside single-statement
+    SQL; its math is pinned by the hand-computed pytest instead
+    (tests/test_hybrid.py::test_mmr_rerank)."""
+    from jassjr_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    emb = load_embeddings(spark, sf_dir)
+    queries = (
+        emb.filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("qvec_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    # phase 1 (distributed): exact top-N cosine candidates per query
+    top = cosine_topk(emb.select("vec_id", "embedding"), queries, k=MMR_N)
+    cand_ids = {
+        (r.qvec_id, r.vec_id) for r in top.select("qvec_id", "vec_id").collect()
+    }
+    vecs = {
+        r.vec_id: list(r.embedding)
+        for r in emb.filter(
+            F.col("vec_id").isin([v for _, v in cand_ids] + [0, 1])
+        ).collect()
+    }
+    # phase 2 (driver, bounded by N): greedy diverse selection
+    rows = []
+    for q in (0, 1):
+        cands = [(v, vecs[v]) for qq, v in sorted(cand_ids) if qq == q]
+        for pick, (vid, score) in enumerate(
+            mmr_rerank(cands, vecs[q], k=MMR_K, lam=MMR_LAMBDA), start=1
+        ):
+            rows.append((q, vid, pick, score))
+    return spark.createDataFrame(
+        rows, "query_id long, vec_id long, pick int, mmr double"
+    )
+
+
 RESCORE_N, RESCORE_K = 50, 10
 
 
@@ -4950,6 +4993,7 @@ def catalog() -> dict[str, tuple]:
         "sim_sq8_top5": (q_sim_sq8_top5, SQL_SIM_COSINE_TOP5),
         "sim_neardup_pairs": (q_sim_neardup_pairs, _sql_sim_neardup()),
         "sim_rescore_top10": (q_sim_rescore_top10, _sql_sim_rescore()),
+        "sim_mmr_top5": (q_sim_mmr_top5, None),   # iterative: rows-only
         "hybrid_rrf_top10": (q_hybrid_rrf_top10, _sql_hybrid_rrf()),
         "ev_windowed_counts": (q_ev_windowed_counts, SQL_EV_WINDOWED_COUNTS),
         "ev_user_sessions": (q_ev_user_sessions, SQL_EV_USER_SESSIONS),

@@ -242,3 +242,66 @@ def rescore_by_vector(
     else:
         out = index.docids.join(F.broadcast(ranked), "docid")
     return out.select("query_id", "docno", "rank", "cosine")
+
+
+def mmr_rerank(
+    candidates: list[tuple[int, list[float]]],
+    qvec: list[float],
+    k: int = 10,
+    lam: float = 0.7,
+) -> list[tuple[int, float]]:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998)
+    greedy selection -> [(vec_id, mmr_score), ...] in pick order:
+
+        pick argmax over remaining of
+            lam * cos(qvec, v) - (1 - lam) * max cos(v, s in selected)
+
+    (first pick: pure relevance). Diversity selection for result pages
+    and for training-data sampling (pick k diverse representatives of a
+    matched set). Deterministic: cosines are rounded to 6 dp before
+    every argmax and ties break vec_id ascending, so the SELECTION is
+    reproducible across hosts even where float sums differ in the ulp.
+
+    This is the driver-side stage of a two-phase plan: candidate
+    generation is distributed (search / rescore / ANN produce the
+    bounded candidate list); greedy MMR is inherently sequential
+    (selection i depends on 1..i-1) and O(k*n) on <= n collected rows —
+    the same shape every production MMR takes. ``candidates`` is
+    [(vec_id, embedding)], ``qvec`` the query vector."""
+    import math
+
+    def cos(a, b):
+        # sequential index-order fold — the same summation order as the
+        # engine's F.aggregate/zip_with cosine kernel
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    rel = {vid: cos(v, qvec) for vid, v in candidates}
+    vecs = dict(candidates)
+    remaining = sorted(vecs)
+    selected: list[tuple[int, float]] = []
+    max_sim: dict[int, float] = {vid: 0.0 for vid in remaining}
+    while remaining and len(selected) < k:
+        best, best_score = None, None
+        for vid in remaining:
+            if selected:
+                score = round(
+                    lam * rel[vid] - (1.0 - lam) * max_sim[vid], 6
+                )
+            else:
+                score = rel[vid]
+            if best_score is None or score > best_score:
+                best, best_score = vid, score
+        selected.append((best, best_score))
+        remaining.remove(best)
+        for vid in remaining:
+            s = cos(vecs[vid], vecs[best])
+            if s > max_sim[vid]:
+                max_sim[vid] = s
+    return selected

@@ -95,3 +95,28 @@ def test_rescore_by_vector(spark):
     # n=1 cuts phase 1 to the single best lexical candidate (d2: tf=2)
     one = rescore_by_vector(idx, q, vectors, qvecs, n=1, k=10).collect()
     assert [r.docno for r in one] == ["d2"]
+
+
+def test_mmr_rerank():
+    """Hand-verifiable greedy: with lambda=0.5, the second pick prefers
+    a moderately-relevant orthogonal vector over a near-duplicate of the
+    first pick; lambda=1 degenerates to pure relevance order."""
+    from jassjr_spark.operators.similarity import mmr_rerank
+
+    qvec = [1.0, 0.2]
+    cands = [
+        (1, [1.0, 0.19]),    # best relevance
+        (2, [1.0, 0.25]),    # near-duplicate of 1, second-best relevance
+        (3, [0.2, 1.0]),     # diverse, low relevance
+    ]
+    picks = mmr_rerank(cands, qvec, k=3, lam=0.5)
+    assert [v for v, _ in picks] == [1, 3, 2]
+    # pure-relevance degenerate
+    rel_only = mmr_rerank(cands, qvec, k=3, lam=1.0)
+    assert [v for v, _ in rel_only] == [1, 2, 3]
+    # first pick is pure relevance in both; k caps the pick set
+    assert picks[0][1] == rel_only[0][1]
+    assert len(mmr_rerank(cands, qvec, k=2, lam=0.5)) == 2
+    # tie-break: identical vectors pick the smaller vec_id first
+    tie = mmr_rerank([(9, [1.0, 0.0]), (4, [1.0, 0.0])], qvec, k=1)
+    assert tie[0][0] == 4

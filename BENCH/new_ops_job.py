@@ -36,7 +36,8 @@ ENTRIES = [
     "code_sortby_top10", "code_facet_stats", "code_cursor_top10",
     "code_histogram", "code_dismax_top10", "sim_rescore_top10",
     "ft_percolate", "ft_percolate_neg", "ft_stem_dictionary",
-    "ft_stem_search_top10", "ft_autocorrect_top10",
+    "ft_stem_search_top10", "ft_autocorrect_top10", "ft_bpref",
+    "sim_mmr_top5",
 ]
 
 

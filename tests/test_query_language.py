@@ -376,3 +376,41 @@ def test_malformed_operators_raise_loudly():
     # negative and scientific bounds are valid ranges now
     p = parse_user_query("delta:>=-5 size:<1e5 data")
     assert p.ranges == [("delta", ">=", -5.0), ("size", "<", 1e5)]
+
+
+def test_run_user_queries_property_mixed_operators(spark, engine):
+    """Property (seeded): for random mixes of every operator class the
+    batch front end equals per-line dispatch row-for-row."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jassjr_spark.operators.positional import build_positions
+    from jassjr_spark.operators.query_language import run_user_queries
+
+    docs, idx, meta = engine
+    pos = build_positions(docs.select("docid", "content")).cache()
+    line = st.sampled_from([
+        "apple banana", "banana^2 cherry", "+banana cherry",
+        "apple -cherry", "lang:py apple", "appl~ orange", "ban* apple",
+        "/gra.e/", '"apple banana"', "apple n_chars:>=19", "",
+    ])
+
+    @settings(max_examples=4, deadline=None, derandomize=True)
+    @given(st.lists(line, min_size=1, max_size=5))
+    def check(lines):
+        m = docs.select("docid", "lang",
+                        F.length("content").alias("n_chars"))
+        got = sorted(
+            (r.query_id, r.docno, r.rank, round(r.rsv, 6))
+            for r in run_user_queries(idx, lines, metadata=m,
+                                      positions=pos).collect()
+        )
+        want = sorted(
+            (qid, r.docno, r.rank, round(r.rsv, 6))
+            for qid, ln in enumerate(lines) if ln
+            for r in run_user_query(idx, ln, metadata=m, positions=pos,
+                                    query_id=qid).collect()
+        )
+        assert got == want
+
+    check()

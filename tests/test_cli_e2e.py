@@ -124,3 +124,47 @@ def test_cli_syntax_mode(spark, titles_index, tmp_path):
               for r in sorted(run_user_query(idx, "south^2 african", k=5)
                               .collect(), key=lambda r: r.rank)]
     assert got_i == want_i and got_i
+
+
+def test_cli_percolate_batch_and_stream(spark, tmp_path):
+    """percolate_job.py as a subprocess: batch one-shot and the
+    availableNow stream produce the same alert feed as the library."""
+    from jassjr_spark.operators.percolate import percolate
+
+    docs = spark.createDataFrame(
+        [(0, "d0", "alpha beta"), (1, "d1", "alpha"), (2, "d2", "beta")],
+        "docid long, docno string, content string",
+    )
+    stored = spark.createDataFrame(
+        [(1, "alpha", False), (1, "beta", True), (2, "beta", False)],
+        "query_id long, term string, negated boolean",
+    )
+    dpath, spath = str(tmp_path / "docs"), str(tmp_path / "stored")
+    docs.write.parquet(dpath)
+    stored.write.parquet(spath)
+    want = {(r.docid, r.query_id) for r in percolate(docs, stored).collect()}
+    assert want == {(1, 1), (0, 2), (2, 2)}
+
+    out1 = str(tmp_path / "alerts_batch")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jassjr_spark",
+                                      "percolate_job.py"),
+         "--stored", spath, "--docs", dpath, "--output", out1, "--batch"],
+        capture_output=True, text=True, cwd=REPO, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "percolated: 3 alerts" in r.stdout
+    got1 = {(x.docid, x.query_id) for x in spark.read.parquet(out1).collect()}
+    assert got1 == want
+
+    out2, ck = str(tmp_path / "alerts_stream"), str(tmp_path / "ck")
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jassjr_spark",
+                                      "percolate_job.py"),
+         "--stored", spath, "--docs", dpath, "--output", out2,
+         "--checkpoint", ck],
+        capture_output=True, text=True, cwd=REPO, timeout=420,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    got2 = {(x.docid, x.query_id) for x in spark.read.parquet(out2).collect()}
+    assert got2 == want

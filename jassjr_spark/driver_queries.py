@@ -4922,6 +4922,310 @@ FROM codedocs GROUP BY lang
 """
 
 
+
+# ------------------------------------------- pluggable similarities etc.
+
+
+LMD_MU = 2000.0
+MSM_MIN = 2
+ERR_K = 10
+RBP_P = 0.8
+
+
+def q_ft_lmd_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """LM-Dirichlet ranking (operators/scoring.py:lm_dirichlet_search)
+    of the flagship workload: query-likelihood with Dirichlet smoothing,
+    matched-only, NO idf elision and NO rsv>0 cut (scores are signed).
+    Rank over 4-dp-rounded scores, docid-desc ties — the repo's
+    cross-engine ranking discipline."""
+    from jassjr_spark.operators.scoring import lm_dirichlet_search
+
+    idx = corpus_index(spark, sf_dir)
+    ranked = lm_dirichlet_search(
+        idx, _bm25_queries_df(spark), mu=LMD_MU, k=k,
+        round_to=4, resolve=False,
+    )
+    return ranked.select(F.col("query_id").cast("long"), "docid",
+                         "rank", "rsv")
+
+
+def _sql_ft_lmd(k: int = 10, mu: float = LMD_MU) -> str:
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_values_queries()}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(1.0 + p.tf / ({mu} * d.cf / CAST(s.total_terms AS DOUBLE)))
+         + ln({mu} / (a.len + {mu})) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) + 0.0 AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc
+QUALIFY rank <= {k}
+"""
+
+
+def q_ft_tfidf_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Lucene-classic TF-IDF ranking (operators/scoring.py:tfidf_search)
+    of the flagship workload: sqrt(tf) * idf^2 / sqrt(dl),
+    idf = 1 + ln(N/(df+1)), rounded-rank discipline."""
+    from jassjr_spark.operators.scoring import tfidf_search
+
+    idx = corpus_index(spark, sf_dir)
+    ranked = tfidf_search(
+        idx, _bm25_queries_df(spark), k=k, round_to=4, resolve=False,
+    )
+    return ranked.select(F.col("query_id").cast("long"), "docid",
+                         "rank", "rsv")
+
+
+def _sql_ft_tfidf(k: int = 10) -> str:
+    idf = "(1.0 + ln(CAST((SELECT n FROM stats) AS DOUBLE) / (df + 1.0)))"
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_values_queries()}),
+wts AS (SELECT term, {idf} * {idf} AS w FROM dict),
+scored AS (
+  SELECT q.query_id, p.docid,
+         sqrt(CAST(p.tf AS DOUBLE)) * wts.w
+           / sqrt(CAST(a.len AS DOUBLE)) AS contrib
+  FROM queries q
+  JOIN wts USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) + 0.0 AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
+def q_ft_msm_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Minimum-should-match gating (operators/scoring.py:search_msm):
+    the flagship workload restricted to documents matching >= 2 distinct
+    scorable query terms, scored by the usual BM25 sum. Single-term and
+    OOV-heavy queries go empty — the gate is the point."""
+    from jassjr_spark.operators.scoring import search_msm
+
+    idx = corpus_index(spark, sf_dir)
+    ranked = search_msm(
+        idx, _bm25_queries_df(spark), MSM_MIN, k=k, round_to=4,
+        resolve=False,
+    )
+    return ranked.select(F.col("query_id").cast("long"), "docid",
+                         "rank", "rsv")
+
+
+def _sql_ft_msm(k: int = 10, m: int = MSM_MIN) -> str:
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_values_queries()}),
+scored AS (
+  SELECT q.query_id, p.docid, q.term,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) + 0.0 AS rsv
+  FROM scored GROUP BY query_id, docid
+  HAVING count(DISTINCT term) >= {m}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
+def q_ft_docboost_top10(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Static-prior fusion (operators/scoring.py:function_score): the
+    flagship BM25 scores multiplied by a per-document length prior
+    ln(1 + n_chars/1000) BEFORE ranking — the function_score/rank-feature
+    pattern (recency, pagerank, quality) every production engine ships."""
+    from jassjr_spark.operators.scoring import function_score
+
+    idx = corpus_index(spark, sf_dir)
+    boosts = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("long").alias("docid"),
+            F.log(F.lit(1.0) + F.col("n_chars") / F.lit(1000.0))
+            .alias("boost"),
+        )
+    )
+    ranked = function_score(
+        idx, _bm25_queries_df(spark), boosts, "multiply", k=k,
+        round_to=4, resolve=False,
+    )
+    return ranked.select(F.col("query_id").cast("long"), "docid",
+                         "rank", F.col("rsv").alias("rsv"))
+
+
+def _sql_ft_docboost(k: int = 10) -> str:
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_values_queries()}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, sum(contrib) AS rsv0
+  FROM scored GROUP BY query_id, docid
+),
+fused AS (
+  SELECT a.query_id, a.docid,
+         round(a.rsv0 * ln(1.0 + d.n_chars / 1000.0), 4) + 0.0 AS rsv
+  FROM acc a JOIN documents d ON a.docid = d.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM fused
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
+def _qrels_rel1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ft_trec_eval/ft_ndcg synthetic judgments: rel(q, d) iff
+    d % 13 == q % 13, binary, as (query_id, docid)."""
+    docs = load_documents(spark, sf_dir).select("docid")
+    qids = spark.createDataFrame(
+        [(qid,) for qid, _ in BM25_QUERIES], "query_id long"
+    )
+    return qids.crossJoin(docs).filter(
+        (F.col("docid") % 13) == (F.col("query_id") % 13)
+    )
+
+
+def q_ft_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERR@10 (operators/tooling.py:err_metric) of the flagship k=1000
+    run against the ft_ndcg judgments — the cascade-model metric."""
+    from jassjr_spark.operators.tooling import err_metric
+
+    run = q_ft_bm25_top10(spark, sf_dir, k=1000)
+    return err_metric(run, _qrels_rel1(spark, sf_dir), k=ERR_K, key="docid")
+
+
+def q_ft_rbp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBP(p=0.8) (operators/tooling.py:rbp_metric) of the flagship
+    k=1000 run against the ft_ndcg judgments."""
+    from jassjr_spark.operators.tooling import rbp_metric
+
+    run = q_ft_bm25_top10(spark, sf_dir, k=1000)
+    return rbp_metric(run, _qrels_rel1(spark, sf_dir), p=RBP_P, key="docid")
+
+
+def _sql_run_and_qrels(depth: int = 1000) -> str:
+    """The shared (bm25 CTEs + run + qrels) prefix for rank metrics,
+    lifted from _sql_ft_ndcg's construction."""
+    bm25 = _sql_ft_bm25(depth).strip()
+    assert bm25.startswith("WITH ")
+    prefix = bm25[:bm25.rindex("SELECT CAST(query_id AS BIGINT)")]
+    return f"""{prefix},
+run AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank
+  FROM acc
+  WHERE rsv > 0
+  QUALIFY rank <= {depth}
+),
+qrels AS (
+  SELECT q.query_id, d.doc_id AS docid
+  FROM (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id FROM queries) q
+  CROSS JOIN documents d
+  WHERE d.doc_id % 13 = q.query_id % 13
+)"""
+
+
+def _sql_ft_err(k: int = ERR_K) -> str:
+    return f"""{_sql_run_and_qrels()},
+hits AS (
+  SELECT r.query_id, r.rank
+  FROM run r JOIN qrels USING (query_id, docid)
+  WHERE r.rank <= {k}
+),
+terms AS (
+  SELECT query_id,
+         (0.5 / CAST(rank AS DOUBLE))
+           * power(0.5, CAST(count(*) OVER (
+               PARTITION BY query_id ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS DOUBLE)) AS t
+  FROM hits
+),
+perq0 AS (SELECT query_id, sum(t) AS raw FROM terms GROUP BY query_id),
+perq AS (
+  SELECT q.query_id, COALESCE(p.raw, 0.0) AS raw
+  FROM (SELECT DISTINCT query_id FROM qrels) q
+  LEFT JOIN perq0 p USING (query_id)
+)
+SELECT CAST(query_id AS VARCHAR) AS query_id, round(raw, 4) AS err FROM perq
+UNION ALL
+SELECT 'all', round(avg(raw), 4) FROM perq
+"""
+
+
+def _sql_ft_rbp(p: float = RBP_P) -> str:
+    return f"""{_sql_run_and_qrels()},
+hits AS (
+  SELECT r.query_id, r.rank
+  FROM run r JOIN qrels USING (query_id, docid)
+),
+perq0 AS (
+  SELECT query_id,
+         (1.0 - {p}) * sum(power({p}, CAST(rank AS DOUBLE) - 1.0)) AS raw
+  FROM hits GROUP BY query_id
+),
+perq AS (
+  SELECT q.query_id, COALESCE(p0.raw, 0.0) AS raw
+  FROM (SELECT DISTINCT query_id FROM qrels) q
+  LEFT JOIN perq0 p0 USING (query_id)
+)
+SELECT CAST(query_id AS VARCHAR) AS query_id, round(raw, 4) AS rbp FROM perq
+UNION ALL
+SELECT 'all', round(avg(raw), 4) FROM perq
+"""
+
+
 # ----------------------------------------------------------------- catalog
 
 
@@ -4969,6 +5273,12 @@ def catalog() -> dict[str, tuple]:
         "ft_trec_eval": (q_ft_trec_eval, _sql_trec_eval()),
         "ft_ndcg": (q_ft_ndcg, _sql_ft_ndcg()),
         "ft_bpref": (q_ft_bpref, _sql_ft_bpref()),
+        "ft_lmd_top10": (q_ft_lmd_top10, _sql_ft_lmd()),
+        "ft_tfidf_top10": (q_ft_tfidf_top10, _sql_ft_tfidf()),
+        "ft_msm_top10": (q_ft_msm_top10, _sql_ft_msm()),
+        "ft_docboost_top10": (q_ft_docboost_top10, _sql_ft_docboost()),
+        "ft_err": (q_ft_err, _sql_ft_err()),
+        "ft_rbp": (q_ft_rbp, _sql_ft_rbp()),
         "mm_frame_sample": (q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_fingerprints": (q_dedup_fingerprints, SQL_DEDUP_FINGERPRINTS),

@@ -448,3 +448,87 @@ def bpref_metric(
         F.round(F.avg("_raw"), 6).alias("bpref"),
     ).select(F.lit("all").alias("query_id"), "num_rel", "num_jnr", "bpref")
     return out.unionByName(summary)
+
+
+def err_metric(
+    run: DataFrame, qrels: DataFrame, k: int = 10, key: str = "docid",
+    include_summary: bool = True,
+) -> DataFrame:
+    """Expected Reciprocal Rank at k (Chapelle et al., CIKM 2009) with
+    binary relevance, per query plus the 'all' mean row:
+
+        ERR@k = sum_{r=1..k} (R_r / r) * prod_{i<r} (1 - R_i),
+        R = (2^rel - 1) / 2^max_grade  ->  0.5 for rel=1, 0 otherwise.
+
+    With binary grades the cascade product telescopes to
+    0.5^(#relevant ranked above r), so the whole metric is one window
+    count over the run — no per-rank recursion. Queries with no judged
+    relevant doc are dropped (same convention as ndcg_at); 0.5^n and the
+    1/r divisions are IEEE-exact, 4-dp rounding absorbs sum order.
+    """
+    rel = qrels.filter(F.col("rel") > 0).select("query_id", key) \
+        if "rel" in qrels.columns else qrels.select("query_id", key)
+    hits = (
+        run.filter(F.col("rank") <= k)
+        .join(rel, ["query_id", key])
+    )
+    above = Window.partitionBy("query_id").orderBy("rank") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    n_above = F.coalesce(F.count(F.lit(1)).over(above), F.lit(0))
+    term = (F.lit(0.5) / F.col("rank").cast("double")) \
+        * F.pow(F.lit(0.5), n_above.cast("double"))
+    per_q_hits = hits.withColumn("_t", term).groupBy("query_id") \
+        .agg(F.sum("_t").alias("_raw"))
+    judged = rel.select("query_id").distinct()
+    per_q = judged.join(per_q_hits, "query_id", "left") \
+        .withColumn("_raw", F.coalesce("_raw", F.lit(0.0)))
+    out = per_q.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.round("_raw", 4).alias("err"),
+    )
+    if not include_summary:
+        return out
+    summary = per_q.agg(F.round(F.avg("_raw"), 4).alias("err")).select(
+        F.lit("all").alias("query_id"), "err"
+    )
+    return out.unionByName(summary)
+
+
+def rbp_metric(
+    run: DataFrame, qrels: DataFrame, p: float = 0.8, key: str = "docid",
+    include_summary: bool = True,
+) -> DataFrame:
+    """Rank-Biased Precision (Moffat & Zobel, TOIS 2008) with binary
+    relevance, per query plus the 'all' mean row:
+
+        RBP(p) = (1 - p) * sum_r rel_r * p^(r-1)
+
+    — the user inspects rank r with probability p^(r-1); p=0.8 models a
+    patient-ish user (expected viewing depth 1/(1-p) = 5). Evaluated
+    over the full run depth (RBP needs no cutoff: the geometric weights
+    bound the tail — the residual (uncertainty from unretrieved docs) is
+    p^depth). Queries with no judged relevant doc are dropped; 4-dp
+    rounding absorbs cross-engine pow/sum variation.
+    """
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    rel = qrels.filter(F.col("rel") > 0).select("query_id", key) \
+        if "rel" in qrels.columns else qrels.select("query_id", key)
+    hits = run.join(rel, ["query_id", key])
+    w = F.pow(F.lit(p), F.col("rank").cast("double") - F.lit(1.0))
+    per_q_hits = hits.withColumn("_w", w).groupBy("query_id").agg(
+        (F.lit(1.0 - p) * F.sum("_w")).alias("_raw")
+    )
+    judged = rel.select("query_id").distinct()
+    per_q = judged.join(per_q_hits, "query_id", "left") \
+        .withColumn("_raw", F.coalesce("_raw", F.lit(0.0)))
+    out = per_q.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.round("_raw", 4).alias("rbp"),
+    )
+    if not include_summary:
+        return out
+    summary = per_q.agg(F.round(F.avg("_raw"), 4).alias("rbp")).select(
+        F.lit("all").alias("query_id"), "rbp"
+    )
+    return out.unionByName(summary)

@@ -2900,6 +2900,60 @@ SELECT docid, CAST(len AS BIGINT) AS len FROM alldl WHERE docid % 20 <> 3
 """
 
 
+def q_snap_as_of_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot read end-to-end through the persisted LSM
+    store (sources/index_store.read_index(as_of=)): build a two-epoch
+    store once (memoized) — epoch 1 = even doc_ids, then a tombstone
+    delete of doc_id % 10 == 4 stamped at epoch 1, then epoch 2 = odd
+    doc_ids — and return (docno, len) of the EPOCH-1 snapshot: the even
+    documents minus the deletes stamped <= 1, with epoch-2 docs
+    invisible. The oracle applies the same filters to its recompute.
+    Compaction-floor refusal and multi-epoch histories are covered in
+    tests/test_as_of.py."""
+    import hashlib as _h
+    import tempfile
+
+    from jassjr_spark.sources.index_store import read_index, write_meta
+    from jassjr_spark.streaming.incremental import (
+        append_documents, delete_documents, refresh_derived,
+    )
+
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/jassjr_asof_store_{tag}"
+    skey = (spark.sparkContext.applicationId, sf_dir, "asof_store")
+    if _INDEX_MEMO.get(skey) != path:
+        docs = load_documents(spark, sf_dir)
+        write_meta(spark, path, 8)
+        append_documents(
+            spark, docs.filter(F.col("docid") % 2 == 0)
+            .select("docno", "content"),
+            path, prepend_docno=False, n_buckets=8, epoch_id=1,
+        )
+        victims = [
+            r.docno for r in docs.filter(F.col("docid") % 10 == 4)
+            .select("docno").collect()
+        ]
+        delete_documents(spark, path, victims)       # tomb_epoch = 1
+        append_documents(
+            spark, docs.filter(F.col("docid") % 2 == 1)
+            .select("docno", "content"),
+            path, prepend_docno=False, n_buckets=8, epoch_id=2,
+        )
+        refresh_derived(spark, path)
+        _INDEX_MEMO[skey] = path
+    snap = read_index(spark, path, as_of=1)
+    return snap.doc_lengths.join(snap.docids, "docid").select(
+        "docno", F.col("len").cast("long").alias("len")
+    )
+
+
+SQL_SNAP_AS_OF_LENGTHS = f"""{_INDEX_CTES}
+SELECT CAST(docid AS VARCHAR) AS docno, CAST(len AS BIGINT) AS len
+FROM alldl
+WHERE docid % 2 = 0 AND docid % 10 <> 4
+"""
+
+
 # -------------------------------------------------------- event-time queries
 
 
@@ -3046,6 +3100,117 @@ SELECT query_id, docid,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY rrf DESC, docid DESC) AS BIGINT) AS rank,
        rrf
+FROM fused
+QUALIFY rank <= {k}
+"""
+
+
+def q_hybrid_linear_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by weighted-sum fusion (operators/hybrid.py:
+    linear_fuse): min-max-normalize the BM25 top-50 (rounded rsv) and
+    the exact-cosine top-50 (rounded cosine) per query, fuse at
+    0.6*lex + 0.4*vec. The fused double is an IEEE-exact chain over
+    already-rounded inputs, so it hash-matches the SQL oracle without
+    further rounding — same determinism contract as hybrid_rrf_top10."""
+    from jassjr_spark.operators.hybrid import linear_fuse
+
+    qids = [qid for qid, _ in BM25_QUERIES]
+    lex = q_ft_bm25_top10(spark, sf_dir, k=50).select(
+        "query_id", "docid", F.col("rsv").alias("score")
+    )
+    emb = load_embeddings(spark, sf_dir)
+    queries = (
+        emb.filter(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("qvec_id"),
+                F.col("embedding").alias("qvec"))
+    )
+    vec = (
+        similarity.cosine_topk(emb.select("vec_id", "embedding"), queries,
+                               k=50)
+        .select(F.col("qvec_id").alias("query_id"),
+                F.col("vec_id").alias("docid"),
+                F.col("cosine").alias("score"))
+    )
+    return linear_fuse([lex, vec], k=10, weights=[0.6, 0.4])
+
+
+def _sql_hybrid_linear(k: int = 10) -> str:
+    qids = ", ".join(str(qid) for qid, _ in BM25_QUERIES)
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_values_queries()}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+),
+lex AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, docid, rsv,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank
+  FROM acc WHERE rsv > 0
+  QUALIFY rank <= 50
+),
+lexn AS (
+  SELECT query_id, docid,
+         CASE WHEN max(rsv) OVER w = min(rsv) OVER w THEN 1.0
+              ELSE (rsv - min(rsv) OVER w)
+                   / (max(rsv) OVER w - min(rsv) OVER w) END AS n0
+  FROM lex WINDOW w AS (PARTITION BY query_id)
+),
+qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id IN ({qids})
+),
+vscored AS (
+  SELECT qv.query_id, e.vec_id AS docid,
+         round(list_dot_product(qv.qvec, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qv.qvec, qv.qvec))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 6) AS cosine
+  FROM qv CROSS JOIN embeddings e
+  WHERE e.vec_id <> qv.query_id
+),
+vec AS (
+  SELECT query_id, docid, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, docid ASC) AS BIGINT) AS rank
+  FROM vscored
+  QUALIFY rank <= 50
+),
+vecn AS (
+  SELECT query_id, docid,
+         CASE WHEN max(cosine) OVER w = min(cosine) OVER w THEN 1.0
+              ELSE (cosine - min(cosine) OVER w)
+                   / (max(cosine) OVER w - min(cosine) OVER w) END AS n1
+  FROM vec WINDOW w AS (PARTITION BY query_id)
+),
+ids AS (
+  SELECT query_id, docid FROM lexn
+  UNION
+  SELECT query_id, docid FROM vecn
+),
+fused AS (
+  SELECT i.query_id, i.docid,
+         0.6 * COALESCE(l.n0, 0.0) + 0.4 * COALESCE(v.n1, 0.0) AS fused
+  FROM ids i
+  LEFT JOIN lexn l ON l.query_id = i.query_id AND l.docid = i.docid
+  LEFT JOIN vecn v ON v.query_id = i.query_id AND v.docid = i.docid
+)
+SELECT query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY fused DESC, docid DESC) AS BIGINT) AS rank,
+       fused
 FROM fused
 QUALIFY rank <= {k}
 """
@@ -4754,6 +4919,43 @@ GROUP BY m.query_id, c.lang
 """
 
 
+def q_code_facet_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles facet (operators/search.py:facet_percentiles): per
+    (query, lang), exact interpolated p50/p90 file size over the
+    matching set — PERCENTILE_CONT semantics on both engines."""
+    from jassjr_spark.operators.search import facet_percentiles
+
+    idx = code_index(spark, sf_dir)
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    langs = code_documents(_code_corpus(spark, sf_dir)).select("docid", "lang")
+    sizes = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("docid"), F.col("n_chars")
+    )
+    facets = langs.join(sizes, "docid").select(
+        "docid", F.col("lang").alias("facet"), F.col("n_chars").alias("val")
+    )
+    return facet_percentiles(idx, _code_queries_df(spark), facets).select(
+        F.col("query_id").cast("long"), "facet", "n_docs", "p_50", "p_90",
+    )
+
+
+def _sql_code_facet_percentiles() -> str:
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+queries(query_id, pos, term) AS (VALUES {_sql_code_queries_values()}),
+{_SQL_MATCHED_CTE.lstrip()}
+SELECT CAST(m.query_id AS BIGINT) AS query_id, c.lang AS facet,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(CAST(d2.n_chars AS DOUBLE), 0.5), 6) AS p_50,
+       round(quantile_cont(CAST(d2.n_chars AS DOUBLE), 0.9), 6) AS p_90
+FROM matched m
+JOIN codedocs c USING (docid)
+JOIN documents d2 ON d2.doc_id = m.docid
+GROUP BY m.query_id, c.lang
+"""
+
+
 def q_code_cursor_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Cursor pagination (operators/search.py:search_after): page 2 as
     "strictly below the (rsv, docid) cursor of page 1's last row", ranked
@@ -5235,6 +5437,8 @@ def catalog() -> dict[str, tuple]:
         "ft_doc_lengths": (q_ft_doc_lengths, SQL_FT_DOC_LENGTHS),
         "del_masked_doc_lengths": (q_del_masked_doc_lengths,
                                    SQL_DEL_MASKED_DOC_LENGTHS),
+        "snap_as_of_lengths": (q_snap_as_of_lengths,
+                               SQL_SNAP_AS_OF_LENGTHS),
         "ft_dictionary": (q_ft_dictionary, SQL_FT_DICTIONARY),
         "ft_index_stats": (q_ft_index_stats, SQL_FT_INDEX_STATS),
         "ft_postings": (q_ft_postings, SQL_FT_POSTINGS),
@@ -5305,6 +5509,8 @@ def catalog() -> dict[str, tuple]:
         "sim_rescore_top10": (q_sim_rescore_top10, _sql_sim_rescore()),
         "sim_mmr_top5": (q_sim_mmr_top5, None),   # iterative: rows-only
         "hybrid_rrf_top10": (q_hybrid_rrf_top10, _sql_hybrid_rrf()),
+        "hybrid_linear_top10": (q_hybrid_linear_top10,
+                                _sql_hybrid_linear()),
         "ev_windowed_counts": (q_ev_windowed_counts, SQL_EV_WINDOWED_COUNTS),
         "ev_user_sessions": (q_ev_user_sessions, SQL_EV_USER_SESSIONS),
         "code_sha_invariant": (q_code_sha_invariant, _sql_code_sha()),
@@ -5332,6 +5538,8 @@ def catalog() -> dict[str, tuple]:
         "code_hit_counts": (q_code_hit_counts, _sql_code_hit_counts()),
         "code_sortby_top10": (q_code_sortby_top10, _sql_code_sortby()),
         "code_facet_stats": (q_code_facet_stats, _sql_code_facet_stats()),
+        "code_facet_percentiles": (q_code_facet_percentiles,
+                                   _sql_code_facet_percentiles()),
         "code_cursor_top10": (q_code_cursor_top10, _sql_code_cursor()),
         "code_histogram": (q_code_histogram, _sql_code_histogram()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),

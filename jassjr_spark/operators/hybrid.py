@@ -72,3 +72,67 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank", "rrf")
     )
+
+
+def linear_fuse(
+    runs: list[DataFrame],
+    k: int = 10,
+    weights: list[float] | None = None,
+    id_col: str = "docid",
+    score_col: str = "score",
+) -> DataFrame:
+    """Weighted-sum fusion with per-query min-max normalization — the
+    other standard hybrid combiner (the convex-combination baseline of
+    Bruch et al., "An Analysis of Fusion Functions for Hybrid Retrieval",
+    TOIS 2023): each run's scores are rescaled to [0, 1] WITHIN the
+    query,
+
+        norm(s) = (s - min_q) / (max_q - min_q)    (1.0 when max == min)
+
+    and fused = Σ_runs w_run * norm_run(d), absent-from-run = 0 (RRF's
+    convention). Unlike RRF it uses score MAGNITUDES, so a dominant
+    top-1 in one run can outrank unanimous mid-ranks in the other.
+
+    Each ``runs[i]`` is (query_id, <id_col>, <score_col>). Determinism
+    contract (same as rrf_fuse): min/max/subtract/divide/multiply and a
+    fixed-order two-operand addition chain are all IEEE-exact, so the
+    fused double is bit-identical across engines given identical input
+    scores — no rounding needed. Scale shape: runs are top-k-sized, the
+    min/max aggregate and the fuse joins are a few MB per query batch.
+    """
+    if not runs:
+        raise ValueError("linear_fuse needs at least one run")
+    if weights is None:
+        weights = [1.0] * len(runs)
+    if len(weights) != len(runs):
+        raise ValueError("one weight per run")
+
+    base: DataFrame | None = None
+    for i, r in enumerate(runs):
+        s = F.col(score_col)
+        mm = r.groupBy("query_id").agg(
+            F.min(s).alias("_mn"), F.max(s).alias("_mx")
+        )
+        norm = F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0)).otherwise(
+            (s - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+        )
+        r = (
+            r.join(mm, "query_id")
+            .select("query_id", id_col, norm.alias(f"_n_{i}"))
+        )
+        base = r if base is None else base.join(
+            r, ["query_id", id_col], "full_outer"
+        )
+    expr = None
+    for i, w in enumerate(weights):
+        term = F.lit(float(w)) * F.coalesce(F.col(f"_n_{i}"), F.lit(0.0))
+        expr = term if expr is None else expr + term
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("fused").desc(), F.col(id_col).desc()
+    )
+    return (
+        base.withColumn("fused", expr)
+        .withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "fused")
+    )

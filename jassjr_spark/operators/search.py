@@ -665,6 +665,44 @@ def facet_stats(
     )
 
 
+def facet_percentiles(
+    index: Index, queries: DataFrame, facets: DataFrame,
+    percentiles: tuple[float, ...] = (0.5, 0.9),
+    stats: dict | None = None,
+) -> DataFrame:
+    """Percentiles facet (the ES percentiles aggregation): per (query,
+    facet value), EXACT linear-interpolated percentiles of a numeric
+    field over the matching documents -> (query_id, facet, n_docs,
+    p_50, p_90, ...). Uses ``F.percentile`` — SQL PERCENTILE_CONT
+    semantics, so the numbers mean the same thing in every engine;
+    6-dp rounding absorbs interpolation-arithmetic ulps.
+
+    Exact percentiles sort values WITHIN each (query, facet) group —
+    fine while groups fit a task (facet cardinality x match count
+    bounded). At unbounded group sizes switch the expression to
+    ``F.percentile_approx`` (t-digest sketch, mergeable map-side):
+    same plan shape, sketch instead of sort; not cross-engine
+    hashable, which is why the oracled surface uses the exact form.
+    """
+    s = stats or index.scalar_stats()
+    f = facets.select(
+        F.col("docid").cast("long").alias("docid"), "facet",
+        F.col("val").cast("double").alias("val"),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for q in percentiles:
+        aggs.append(
+            F.round(F.percentile("val", F.lit(float(q))), 6)
+            .alias(f"p_{round(q * 100)}")
+        )
+    return (
+        _matched_docids(index, queries, s)
+        .join(f, "docid")
+        .groupBy("query_id", "facet")
+        .agg(*aggs)
+    )
+
+
 def search_after(
     index: Index, queries: DataFrame, k: int = TOP_K,
     after: dict[int, tuple[float, int]] | None = None,

@@ -174,7 +174,8 @@ def masked_docid_set(spark: SparkSession, path: str) -> DataFrame | None:
     return hit.select("docid").distinct()
 
 
-def read_index(spark: SparkSession, path: str) -> Index:
+def read_index(spark: SparkSession, path: str,
+               as_of: int | None = None) -> Index:
     """Load the persisted index; when delete tombstones are pending the
     row tables come back masked (docid anti-join against the resolved
     masked set — per-doc BM25 independence means surviving docs' scores
@@ -182,8 +183,24 @@ def read_index(spark: SparkSession, path: str) -> Index:
     docs keep counting toward df/N/avgdl until a compaction physically
     purges them — the documented deleted-docs-in-stats staleness every
     segmented search engine accepts between delete and merge. The masked
-    set is deletes-sized, so AQE broadcasts the anti-joins at scale."""
+    set is deletes-sized, so AQE broadcasts the anti-joins at scale.
+
+    ``as_of=E`` time-travels: the LOGICAL snapshot at epoch E — exactly
+    the documents appended at epochs <= E and not tombstoned by deletes
+    issued at or before E (an Iceberg-style snapshot read over the LSM
+    epoch layout). Epoch-partition pruning does the filtering; the
+    dictionary/stats are recomputed over the snapshot's live rows (so,
+    unlike a physical reader at the time, the snapshot never carries the
+    pre-compaction stats staleness — it is the index as if built from
+    the then-live documents). Compaction is snapshot expiry: epochs at
+    or below a merged run's label — and, for purging merges, below the
+    purged tombstones' horizon — are gone (streaming.incremental.
+    snapshot_floor); reads below the floor raise rather than silently
+    serving a partial snapshot.
+    """
     meta = read_meta(spark, path)
+    if as_of is not None:
+        return _read_index_as_of(spark, path, meta, as_of)
     postings = spark.read.parquet(f"{path}/postings")
     doc_lengths = spark.read.parquet(f"{path}/doc_lengths")
     docids = spark.read.parquet(f"{path}/docids")
@@ -198,6 +215,66 @@ def read_index(spark: SparkSession, path: str) -> Index:
         doc_lengths=doc_lengths,
         docids=docids,
         stats=spark.read.parquet(f"{path}/stats"),
+        n_buckets=meta["n_buckets"],
+    )
+
+
+def _read_index_as_of(
+    spark: SparkSession, path: str, meta: dict, as_of: int,
+) -> Index:
+    """The as-of snapshot assembly behind read_index(as_of=): epoch-cut
+    segment tables, epoch-cut tombstone mask, recomputed dictionary/stats.
+    The epoch cut is a partition-directory prune (epoch is a partition
+    column), so the scan reads only the snapshot's segments."""
+    from jassjr_spark.streaming.incremental import snapshot_floor
+
+    postings = spark.read.parquet(f"{path}/postings")
+    if "epoch" not in postings.columns:
+        raise ValueError(
+            f"index at {path!r} is not epoch-segmented (batch write_index "
+            "layout) — as_of reads need the streaming append layout"
+        )
+    floor = snapshot_floor(spark, path)
+    if floor is not None and as_of < floor:
+        raise ValueError(
+            f"snapshot at epoch {as_of} is no longer reconstructable: "
+            f"compaction folded history up to epoch {floor} (the "
+            "expire-snapshots tradeoff) — oldest readable snapshot is "
+            f"{floor}"
+        )
+    cut = F.col("epoch") <= as_of
+    postings = postings.filter(cut).drop("epoch")
+    doc_lengths = spark.read.parquet(f"{path}/doc_lengths").filter(cut) \
+        .drop("epoch")
+    docids_e = spark.read.parquet(f"{path}/docids").filter(cut)
+
+    tombs = tombstones_df(spark, path)
+    if tombs is not None:
+        tombs = tombs.filter(F.col("tomb_epoch") <= as_of)
+        cond = (docids_e["docno"] == tombs["docno"]) & (
+            docids_e["epoch"] <= tombs["tomb_epoch"]
+        )
+        masked = docids_e.join(tombs, cond, "left_semi") \
+            .select("docid").distinct()
+        postings = postings.join(masked, "docid", "left_anti")
+        doc_lengths = doc_lengths.join(masked, "docid", "left_anti")
+        docids_e = docids_e.join(masked, "docid", "left_anti")
+
+    dictionary = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    stats = doc_lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+        F.sum("len").cast("long").alias("total_terms"),
+    ).crossJoin(dictionary.agg(F.count(F.lit(1)).alias("vocab_size")))
+    return Index(
+        postings=postings,
+        dictionary=dictionary,
+        doc_lengths=doc_lengths,
+        docids=docids_e.drop("epoch"),
+        stats=stats,
         n_buckets=meta["n_buckets"],
     )
 

@@ -399,6 +399,27 @@ def _write_refresh_marker(spark: SparkSession, path: str, epoch_id: int) -> None
     ).parquet(f"{path}/_refreshed")
 
 
+def snapshot_floor(spark: SparkSession, path: str) -> int | None:
+    """The oldest epoch whose as-of snapshot is still reconstructable
+    (``{path}/_snapshot_floor``, advanced by compact_segments), or None
+    when the store has never compacted — every epoch readable. Stores
+    compacted by builds predating this marker have no floor recorded;
+    their pre-compaction snapshots would read silently incomplete, so
+    time-travel there is only sound from the store's current max epoch."""
+    try:
+        return spark.read.parquet(f"{path}/_snapshot_floor").agg(
+            F.max("epoch_id")
+        ).first()[0]
+    except Exception:
+        return None
+
+
+def _write_floor_marker(spark: SparkSession, path: str, epoch_id: int) -> None:
+    spark.createDataFrame([(epoch_id,)], "epoch_id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{path}/_snapshot_floor")
+
+
 def start_indexing_stream(
     spark: SparkSession,
     stream: DataFrame,
@@ -660,6 +681,20 @@ def compact_segments(
                 .parquet(f"{path}/_purge_delta_tmp")
             )
 
+    # Snapshot floor (time-travel contract, index_store.read_index as_of=):
+    # this merge folds epochs [lo, hi] into one dir, and a purging merge
+    # additionally destroys rows that were still VISIBLE at epochs up to
+    # the purged tombstones' horizon — so record the first epoch whose
+    # snapshot remains reconstructable. Written BEFORE the first
+    # destructive swap: a crash in between leaves the floor conservatively
+    # high (a reconstructable snapshot may be refused; never the reverse).
+    floor = hi
+    if purge is not None:
+        mt = tombs.agg(F.max("tomb_epoch")).first()[0]
+        if mt is not None:
+            floor = max(floor, int(mt))
+    _write_floor_marker(spark, path, floor)
+
     for t in _SEGMENT_TABLES:
         tpath = f"{path}/{t}"
         tmp = f"{tpath}/_compact_tmp_{lo}_{hi}"
@@ -693,6 +728,7 @@ def compact_segments(
         _apply_purge_and_gc(spark, path, purged=purge is not None)
     _compact_marker_table(spark, f"{path}/_watermark")
     _compact_marker_table(spark, f"{path}/_refreshed")
+    _compact_marker_table(spark, f"{path}/_snapshot_floor")
     _refresh_reader_caches(spark, path)
     return len(run)
 

@@ -120,3 +120,78 @@ def test_mmr_rerank():
     # tie-break: identical vectors pick the smaller vec_id first
     tie = mmr_rerank([(9, [1.0, 0.0]), (4, [1.0, 0.0])], qvec, k=1)
     assert tie[0][0] == 4
+
+
+def _srun(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, docid long, score double"
+    )
+
+
+def test_linear_fuse_hand_computed(spark):
+    from jassjr_spark.operators.hybrid import linear_fuse
+
+    # run A scores: d1=10, d2=6, d3=2 -> norms 1.0, 0.5, 0.0
+    a = _srun(spark, [(1, 10, 10.0), (1, 20, 6.0), (1, 30, 2.0)])
+    # run B scores: d2=0.9, d4=0.1 -> norms 1.0, 0.0
+    b = _srun(spark, [(1, 20, 0.9), (1, 40, 0.1)])
+    got = {r.docid: (r.rank, r.fused)
+           for r in linear_fuse([a, b], k=10,
+                                weights=[0.6, 0.4]).collect()}
+    assert got[20] == (1, 0.6 * 0.5 + 0.4 * 1.0)   # mid lex + top vec
+    assert got[10] == (2, 0.6 * 1.0)
+    assert got[30][1] == 0.0 and got[40][1] == 0.0
+    # zero-fused ties break docid-desc
+    assert got[40][0] == 3 and got[30][0] == 4
+
+
+def test_linear_fuse_degenerate_run_normalizes_to_one(spark):
+    from jassjr_spark.operators.hybrid import linear_fuse
+
+    # single-result run (max == min): its doc gets norm 1.0, not NaN
+    a = _srun(spark, [(1, 10, 5.0)])
+    b = _srun(spark, [(1, 10, 0.3), (1, 20, 0.1)])
+    got = {r.docid: r.fused for r in linear_fuse([a, b], k=10).collect()}
+    assert got[10] == 1.0 + 1.0
+    assert got[20] == 0.0
+
+
+def test_linear_fuse_scale_invariance(spark):
+    """Min-max normalization makes the fusion invariant to affine
+    rescaling of either run's scores — the property that motivates it
+    over raw-score addition."""
+    from jassjr_spark.operators.hybrid import linear_fuse
+
+    a1 = _srun(spark, [(1, 10, 10.0), (1, 20, 6.0), (1, 30, 2.0)])
+    a2 = _srun(spark, [(1, 10, 1000.0), (1, 20, 600.0), (1, 30, 200.0)])
+    b = _srun(spark, [(1, 20, 0.9), (1, 40, 0.1)])
+    r1 = [(r.docid, r.rank, r.fused)
+          for r in linear_fuse([a1, b], k=10).orderBy("rank").collect()]
+    r2 = [(r.docid, r.rank, r.fused)
+          for r in linear_fuse([a2, b], k=10).orderBy("rank").collect()]
+    assert r1 == r2
+
+
+def test_facet_percentiles_hand_computed(spark):
+    """Exact interpolated percentiles over the match set, per facet."""
+    from jassjr_spark.operators.index_build import build_index
+    from jassjr_spark.operators.search import facet_percentiles, parse_queries
+
+    docs = [("a", "alpha x"), ("b", "alpha y"), ("c", "alpha z"),
+            ("d", "alpha w"), ("e", "beta only")]
+    sdf = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(docs)],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(sdf, prepend_docno=False).cache()
+    facets = spark.createDataFrame(
+        [(0, "py", 10.0), (1, "py", 20.0), (2, "py", 30.0),
+         (3, "go", 100.0), (4, "py", 999.0)],  # doc 4 never matches
+        "docid long, facet string, val double",
+    )
+    q = parse_queries(spark, ["1 alpha"])
+    got = {r.facet: (r.n_docs, r.p_50, r.p_90)
+           for r in facet_percentiles(idx, q, facets).collect()}
+    # py match vals [10, 20, 30]: p50 = 20, p90 = 28 (interpolated)
+    assert got["py"] == (3, 20.0, 28.0)
+    assert got["go"] == (1, 100.0, 100.0)

@@ -154,6 +154,31 @@ def main() -> None:
         got_set = {(r.qvec_id, r.vec_id) for r in got}
         out[f"sq8_rerank{rerank}_recall_at_10"] = round(
             len(got_set & exact_set) / len(exact_set), 3)
+
+    # PQ two-phase probe: m=8 one-byte codes (32x compression), LUT ADC
+    # phase-1 + full-precision rerank
+    from jassjr_spark.sources.vector_store import (
+        pq_topk_persisted, write_pq_store,
+    )
+
+    # n_clusters ~ sqrt(N): residual codes resolve only WITHIN-list
+    # geometry, so the coarse quantizer must be finer than the corpus's
+    # natural modes (512 here) — see write_pq_store's sizing note
+    pq_path = "/tmp/jassjr_ann_pq"
+    shutil.rmtree(pq_path, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_pq_store(vecs, pq_path, m=8, n_clusters=768, seed=42,
+                   fit_fraction=0.2)
+    out["pq_store_write_s"] = round(time.perf_counter() - t0, 2)
+    for rerank in (50, 200):
+        t0 = time.perf_counter()
+        got = pq_topk_persisted(spark, pq_path, queries_local, k=10,
+                                nprobe=16, rerank=rerank).collect()
+        out[f"pq_rerank{rerank}_probe_s"] = round(
+            time.perf_counter() - t0, 2)
+        got_set = {(r.qvec_id, r.vec_id) for r in got}
+        out[f"pq_rerank{rerank}_recall_at_10"] = round(
+            len(got_set & exact_set) / len(exact_set), 3)
     print(json.dumps(out))
 
 

@@ -38,6 +38,10 @@ ENTRIES = [
     "ft_percolate", "ft_percolate_neg", "ft_stem_dictionary",
     "ft_stem_search_top10", "ft_autocorrect_top10", "ft_bpref",
     "sim_mmr_top5",
+    # round-4 session-5 additions (similarities, fusion, snapshots, PQ)
+    "ft_lmd_top10", "ft_tfidf_top10", "ft_msm_top10", "ft_docboost_top10",
+    "ft_err", "ft_rbp", "ft_zipf", "ft_stop_top10", "hybrid_linear_top10",
+    "code_facet_percentiles", "snap_as_of_lengths", "sim_pq_top5",
 ]
 
 

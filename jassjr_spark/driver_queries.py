@@ -1908,6 +1908,116 @@ WHERE (df_b IS NULL) OR (df_a IS NULL) OR (df_a <> df_b)
 """
 
 
+def q_ft_zipf(spark: SparkSession, sf_dir: str, top: int = 1000) -> DataFrame:
+    """Corpus-law diagnostic: least-squares fit of ln(cf) against
+    ln(rank) over the top-``top`` terms by collection frequency — the
+    Zipf slope (~ -1 on natural text) that sizing decisions (dictionary
+    memory, postings skew, stopword cutoffs) hang off. One aggregation
+    over the vocab-sized dictionary: regr_slope/regr_intercept are
+    sum-of-products aggregates, partial-aggregated map-side; 4-dp
+    rounding absorbs float-sum order."""
+    idx = corpus_index(spark, sf_dir)
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    ranked = (
+        idx.dictionary
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(F.log(F.col("cf").cast("double")).alias("y"),
+                F.log(F.col("rank").cast("double")).alias("x"))
+    )
+    return ranked.agg(
+        F.round(F.regr_slope("y", "x"), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept("y", "x"), 4).alias("zipf_intercept"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+
+
+def _sql_ft_zipf(top: int = 1000) -> str:
+    return f"""{_INDEX_CTES},
+ranked AS (
+  SELECT ln(CAST(cf AS DOUBLE)) AS y,
+         ln(CAST(row_number() OVER (ORDER BY cf DESC, term ASC) AS DOUBLE)) AS x
+  FROM dict
+  QUALIFY row_number() OVER (ORDER BY cf DESC, term ASC) <= {top}
+)
+SELECT round(regr_slope(y, x), 4) AS zipf_slope,
+       round(regr_intercept(y, x), 4) AS zipf_intercept,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM ranked
+"""
+
+
+N_STOP = 5
+
+
+def q_ft_stop_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """BM25 over the stopword-filtered index (operators/index_build.py:
+    stopworded_index): the corpus's own top-5-df terms are stoplisted,
+    document lengths recomputed over the surviving postings, and the
+    flagship workload re-ranked — stoplisted query terms (queries 3 and
+    7 carry 'the'/'a') go out-of-vocabulary. Rounded-rank discipline."""
+    from jassjr_spark.operators.index_build import (
+        stopworded_index, top_df_stopwords,
+    )
+
+    idx = corpus_index(spark, sf_dir)
+    sidx = stopworded_index(idx, top_df_stopwords(idx, N_STOP))
+    s = sidx.scalar_stats()
+    scored = score_postings(_bm25_queries_df(spark), sidx.postings,
+                            sidx.dictionary, s["n_docs"], s["avgdl"])
+    acc = accumulate(scored).withColumn("rsv", F.round("rsv", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        acc.filter(F.col("rsv") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
+def _sql_ft_stop(k: int = 10, n_stop: int = N_STOP) -> str:
+    return f"""{_INDEX_CTES},
+stop AS (SELECT term FROM dict ORDER BY df DESC, term ASC LIMIT {n_stop}),
+p2 AS (
+  SELECT * FROM postings WHERE term NOT IN (SELECT term FROM stop)
+),
+dl2 AS (
+  SELECT d.doc_id AS docid, COALESCE(s2.len, 0) AS len
+  FROM documents d
+  LEFT JOIN (SELECT docid, CAST(sum(tf) AS BIGINT) AS len
+             FROM p2 GROUP BY docid) s2 ON d.doc_id = s2.docid
+),
+stats2 AS (SELECT count(*) AS n, avg(len) AS avgdl FROM dl2),
+dict2 AS (SELECT term, count(*) AS df FROM p2 GROUP BY term),
+queries(query_id, pos, term) AS (VALUES {_values_queries()}),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict2 d USING (term)
+  JOIN p2 p USING (term)
+  JOIN dl2 a USING (docid)
+  CROSS JOIN stats2 s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 def q_ft_trec_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full trec_eval parity (reference README.md:104-133): per-query rows
     plus the 'all' aggregate row — MAP, MRR, R-prec,
@@ -2858,6 +2968,41 @@ def q_sim_sq8_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return ivf_topk_persisted(spark, path, queries_local, k=5,
                               nprobe=n_clusters, rerank=100)
+
+
+def q_sim_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-quantized two-phase probe (sources/vector_store.py:
+    write_pq_store + pq_topk_persisted): m one-byte codes per vector
+    (32x compression at 64-dim float32), LUT-based ADC scoring in phase
+    1 with the float column pruned from the scan, full-precision rerank
+    of the top-C. Probed exhaustively with a generous margin it returns
+    exactly the brute-force top-5, so it shares that oracle — verifying
+    codebook training, the encode pass, the ADC kernel, and the rerank
+    end-to-end. Plan gates live in tests/test_vector_store.py."""
+    import hashlib as _h
+    import tempfile
+
+    from jassjr_spark.sources.vector_store import (
+        pq_topk_persisted,
+        write_pq_store,
+    )
+
+    n_clusters = 8
+    emb = load_embeddings(spark, sf_dir)
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/jassjr_pq_store_{tag}"
+    skey = (spark.sparkContext.applicationId, sf_dir, "pq_store")
+    if _INDEX_MEMO.get(skey) != path:
+        write_pq_store(emb.select("vec_id", "embedding"), path,
+                       m=8, n_clusters=n_clusters, seed=42)
+        _INDEX_MEMO[skey] = path
+    queries_local = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding").collect()
+    ]
+    return pq_topk_persisted(spark, path, queries_local, k=5,
+                             nprobe=n_clusters, rerank=200)
 
 
 def q_del_masked_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5475,6 +5620,8 @@ def catalog() -> dict[str, tuple]:
         "ft_stem_search_top10": (q_ft_stem_search_top10,
                                  _sql_ft_stem_search()),
         "ft_trec_eval": (q_ft_trec_eval, _sql_trec_eval()),
+        "ft_zipf": (q_ft_zipf, _sql_ft_zipf()),
+        "ft_stop_top10": (q_ft_stop_top10, _sql_ft_stop()),
         "ft_ndcg": (q_ft_ndcg, _sql_ft_ndcg()),
         "ft_bpref": (q_ft_bpref, _sql_ft_bpref()),
         "ft_lmd_top10": (q_ft_lmd_top10, _sql_ft_lmd()),
@@ -5505,6 +5652,7 @@ def catalog() -> dict[str, tuple]:
         "sim_lsh_persisted_top5": (q_sim_lsh_persisted_top5, _sql_sim_lsh()),
         "sim_ivf_top5": (q_sim_ivf_top5, SQL_SIM_COSINE_TOP5),
         "sim_sq8_top5": (q_sim_sq8_top5, SQL_SIM_COSINE_TOP5),
+        "sim_pq_top5": (q_sim_pq_top5, SQL_SIM_COSINE_TOP5),
         "sim_neardup_pairs": (q_sim_neardup_pairs, _sql_sim_neardup()),
         "sim_rescore_top10": (q_sim_rescore_top10, _sql_sim_rescore()),
         "sim_mmr_top5": (q_sim_mmr_top5, None),   # iterative: rows-only

@@ -231,3 +231,54 @@ def build_index(
     ).crossJoin(dictionary.agg(F.count(F.lit(1)).alias("vocab_size")))
 
     return Index(postings, dictionary, doc_lengths, docids, stats)
+
+
+def top_df_stopwords(index: Index, n: int = 20) -> list[str]:
+    """The corpus's own top-``n`` document-frequency terms — the
+    classic collection-derived stopword list (ties: term asc, so the
+    list is deterministic and any engine re-derives it identically)."""
+    return [
+        r.term for r in index.dictionary
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(n).collect()
+    ]
+
+
+def stopworded_index(index: Index, stopwords: list[str]) -> Index:
+    """Derive the stopword-filtered index from a surface index — the
+    index-time stop-filter analyzer as a relational remap, no
+    re-tokenization: postings for stoplisted terms are dropped, document
+    lengths are RECOMPUTED over the surviving postings (an index built
+    without stopwords never counted them toward dl — BM25's length
+    normalization must see the filtered lengths), and dictionary/stats
+    rebuild from the remap. Queries need no special handling: a
+    stoplisted query term is simply out-of-vocabulary.
+
+    Scale shape: one postings-sized filter, one per-doc re-aggregation
+    + docid-keyed join to ride the new dl back onto the postings rows
+    (the same co-partitioning as the index build's own dl join), one
+    vocab-sized dictionary rebuild. The result is an ordinary Index —
+    searchable, persistable, WAND-able."""
+    if not stopwords:
+        return index
+    p0 = index.postings.filter(~F.col("term").isin(list(stopwords)))
+    dl2 = p0.groupBy("docid").agg(F.sum("tf").cast("int").alias("len"))
+    doc_lengths = (
+        index.docids.select("docid")
+        .join(dl2, "docid", "left")
+        .select("docid", F.coalesce("len", F.lit(0)).alias("len"))
+    )
+    p = p0.drop("dl").join(
+        dl2.withColumnRenamed("len", "dl"), "docid"
+    ).select("term", "docid", "tf", "dl")
+    d = p.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    stats = doc_lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+        F.sum("len").cast("long").alias("total_terms"),
+    ).crossJoin(d.agg(F.count(F.lit(1)).cast("long").alias("vocab_size")))
+    return Index(postings=p, dictionary=d, doc_lengths=doc_lengths,
+                 docids=index.docids, stats=stats, n_buckets=0)

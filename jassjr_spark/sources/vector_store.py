@@ -357,3 +357,280 @@ def ivf_topk_persisted(
     )
     scored = with_cosine(joined).withColumn("cosine", F.round("cosine", 6))
     return rank_topk(scored, k)
+
+
+# -------------------------------------------------------------------- PQ
+
+
+PQ_M, PQ_KSUB, PQ_ITERS, PQ_TRAIN_CAP = 8, 256, 10, 2048
+
+
+def _pq_train(X, m: int, ksub: int, iters: int):
+    """Deterministic product-quantizer training: per subvector block,
+    Lloyd's KMeans with evenly-spaced-sorted-sample init (no RNG — any
+    process retrains the identical codebooks from the same sample).
+    Returns codebooks float64[(m, ksub_eff, dsub)]."""
+    import numpy as np
+
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subvectors")
+    dsub = dim // m
+    ksub = min(ksub, n)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        # init: rows evenly spaced through the sample sorted by their
+        # first coordinate — deterministic, spread across the range
+        order = np.argsort(S[:, 0], kind="stable")
+        cents = S[order[np.linspace(0, n - 1, ksub).astype(int)]].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = S[mask].mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def _pq_encode_col(books, cents):
+    """(embedding array<float>, cluster int) -> m uint8 codes as binary:
+    RESIDUAL encoding — the codes quantize x - centroid[cluster], the
+    FAISS IVFPQ ``by_residual=True`` layout. Residuals matter: on
+    clustered corpora the raw-vector quantization cell is larger than
+    the intra-cluster spread, so same-cluster vectors collapse to ONE
+    code and phase-1 ranking degenerates to tie-breaking (measured:
+    recall@10 0.17 non-residual vs 1.0 residual on the 600k benchmark
+    corpus, BENCH/ann_600k_sq8.json history). Arrow-batched; the
+    codebooks + centroids ride the UDF closure (~150 KB)."""
+    import pandas as pd
+
+    @F.pandas_udf("binary")
+    def encode(emb: pd.Series, cluster: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        R = X - cents[cluster.to_numpy()]
+        m, ksub, dsub = books.shape
+        codes = np.empty((R.shape[0], m), dtype=np.uint8)
+        for j in range(m):
+            S = R[:, j * dsub:(j + 1) * dsub]
+            d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return encode
+
+
+def write_pq_store(
+    vectors: DataFrame, path: str, m: int = PQ_M, n_clusters: int = 16,
+    seed: int = 42, fit_fraction: float | None = None,
+) -> None:
+    """IVF-coarse + residual product-quantization store: vectors(vec_id,
+    embedding) -> cluster-partitioned (vec_id, embedding, pqcode) plus
+    ``{path}/pq_codebooks`` and the IVF centroids. PQ is the
+    memory-bound ANN workhorse: at the defaults a 64-dim float32 vector
+    (256 B) compresses to m=8 one-byte codes — 32x — so a 10^12-vector
+    phase-1 scan reads ~8 TB of codes instead of ~256 TB of floats, and
+    the LUT scoring below never reconstructs a vector.
+
+    Residual PQ (FAISS IVFPQ ``by_residual=True``): codes quantize
+    x - centroid[cluster], so the codebooks spend their 256 cells per
+    subvector on the WITHIN-cluster geometry — the part that actually
+    ranks neighbors once the coarse quantizer has routed the probe.
+
+    Training is a driver-side deterministic KMeans over a vec_id-ordered
+    sample of residuals (cap PQ_TRAIN_CAP) — codebook fitting is
+    O(sample), never O(corpus); encoding is one Arrow-batched
+    distributed pass.
+
+    SIZE ``n_clusters`` ~ sqrt(N) (the standard IVF rule): residual
+    codes only resolve WITHIN-list geometry, so the coarse quantizer
+    must be at least as fine as the corpus's natural modes — with 64
+    lists over a 512-mode 600k corpus, residuals still carry mode
+    offsets, same-mode vectors collapse to one code, and phase-1
+    ranking degenerates to tie-breaking (recall@10 0.22); at ~sqrt(N)
+    lists residuals are pure within-mode spread and recall is 1.0
+    (BENCH/ann_600k_sq8.json + the pq_sim study). ``fit_fraction``
+    samples the coarse KMeans fit exactly as write_ivf_store."""
+    import numpy as np
+
+    spark = vectors.sparkSession
+    assigned, centroids = ivf_index(vectors, n_clusters=n_clusters,
+                                    seed=seed, fit_fraction=fit_fraction)
+    cents = np.asarray(centroids, dtype=np.float64)
+    sample_rows = (
+        assigned.orderBy("vec_id").limit(PQ_TRAIN_CAP)
+        .select("embedding", "cluster").collect()
+    )
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                  for r in sample_rows])
+    R = X - cents[[r.cluster for r in sample_rows]]
+    books = _pq_train(R, m, PQ_KSUB, PQ_ITERS)
+
+    assigned = assigned.withColumn(
+        "pqcode", _pq_encode_col(books, cents)(F.col("embedding"),
+                                               F.col("cluster"))
+    )
+    (
+        assigned.repartition("cluster")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/vectors")
+    )
+    spark.createDataFrame(
+        [(j, c, [float(x) for x in books[j, c]])
+         for j in range(books.shape[0]) for c in range(books.shape[1])],
+        "sub int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    write_vec_meta(spark, path, method="pq", n_clusters=n_clusters,
+                   seed=seed, dim=books.shape[0] * books.shape[2])
+
+
+def _pq_adc_col(luts, cluster_tabs):
+    """(pqcode, qvec_id, cluster) -> approximate cosine via asymmetric
+    distance computation over RESIDUAL codes: reconstruct-free scoring
+    with x̂ = centroid + residual-codeword,
+
+        q·x̂   = q·c            + Σ_j lut_dot[j, code_j]
+        |x̂|²  = |c|²           + Σ_j cross_c[j, code_j]
+        cross_c[j, k] = 2·(c_j·book_jk) + |book_jk|²
+
+    ``luts`` maps qvec_id -> (lut_dot (m x ksub), qnorm); ``cluster_tabs``
+    maps cluster -> (qdotc per qvec_id dict, cnorm2, cross (m x ksub)).
+    Every table is precomputed ONCE driver-side; scoring a code is m
+    lookups — no float vector is ever touched in phase 1."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def adc(code: pd.Series, qid: pd.Series, cluster: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(code) == 0:
+            return pd.Series([], dtype="float64")
+        C = np.stack([np.frombuffer(b, dtype=np.uint8) for b in code])
+        qids = qid.to_numpy()
+        clus = cluster.to_numpy()
+        out = np.empty(len(C), dtype=np.float64)
+        cols = np.arange(C.shape[1])
+        for q in np.unique(qids):
+            lut_dot, qnorm = luts[int(q)]
+            for c in np.unique(clus[qids == q]):
+                qdotc_map, cnorm2, cross = cluster_tabs[int(c)]
+                mask = (qids == q) & (clus == c)
+                codes_qc = C[mask]
+                dots = qdotc_map[int(q)] + lut_dot[cols, codes_qc].sum(axis=1)
+                norms = np.sqrt(cnorm2 + cross[cols, codes_qc].sum(axis=1))
+                out[mask] = dots / (qnorm * norms + 1e-12)
+        return pd.Series(out)
+
+    return adc
+
+
+def pq_topk_persisted(
+    spark: SparkSession, path: str, queries_local: list,
+    k: int = 5, nprobe: int = 4, rerank: int = 50,
+    plans_out: list | None = None,
+) -> DataFrame:
+    """Two-phase PQ probe of a write_pq_store index: phase 1 scans ONLY
+    (cluster, vec_id, pqcode) of the ``nprobe`` nearest inverted lists
+    (the embedding column never leaves disk — 32x fewer bytes at the
+    defaults) and ranks by LUT-based approximate cosine over the
+    residual codes; phase 2 re-reads full precision for the
+    top-``rerank`` candidates per query (vec_id pushdown into the
+    write-time sort's row-group stats) and scores them exactly —
+    returned cosines are full-precision, recall is bounded by the true
+    top-k surviving phase 1's top-C cut."""
+    import numpy as np
+
+    meta = read_vec_meta(spark, path)
+    if meta["method"] != "pq":
+        raise ValueError(f"store at {path!r} is {meta['method']!r}, not pq")
+    if rerank < k:
+        raise ValueError(f"rerank={rerank} must be >= k={k}")
+    brows = spark.read.parquet(f"{path}/pq_codebooks").collect()
+    m = 1 + max(r.sub for r in brows)
+    ksub = 1 + max(r.code for r in brows)
+    dsub = len(brows[0].centroid)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for r in brows:
+        books[r.sub, r.code] = r.centroid
+
+    cents_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r.cluster,
+    )
+    cents = np.asarray([r.centroid for r in cents_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+    # per-(sub, code) cross terms 2*c_j·book + |book|², per probed cluster
+    book_sq = (books ** 2).sum(axis=2)          # (m, ksub)
+    luts: dict = {}
+    probe_rows = []
+    probed_by_cluster: dict = {}
+    for qvec_id, qvec in queries_local:
+        qv = np.asarray(qvec, dtype=np.float64)
+        lut_dot = np.einsum("jkd,jd->jk", books, qv.reshape(m, dsub))
+        luts[int(qvec_id)] = (lut_dot, float(np.linalg.norm(qv)))
+        sims = cents @ qv / (cnorm * np.linalg.norm(qv) + 1e-12)
+        for c in np.argsort(-sims)[:nprobe]:
+            cl = int(cents_rows[c].cluster)
+            probe_rows.append((int(qvec_id), cl))
+            probed_by_cluster.setdefault(cl, {})[int(qvec_id)] = float(
+                cents[c] @ qv
+            )
+    cluster_tabs = {}
+    for cl, qdotc_map in probed_by_cluster.items():
+        csub = cents[cl].reshape(m, dsub)
+        cross = 2.0 * np.einsum("jkd,jd->jk", books, csub) + book_sq
+        cluster_tabs[cl] = (qdotc_map, float(cents[cl] @ cents[cl]), cross)
+
+    probes = spark.createDataFrame(probe_rows, "qvec_id long, cluster int")
+    clusters = sorted(probed_by_cluster)
+
+    from pyspark.sql import Window
+
+    codes = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cluster").isin(clusters))
+        .select("cluster", "vec_id", "pqcode")
+    )
+    approx = (
+        codes.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("qvec_id"))
+        .withColumn("acos", _pq_adc_col(luts, cluster_tabs)(
+            F.col("pqcode"), F.col("qvec_id"), F.col("cluster")))
+    )
+    w = Window.partitionBy("qvec_id").orderBy(
+        F.col("acos").desc(), F.col("vec_id").asc()
+    )
+    phase1 = (
+        approx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= rerank)
+        .select("qvec_id", "vec_id")
+    )
+    if plans_out is not None:  # test hook: gate phase-1's scan shape
+        plans_out.append(phase1)
+    cand_rows = [(r.qvec_id, r.vec_id) for r in phase1.collect()]
+    ids = sorted({v for _, v in cand_rows})
+    qmap = {int(q): [float(x) for x in v] for q, v in queries_local}
+    cdf = spark.createDataFrame(
+        [(q, qmap[int(q)], v) for q, v in cand_rows],
+        "qvec_id long, qvec array<float>, vec_id long",
+    )
+    full = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cluster").isin(clusters) & F.col("vec_id").isin(ids))
+        .select("vec_id", "embedding")
+    )
+    scored = with_cosine(full.join(F.broadcast(cdf), "vec_id"))
+    scored = scored.withColumn("cosine", F.round("cosine", 6))
+    return rank_topk(scored, k)

@@ -215,3 +215,75 @@ def test_persisted_lsh_driver_entry_memoizes_store(spark):
     second = dq.q_sim_lsh_persisted_top5(spark, sf).collect()
     assert snapshot(path) == before  # no rewrite on the repeat call
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_pq_store_rerank_matches_exact_and_prunes_columns(spark, tmp_path):
+    """PQ two-phase probe: exhaustive probing with a generous rerank
+    margin equals full-precision brute force EXACTLY (phase 2 rescores
+    survivors at full precision); the phase-1 codes scan must never
+    read the float embedding column."""
+    import pytest
+    from jassjr_spark.sources.vector_store import (
+        pq_topk_persisted, write_pq_store,
+    )
+
+    rows, vecs = _vectors(spark, n=150, dim=16)
+    path = str(tmp_path / "pq_store")
+    write_pq_store(vecs, path, m=4, n_clusters=6, seed=42)
+    assert read_vec_meta(spark, path)["method"] == "pq"
+    queries_local = rows[:3]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries_local], "qvec_id long, qvec array<float>"
+    )
+    exact = {(r.qvec_id, r.rank): (r.vec_id, r.cosine)
+             for r in cosine_topk(vecs, qdf, k=5).collect()}
+    plans = []
+    got_df = pq_topk_persisted(spark, path, queries_local, k=5,
+                               nprobe=6, rerank=150, plans_out=plans)
+    got = {(r.qvec_id, r.rank): (r.vec_id, r.cosine)
+           for r in got_df.collect()}
+    assert got == exact
+
+    p1 = plans[0]._jdf.queryExecution().executedPlan().toString()
+    p1_scans = [ln for ln in p1.splitlines() if "FileScan parquet" in ln]
+    assert p1_scans and all("ReadSchema" in ln and
+                            "embedding" not in ln.split("ReadSchema", 1)[1]
+                            for ln in p1_scans)
+    # partition pruning on the probed clusters
+    part = pq_topk_persisted(spark, path, queries_local, k=5, nprobe=2,
+                             rerank=30)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    # narrow probes still recall most of the true top-5
+    got2 = {(r.qvec_id, r.vec_id) for r in part.collect()}
+    exact_set = {(q, v) for (q, _), (v, _) in exact.items()}
+    assert len(got2 & exact_set) / len(exact_set) >= 0.8
+
+    with pytest.raises(ValueError, match="not pq"):
+        path2 = str(tmp_path / "ivf_plain2")
+        write_ivf_store(vecs, path2, n_clusters=6, seed=42)
+        pq_topk_persisted(spark, path2, queries_local, k=5)
+    with pytest.raises(ValueError, match="must be >= k"):
+        pq_topk_persisted(spark, path, queries_local, k=5, rerank=3)
+
+
+def test_pq_train_is_deterministic_and_reconstructs(spark):
+    """Codebook training is RNG-free (same sample -> identical books)
+    and the encode->reconstruct error is far below vector scale."""
+    import numpy as np
+    from jassjr_spark.sources.vector_store import _pq_train
+
+    rng = random.Random(3)
+    X = np.asarray(
+        [[rng.gauss(0, 1) for _ in range(16)] for _ in range(300)]
+    )
+    b1 = _pq_train(X, m=4, ksub=32, iters=8)
+    b2 = _pq_train(X.copy(), m=4, ksub=32, iters=8)
+    assert np.array_equal(b1, b2)
+    # reconstruction: assign each subvector to its nearest centroid
+    errs = []
+    for j in range(4):
+        S = X[:, j * 4:(j + 1) * 4]
+        d2 = ((S[:, None, :] - b1[j][None, :, :]) ** 2).sum(axis=2)
+        errs.append(d2.min(axis=1).mean())
+    assert np.mean(errs) < 0.5 * (X ** 2).sum(axis=1).mean() / 4

@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--interactive", action="store_true",
                     help="true REPL: answer each line as it arrives "
                          "(sub-second p50; byte-identical output)")
+    ap.add_argument("--as-of", type=int, default=None, dest="as_of",
+                    help="time-travel: answer queries against the index "
+                         "SNAPSHOT at this epoch (LSM epoch layout only; "
+                         "refuses below the compaction floor). Not "
+                         "combinable with --wand (blocks bake the live "
+                         "docid set).")
     ap.add_argument("--syntax", action="store_true",
                     help="parse lines with the full query language "
                          "(+req -not term^w term~d pfx* /re/) instead of "
@@ -52,12 +58,20 @@ def main() -> None:
 
     spark = get_spark("jassjr_search")
 
+    if args.as_of is not None and args.wand:
+        ap.error("--as-of cannot combine with --wand (the compressed "
+                 "blocks bake the live docid set; snapshot queries run "
+                 "the exact kernel)")
+
+    def _read(path):
+        return read_index(spark, path, as_of=args.as_of)
+
     if args.syntax:
         from jassjr_spark.operators.query_language import (
             run_user_queries, run_user_query,
         )
 
-        idx = read_index(spark, args.index).cache()
+        idx = _read(args.index).cache()
         idx.postings.count()  # warm
         if args.interactive:
             source = open(args.queries) if args.queries else sys.stdin
@@ -84,7 +98,7 @@ def main() -> None:
     if args.interactive:
         # the reference's REPL shape (JASSjr_search.cpp:168): load state
         # once, answer each stdin line as it arrives
-        idx = read_index(spark, args.index).cache()
+        idx = _read(args.index).cache()
         idx.postings.count()  # warm
         it = InteractiveSearcher(idx)
         source = open(args.queries) if args.queries else sys.stdin
@@ -127,7 +141,7 @@ def main() -> None:
         print(f"wand: physical path = {chosen[0] if chosen else 'unknown'}"
               f" (k={args.k})", file=sys.stderr)
     else:
-        idx = read_index(spark, args.index).cache()
+        idx = _read(args.index).cache()
         out = search_lines(idx, spark, lines, k=args.k)
     for ln in out:
         print(ln)

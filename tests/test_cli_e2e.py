@@ -168,3 +168,43 @@ def test_cli_percolate_batch_and_stream(spark, tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     got2 = {(x.docid, x.query_id) for x in spark.read.parquet(out2).collect()}
     assert got2 == want
+
+
+def test_cli_as_of_snapshot(spark, tmp_path):
+    """--as-of answers queries against the epoch snapshot through the
+    real CLI, byte-identical to the library as-of path; --as-of + --wand
+    refuses."""
+    from jassjr_spark.sources.index_store import write_meta
+    from jassjr_spark.streaming.incremental import (
+        append_documents, refresh_derived,
+    )
+
+    path = str(tmp_path / "asof_idx")
+    write_meta(spark, path, 4)
+    e1 = [("A1", "spark shuffle merge"), ("A2", "vector stream")]
+    e2 = [("B1", "spark spark postings"), ("B2", "merge stream batch")]
+    for epoch, rows in ((1, e1), (2, e2)):
+        append_documents(
+            spark, spark.createDataFrame(rows, "docno string, content string"),
+            path, n_buckets=4, epoch_id=epoch,
+        )
+    refresh_derived(spark, path)
+    qlines = ["51 spark merge", "52 stream"]
+    qfile = str(tmp_path / "q.txt")
+    open(qfile, "w").write("\n".join(qlines) + "\n")
+
+    want = search_lines(read_index(spark, path, as_of=1), spark, qlines, k=10)
+    got = _run_cli(["--index", path, "--queries", qfile, "--k", "10",
+                    "--as-of", "1"])
+    assert got == want
+    assert all(ln.split()[2].startswith("A") for ln in got)  # no epoch-2 doc
+    # full view differs (epoch-2 docs rank)
+    full = _run_cli(["--index", path, "--queries", qfile, "--k", "10"])
+    assert any(ln.split()[2].startswith("B") for ln in full)
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jassjr_spark", "search_job.py"),
+         "--index", path, "--queries", qfile, "--as-of", "1", "--wand"],
+        capture_output=True, text=True, cwd=REPO, timeout=120,
+    )
+    assert out.returncode != 0 and "--as-of" in out.stderr

@@ -841,3 +841,54 @@ def _recover_compaction(spark: SparkSession, table_path: str) -> None:
             _swap_in_segment(spark, table_path, f"{table_path}/{name}", lo, hi)
         else:
             fs.delete(st.getPath(), True)
+
+
+def export_snapshot(
+    spark: SparkSession, src: str, dst: str, as_of: int | None = None,
+    n_buckets: int | None = None,
+) -> None:
+    """Materialize a (time-travel) snapshot of the LSM index at ``src``
+    as a STANDALONE batch store at ``dst`` — the reproducible-pipeline
+    primitive: pin the exact index a training run searched, free of the
+    source's ongoing appends/deletes/compactions. ``as_of=None`` exports
+    the current live view (tombstones applied, like any reader).
+
+    The export is an ordinary ``write_index`` (term-bucketed sorted
+    postings, _meta contract), so the result serves every batch surface
+    — search, WAND block builds, shard merges — and carries no epochs,
+    no tombstones, no markers. Dictionary/stats come from the snapshot's
+    LIVE rows (read_index(as_of=) semantics), so the export never
+    inherits the source's pre-compaction stats staleness.
+    """
+    from jassjr_spark.sources.index_store import read_index, write_index
+
+    if n_buckets is None:
+        n_buckets = read_meta(spark, src)["n_buckets"] or DEFAULT_BUCKETS
+    snap = read_index(spark, src, as_of=as_of)
+    if as_of is None:
+        # live view keeps the persisted dictionary/stats (which still
+        # count masked-but-unpurged docs); a standalone export should be
+        # self-consistent instead — recompute from the live rows
+        p = snap.postings
+        dictionary = p.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        stats = snap.doc_lengths.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("len").alias("avgdl"),
+            F.sum("len").cast("long").alias("total_terms"),
+        ).crossJoin(
+            dictionary.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+        )
+        from jassjr_spark.operators.index_build import Index
+
+        snap = Index(postings=p, dictionary=dictionary,
+                     doc_lengths=snap.doc_lengths, docids=snap.docids,
+                     stats=stats, n_buckets=0)
+    # drop the epoch partition column if the postings still carry it
+    if "epoch" in snap.postings.columns:
+        snap.postings = snap.postings.drop("epoch")
+    if "bucket" in snap.postings.columns:
+        snap.postings = snap.postings.drop("bucket")
+    write_index(snap, dst, n_buckets=n_buckets)

@@ -158,3 +158,92 @@ def test_as_of_requires_epoch_layout(spark, tmp_path):
     write_index(idx, path, n_buckets=4)
     with pytest.raises(ValueError, match="not epoch-segmented"):
         read_index(spark, path, as_of=1)
+
+
+def test_export_snapshot_standalone(spark, tmp_path):
+    """export_snapshot materializes a snapshot as an ordinary batch
+    store: byte-identical search, no epochs/tombstones/markers, and
+    self-consistent (live-row) dictionary/stats."""
+    from jassjr_spark.streaming.incremental import export_snapshot
+
+    path = str(tmp_path / "src")
+    write_meta(spark, path, 4)
+    a, b = _rows(50), _rows(50, skip=50)
+    _append(spark, a, path, 1)
+    delete_documents(spark, path, [a[0][0]])      # tomb_epoch = 1
+    _append(spark, b, path, 2)
+    refresh_derived(spark, path)
+
+    # as-of export
+    dst1 = str(tmp_path / "snap1")
+    export_snapshot(spark, path, dst1, as_of=1)
+    exp1 = read_index(spark, dst1)
+    snap1 = read_index(spark, path, as_of=1)
+    assert search_lines(exp1, spark, QUERIES) == \
+        search_lines(snap1, spark, QUERIES)
+    assert exp1.scalar_stats() == snap1.scalar_stats()
+    assert "epoch" not in exp1.postings.columns
+    from jassjr_spark.sources.index_store import tombstones_df
+    assert tombstones_df(spark, dst1) is None
+
+    # live export: masked doc gone AND stats recomputed over live rows
+    dst2 = str(tmp_path / "live")
+    export_snapshot(spark, path, dst2)
+    exp2 = read_index(spark, dst2)
+    assert exp2.scalar_stats()["n_docs"] == 99
+    docnos = {r.docno for r in exp2.docids.collect()}
+    assert a[0][0] not in docnos
+    # the source's persisted stats still count the masked doc (the
+    # documented staleness); the export must NOT inherit it
+    src_live = read_index(spark, path)
+    assert src_live.scalar_stats()["n_docs"] == 100
+
+
+def test_as_of_property_random_histories(spark, tmp_path):
+    """Randomized append/delete/compact interleavings: every recorded
+    epoch snapshot above the floor reads back EXACTLY the then-live
+    document set; everything below the floor refuses. This is where a
+    silent tombstone-horizon or purge bug would hide."""
+    import random
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"prop_{seed}")
+        write_meta(spark, path, 4)
+        pool = _rows(120)
+        live: dict = {}
+        snapshots: dict = {}
+        epoch, ptr = 0, 0
+        for _ in range(8):
+            op = rng.choice(["append", "append", "delete", "compact"])
+            if op == "append" and ptr < len(pool):
+                k = rng.randint(1, 15)
+                batch = pool[ptr:ptr + k]
+                ptr += k
+                epoch += 1
+                _append(spark, batch, path, epoch)
+                live.update(dict(batch))
+                snapshots[epoch] = set(live)
+            elif op == "delete" and live:
+                victims = rng.sample(sorted(live), min(3, len(live)))
+                delete_documents(spark, path, victims)
+                for v in victims:
+                    live.pop(v)
+                if epoch:          # deletes stamp the CURRENT epoch
+                    snapshots[epoch] = set(live)
+            elif op == "compact" and epoch:
+                refresh_derived(spark, path)
+                compact_segments(spark, path, n_buckets=4, size_ratio=1.5)
+        if not epoch:
+            continue
+        refresh_derived(spark, path)
+        floor = snapshot_floor(spark, path) or 0
+        for e, want in sorted(snapshots.items()):
+            if e < floor:
+                with pytest.raises(ValueError,
+                                   match="no longer reconstructable"):
+                    read_index(spark, path, as_of=e)
+            else:
+                got = {r.docno for r in
+                       read_index(spark, path, as_of=e).docids.collect()}
+                assert got == want, (seed, e, floor)

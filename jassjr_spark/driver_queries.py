@@ -2696,6 +2696,204 @@ FROM r
 """
 
 
+# -------------------------------------------------------- sketch queries
+
+HLL_P = 8              # 256 registers; corpus shingle space >> 2.5m = 640
+CMS_DEPTH, CMS_WIDTH, CMS_TOPN = 3, 1024, 20
+BLOOM_BITS, BLOOM_K = 256, 3
+BLOOM_MOD, BLOOM_RES = 17, 5    # member set: doc_id % 17 == 5
+
+_SQL_SHINGLES_ALL = f"""
+sdocs AS (
+  SELECT doc_id AS docid, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT docid,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM sdocs WHERE len(toks) > 0
+)"""
+
+
+def q_agg_hll_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-shingle estimate (operators/sketches.py) next
+    to the exact count: (n_exact, n_est). The sketch is 256 registers —
+    profiling the shingle space of a 100-TB corpus without a
+    vocabulary-sized shuffle. md5 registers + an EXACT integer harmonic
+    sum make the estimate hash-equal across engines, not merely close
+    (the one float op is a shared IEEE division)."""
+    from jassjr_spark.operators import sketches
+
+    sh = dedup.shingles(load_documents(spark, sf_dir), n=3)
+    uniq = sh.select("shingle").distinct()
+    est = sketches.hll_estimate(
+        sketches.hll_registers(uniq, "shingle", p=HLL_P), p=HLL_P
+    )
+    exact = uniq.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    return exact.crossJoin(est.select(F.round("est", 4).alias("n_est")))
+
+
+def _sql_agg_hll() -> str:
+    from jassjr_spark.operators import sketches
+
+    m = 1 << HLL_P
+    numer = repr(
+        sketches.hll_alpha(m) * float(m) * float(m)
+        * float(2 ** sketches.HLL_SCALE)
+    )
+    empty_term = 1 << sketches.HLL_SCALE
+    return f"""
+WITH {_SQL_SHINGLES_ALL.lstrip()},
+u AS (SELECT DISTINCT shingle FROM sh),
+regs AS (
+  SELECT ('0x' || substr(md5(shingle), 1, {HLL_P // 4}))::BIGINT AS register,
+         max(CASE WHEN ('0x' || substr(md5(shingle), {HLL_P // 4 + 1}, 13))::BIGINT = 0
+                  THEN 53
+                  ELSE 53 - length(bin(('0x' || substr(md5(shingle),
+                                        {HLL_P // 4 + 1}, 13))::BIGINT))
+             END) AS rho
+  FROM u GROUP BY 1
+),
+agg AS (
+  SELECT sum(CASE WHEN rho <= {sketches.HLL_SCALE}
+                  THEN (1::BIGINT << ({sketches.HLL_SCALE} - rho))
+                  ELSE 0 END) AS s_present,
+         count(*) AS n_present
+  FROM regs
+),
+est AS (
+  SELECT {numer}
+           / CAST(s_present + ({m} - n_present) * {empty_term}::BIGINT AS DOUBLE)
+           AS raw,
+         {m} - n_present AS zeros
+  FROM agg
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_exact,
+       round(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                  THEN {float(m)} * ln({float(m)} / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 4) AS n_est
+FROM est
+"""
+
+
+def _sql_cms_positions(src: str, key: str) -> str:
+    """UNION ALL of the depth md5 row-hash positions for ``key`` in CTE
+    ``src`` — shared between the lattice build and the probe."""
+    parts = [
+        f"SELECT {key}, {i} AS row, "
+        f"('0x' || substr(md5('{i}:' || {key}), 1, 8))::BIGINT % {CMS_WIDTH}"
+        f" AS bucket FROM {src}"
+        for i in range(CMS_DEPTH)
+    ]
+    return "\n  UNION ALL\n  ".join(parts)
+
+
+def q_agg_cms_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: the 20 highest-document-frequency
+    shingles with their exact df and the sketch's estimate
+    (overcount-only; fixed depth x width state regardless of corpus
+    size). Integer counters => order-independent, hash-equal across
+    engines including every collision."""
+    from jassjr_spark.operators import sketches
+
+    sh = dedup.shingles(load_documents(spark, sf_dir), n=3)
+    sketch = sketches.cms_build(
+        sh, "shingle", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    exact = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    top = exact.orderBy(F.col("df").desc(), F.col("shingle").asc()).limit(
+        CMS_TOPN
+    )
+    est = sketches.cms_query(
+        sketch, top.select("shingle"), "shingle", CMS_DEPTH, CMS_WIDTH
+    )
+    return top.join(est, "shingle").select(
+        "shingle", "df", F.col("est").alias("df_est")
+    )
+
+
+def _sql_agg_cms() -> str:
+    return f"""
+WITH {_SQL_SHINGLES_ALL.lstrip()},
+dfs AS (
+  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+),
+top AS (SELECT shingle, df FROM dfs ORDER BY df DESC, shingle ASC LIMIT {CMS_TOPN}),
+lat AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS n FROM (
+  {_sql_cms_positions("sh", "shingle")}
+  ) GROUP BY row, bucket
+),
+probes AS (
+  {_sql_cms_positions("top", "shingle")}
+),
+est AS (
+  SELECT p.shingle, min(COALESCE(l.n, 0)) AS df_est
+  FROM probes p LEFT JOIN lat l USING (row, bucket)
+  GROUP BY p.shingle
+)
+SELECT t.shingle, t.df, CAST(e.df_est AS BIGINT) AS df_est
+FROM top t JOIN est e USING (shingle)
+"""
+
+
+def q_agg_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: a 256-bit filter over the member
+    docnos (doc_id % 17 == 5) probed by the WHOLE corpus — (docid,
+    member, candidate). No false negatives ever; the exact
+    false-positive set hash-matches the oracle because the bit
+    positions are md5-derived. At 100 TB this is the pattern that
+    prunes a full scan to candidates before an exact join, with the
+    filter riding a broadcast."""
+    from jassjr_spark.operators import sketches
+
+    docs = load_documents(spark, sf_dir).select("docid", "docno")
+    members = docs.filter(F.col("docid") % BLOOM_MOD == BLOOM_RES)
+    bits = sketches.bloom_build(members, "docno", BLOOM_BITS, BLOOM_K)
+    out = sketches.bloom_probe(docs, "docno", bits, BLOOM_BITS, BLOOM_K)
+    return out.select(
+        "docid",
+        (F.col("docid") % BLOOM_MOD == BLOOM_RES).cast("int").alias("member"),
+        "candidate",
+    )
+
+
+def _sql_agg_bloom() -> str:
+    def positions(src: str) -> str:
+        return "\n  UNION ALL\n  ".join(
+            f"SELECT docid, ('0x' || substr(md5('{j}:' || docno), 1, 8))::BIGINT"
+            f" % {BLOOM_BITS} AS pos FROM {src}"
+            for j in range(BLOOM_K)
+        )
+
+    return f"""
+WITH probe AS (
+  SELECT doc_id AS docid, CAST(doc_id AS VARCHAR) AS docno FROM documents
+),
+members AS (SELECT * FROM probe WHERE docid % {BLOOM_MOD} = {BLOOM_RES}),
+bits AS (
+  SELECT DISTINCT pos FROM (
+  {positions("members")}
+  )
+),
+allpos AS (
+  {positions("probe")}
+),
+flags AS (
+  SELECT a.docid,
+         min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS candidate
+  FROM allpos a LEFT JOIN bits b USING (pos)
+  GROUP BY a.docid
+)
+SELECT docid, CAST(docid % {BLOOM_MOD} = {BLOOM_RES} AS INT) AS member,
+       CAST(candidate AS INT) AS candidate
+FROM flags
+"""
+
+
 # ------------------------------------------------------ similarity queries
 
 
@@ -5645,6 +5843,9 @@ def catalog() -> dict[str, tuple]:
         "text_winnow_fingerprints": (q_text_winnow, SQL_TEXT_WINNOW),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+        "agg_hll_shingles": (q_agg_hll_shingles, _sql_agg_hll()),
+        "agg_cms_shingles": (q_agg_cms_shingles, _sql_agg_cms()),
+        "agg_bloom_prune": (q_agg_bloom_prune, _sql_agg_bloom()),
         "samp_stratified": (q_samp_stratified, _sql_samp_stratified()),
         "samp_quota_quality": (q_samp_quota_quality, SQL_SAMP_QUOTA),
         "sim_cosine_top5": (q_sim_cosine_top5, SQL_SIM_COSINE_TOP5),

@@ -4178,25 +4178,9 @@ def q_code_federated_top10(
     whole-corpus BM25 SQL — hash-matching it is the rank-identity proof
     at contract level (the pytest proves it bitwise on unrounded rsv)."""
     from jassjr_spark.operators.federated import federated_search
-    from jassjr_spark.sources.code_corpus import code_documents
 
-    key = (spark.sparkContext.applicationId, sf_dir, "code_shards")
-    if key not in _INDEX_MEMO:
-        cd = code_documents(_code_corpus(spark, sf_dir)).select(
-            "docid", "docno", "content"
-        )
-        _INDEX_MEMO[key] = [
-            build_index(
-                cd.filter(F.col("docid") % 3 == m), prepend_docno=False
-            ).cache()
-            for m in range(3)
-        ]
-    shards = _INDEX_MEMO[key]
-    qrows = [
-        (qid, pos, t) for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
-    ]
-    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
-    run = federated_search(shards, queries, k=200)
+    shards = _code_shards(spark, sf_dir)
+    run = federated_search(shards, _code_queries_df(spark), k=200)
     rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
     w = Window.partitionBy("query_id").orderBy(
         F.col("rsv").desc(), F.col("docno").desc()
@@ -4225,6 +4209,177 @@ scored AS (
   JOIN dict d USING (term)
   JOIN postings p USING (term)
   JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, round(sum(contrib), 4) AS rsv
+  FROM scored GROUP BY query_id, docid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, c.docno,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, c.docno DESC) AS BIGINT) AS rank,
+       rsv
+FROM acc JOIN codedocs c USING (docid)
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
+def _code_shards(spark: SparkSession, sf_dir: str) -> list:
+    from jassjr_spark.sources.code_corpus import code_documents
+
+    key = (spark.sparkContext.applicationId, sf_dir, "code_shards")
+    if key not in _INDEX_MEMO:
+        cd = code_documents(_code_corpus(spark, sf_dir)).select(
+            "docid", "docno", "content"
+        )
+        _INDEX_MEMO[key] = [
+            build_index(
+                cd.filter(F.col("docid") % 3 == m), prepend_docno=False
+            ).cache()
+            for m in range(3)
+        ]
+    return _INDEX_MEMO[key]
+
+
+def _code_queries_df(spark: SparkSession) -> DataFrame:
+    qrows = [
+        (qid, pos, t)
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    ]
+    return spark.createDataFrame(qrows, "query_id long, pos int, term string")
+
+
+def q_fed_cori_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORI resource selection (operators/federated.py:cori_scores): rank
+    the 3 docid%3 shards per query by mean term belief. The probe is one
+    union job over the shards' pruned dictionaries; the formula runs in
+    driver CPython (libm ln == DuckDB ln, the idf-entry identity). The
+    oracle recomputes per-shard df/cw from the raw corpus — matching it
+    proves the shard statistics AND the routing math."""
+    from jassjr_spark.operators.federated import rank_shards
+
+    shards = _code_shards(spark, sf_dir)
+    rows = []
+    for qid, terms in CODE_QUERIES:
+        for shard, score in rank_shards(shards, terms):
+            rows.append((qid, shard, score))
+    scored = spark.createDataFrame(
+        rows, "query_id long, shard long, score double"
+    ).withColumn("score", F.round("score", 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("shard").asc()
+    )
+    return scored.withColumn(
+        "srank", F.row_number().over(w).cast("long")
+    ).select("query_id", "shard", "score", "srank")
+
+
+def _sql_fed_cori_ctes() -> str:
+    """CTEs computing raw CORI beliefs per (query_id, shard) over the
+    docid%3 shards — shared by the ranking entry and the selective-
+    search entry. Ends with persh_raw(query_id, shard, score)."""
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}')"
+        for qid, terms in CODE_QUERIES for pos, t in enumerate(terms)
+    )
+    return f"""
+fqueries(query_id, pos, term) AS (VALUES {rows}),
+shdf AS (
+  SELECT term, docid % 3 AS shard, CAST(count(*) AS BIGINT) AS df
+  FROM postings GROUP BY 1, 2
+),
+shcw AS (
+  SELECT docid % 3 AS shard, CAST(sum(len) AS BIGINT) AS cw
+  FROM alldl GROUP BY 1
+),
+avgcw AS (SELECT CAST(sum(cw) AS DOUBLE) / 3 AS avg_cw FROM shcw),
+shcf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM shdf
+  WHERE df > 0 GROUP BY term
+),
+fqterms AS (SELECT DISTINCT query_id, term FROM fqueries),
+grid AS (
+  SELECT q.query_id, q.term, c.cf, s.shard, s.cw, a.avg_cw
+  FROM fqterms q JOIN shcf c USING (term)
+  CROSS JOIN shcw s CROSS JOIN avgcw a
+),
+belief AS (
+  SELECT g.query_id, g.shard,
+         0.4 + (1.0 - 0.4)
+           * (CAST(COALESCE(d.df, 0) AS DOUBLE)
+              / (CAST(COALESCE(d.df, 0) AS DOUBLE)
+                 + 50.0 + 150.0 * g.cw / g.avg_cw))
+           * (ln(3.5 / CAST(g.cf AS DOUBLE)) / ln(4.0)) AS belief
+  FROM grid g
+  LEFT JOIN shdf d ON d.term = g.term AND d.shard = g.shard
+),
+persh_raw AS (
+  SELECT query_id, shard, sum(belief) / count(*) AS score
+  FROM belief GROUP BY 1, 2
+)"""
+
+
+def _sql_fed_cori() -> str:
+    return f"""{_INDEX_CTES},
+{_sql_fed_cori_ctes().lstrip()}
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(shard AS BIGINT) AS shard,
+       round(score, 6) AS score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(score, 6) DESC, shard ASC)
+            AS BIGINT) AS srank
+FROM persh_raw
+"""
+
+
+def q_fed_selective_top10(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Selective federation: each query asks only its top-2 CORI shards
+    (of 3), scored with stats GLOBAL over all shards — the 1000-shard
+    routing pattern where resource selection replaces a full scatter.
+    The oracle mirrors the selection (raw-score rank <= 2) and restricts
+    whole-corpus BM25 to the chosen docid%3 slices."""
+    from jassjr_spark.operators.federated import selective_federated_search
+
+    shards = _code_shards(spark, sf_dir)
+    run = selective_federated_search(
+        shards, _code_queries_df(spark), k=200, m=2
+    )
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docno").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docno", "rank", "rsv")
+    )
+
+
+def _sql_fed_selective(k: int = 10) -> str:
+    return f"""{_INDEX_CTES},
+{_sql_code_ctes().lstrip()},
+{_sql_fed_cori_ctes().lstrip()},
+chosen AS (
+  SELECT query_id, shard FROM (
+    SELECT query_id, shard,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, shard ASC) AS srank
+    FROM persh_raw
+  ) WHERE srank <= 2
+),
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM fqueries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  JOIN chosen ch ON ch.query_id = q.query_id AND p.docid % 3 = ch.shard
   CROSS JOIN stats s
   WHERE d.df < s.n
 ),
@@ -5877,6 +6032,8 @@ def catalog() -> dict[str, tuple]:
         "code_snippets_multi": (q_code_snippets_multi, _sql_code_snippets_multi()),
         "code_mlt_top10": (q_code_mlt_top10, _sql_code_mlt()),
         "code_federated_top10": (q_code_federated_top10, _sql_code_federated()),
+        "fed_cori_shards": (q_fed_cori_shards, _sql_fed_cori()),
+        "fed_selective_top10": (q_fed_selective_top10, _sql_fed_selective()),
         "code_prf_top10": (q_code_prf_top10, _sql_code_prf()),
         "code_not_top10": (q_code_not_top10, _sql_code_not()),
         "code_bm25f_top10": (q_code_bm25f_top10, _sql_code_bm25f()),

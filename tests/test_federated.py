@@ -165,3 +165,102 @@ def test_federated_live_plus_static_tier(spark, tmp_path):
         for r in search(full, queries, k=10).collect()
     )
     assert fed == single and fed
+
+
+def test_cori_scores_hand_computed():
+    """CORI belief math on a 2-shard, 2-term table vs longhand."""
+    import math
+
+    from jassjr_spark.operators.federated import cori_scores
+
+    df_table = {(0, "a"): 4, (1, "a"): 1, (1, "b"): 3}
+    weights = [100, 50]
+    avg_cw = (100 + 50) / 2
+    nsh = 2
+    I = {
+        "a": math.log((nsh + 0.5) / 2) / math.log(nsh + 1.0),
+        "b": math.log((nsh + 0.5) / 1) / math.log(nsh + 1.0),
+    }
+
+    def belief(df, cw, t):
+        T = df / (df + 50.0 + 150.0 * cw / avg_cw)
+        return 0.4 + 0.6 * T * I[t]
+
+    want0 = (belief(4.0, 100, "a") + belief(0.0, 100, "b")) / 2
+    want1 = (belief(1.0, 50, "a") + belief(3.0, 50, "b")) / 2
+    got = dict(cori_scores(df_table, weights, ["a", "b"]))
+    assert got[0] == want0 and got[1] == want1
+    # term in NO shard is dropped from the mean, not scored as 0
+    got2 = dict(cori_scores(df_table, weights, ["a", "b", "zzz"]))
+    assert got2 == got
+    # all-OOV query scores every shard 0.0 instead of raising
+    assert cori_scores(df_table, weights, ["zzz"]) == [(0, 0.0), (1, 0.0)]
+
+
+def test_rank_shards_prefers_term_heavy_shard(corpus):
+    from jassjr_spark.operators.federated import rank_shards, shard_df_table
+
+    _, _, shards = corpus
+    terms = ["varbyte", "the"]
+    table = shard_df_table(shards, terms)
+    ranked = rank_shards(shards, terms)
+    assert any(df > 0 for df in table.values())
+    assert len(ranked) == 3
+    assert ranked == sorted(ranked, key=lambda p: (-p[1], p[0]))
+    # the df probe matches each shard's own dictionary
+    for i, sh in enumerate(shards):
+        want = {
+            r.term: r.df
+            for r in sh.dictionary.filter(F.col("term").isin(terms)).collect()
+        }
+        for t, df in want.items():
+            assert table[(i, t)] == df
+
+
+def test_selective_all_shards_equals_federated(corpus, spark):
+    """m = n_shards: selection is a no-op, results bitwise-identical to
+    the full federation."""
+    from jassjr_spark.operators.federated import selective_federated_search
+
+    _, _, shards = corpus
+    queries = spark.createDataFrame(
+        [(0, 0, "varbyte"), (0, 1, "the"), (1, 0, "parser")],
+        "query_id long, pos int, term string",
+    )
+    full = sorted(
+        (r.query_id, r.docno, r.rank, r.rsv)
+        for r in federated_search(shards, queries, k=10).collect()
+    )
+    sel = sorted(
+        (r.query_id, r.docno, r.rank, r.rsv)
+        for r in selective_federated_search(shards, queries, k=10, m=3).collect()
+    )
+    assert sel == full and sel
+
+
+def test_selective_m1_returns_only_top_shard_docs(corpus, spark):
+    from jassjr_spark.operators.federated import (
+        rank_shards,
+        selective_federated_search,
+    )
+
+    docs, _, shards = corpus
+    queries = spark.createDataFrame(
+        [(0, 0, "varbyte")], "query_id long, pos int, term string"
+    )
+    top_shard = rank_shards(shards, ["varbyte"])[0][0]
+    hits = selective_federated_search(shards, queries, k=50, m=1).collect()
+    assert hits
+    allowed = {
+        r.docno
+        for r in docs.filter(F.col("docid") % 3 == top_shard).collect()
+    }
+    assert {r.docno for r in hits} <= allowed
+    # and every returned rsv is bitwise the full federation's rsv for
+    # that doc (global statistics, selection only narrows the scatter)
+    full = {
+        r.docno: r.rsv
+        for r in federated_search(shards, queries, k=200).collect()
+    }
+    for r in hits:
+        assert full[r.docno] == r.rsv

@@ -2597,6 +2597,42 @@ FROM base
 """
 
 
+PACK_CAP = 500  # tokens per export shard (sf0.01 docs average ~52)
+
+
+def q_pipe_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget export sharding (plans/data_pipeline.py:pack_shards):
+    (docid, n_tokens, shard) for the whole corpus, shard = floor(running
+    token total before the doc / 500) in docid order. The Spark side is
+    the DISTRIBUTED two-pass prefix sum (no single-task window — plan-
+    gated in tests); the oracle is the textbook single global window,
+    so hash-matching proves the distributed decomposition exact."""
+    from jassjr_spark.operators.textstats import token_counts
+    from jassjr_spark.plans.data_pipeline import pack_shards
+
+    sized = token_counts(load_documents(spark, sf_dir)).select(
+        "docid", "n_tokens"
+    )
+    return pack_shards(sized, "n_tokens", ["docid"], PACK_CAP).select(
+        "docid", "n_tokens", "shard"
+    )
+
+
+SQL_PIPE_SHARDS = f"""
+WITH sized AS (
+  SELECT doc_id AS docid,
+         CAST(len(regexp_extract_all(text, '{_TOK_SQL}')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT docid, n_tokens,
+       CAST(floor(COALESCE(sum(n_tokens) OVER (
+              ORDER BY docid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {PACK_CAP}) AS BIGINT) AS shard
+FROM sized
+"""
+
+
 # ------------------------------------------------------ text-stats queries
 
 
@@ -5991,6 +6027,7 @@ def catalog() -> dict[str, tuple]:
         "decon_pairs": (q_decon_pairs, SQL_DECON_PAIRS),
         "text_redact": (q_text_redact, _sql_text_redact()),
         "pipe_curated": (q_pipe_curated, _sql_pipe_curated()),
+        "pipe_shards": (q_pipe_shards, SQL_PIPE_SHARDS),
         "dedup_simhash": (q_dedup_simhash, _sql_dedup_simhash()),
         "dedup_simhash_pairs": (q_dedup_simhash_pairs,
                                 _sql_dedup_simhash_pairs()),

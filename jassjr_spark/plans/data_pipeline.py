@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jassjr_spark.operators.dedup import decontaminate, dedup_exact
@@ -91,6 +91,78 @@ def curate(
     return r.select(
         "docid", F.col("clean").alias("content"), "clean_sha",
         "n_email", "n_number",
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    size_col: str,
+    order_cols: list[str],
+    cap: int,
+    cleanup: list | None = None,
+) -> DataFrame:
+    """df + (shard long): token-budget export sharding — documents in
+    ``order_cols`` order are packed into consecutive shards of ~``cap``
+    units (tokens, bytes) each, documents never split:
+
+        shard = floor(running_total_BEFORE_this_doc / cap)
+
+    so a shard closes once the docs assigned to it reach the cap (the
+    last doc may straddle; an oversized doc advances the counter past
+    several ids — shard ids are monotone and may skip). This is the
+    writer layout step of a training-data export: shard = output file
+    of bounded token count, corpus order preserved.
+
+    Scale path: the running total is a DISTRIBUTED prefix sum — the
+    same two-pass shape as index_build.assign_docids (range-partition
+    on the order key, per-partition window sum, one collected row of
+    partition totals turned into broadcast offsets). No single-task
+    global window: the plan has no Exchange SinglePartition (plan-
+    gated in tests), so it holds at 10^12 rows. The staged frame is
+    checkpoint-pinned for the same reason assign_docids pins it:
+    repartitionByRange SAMPLES its bounds, and the totals pass and the
+    assignment pass must see identical partition membership.
+    ``cleanup`` receives a handle to free the pinned staging (see
+    assign_docids).
+    """
+    from jassjr_spark.operators.index_build import _StagedCleanup
+
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    spark = df.sparkSession
+    staged = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    if spark.sparkContext.getCheckpointDir():
+        staged = staged.checkpoint(eager=False)
+    else:
+        staged = staged.localCheckpoint(eager=False)
+    if cleanup is not None:
+        cleanup.append(_StagedCleanup(staged))
+    totals = {
+        r._pid: r.s
+        for r in staged.groupBy("_pid")
+        .agg(F.sum(size_col).cast("long").alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0)) + F.col("_off")
+    return (
+        staged.join(F.broadcast(off_df), "_pid")
+        .withColumn("_before", before.cast("long"))
+        # integer div, not floor(double /): running totals can pass 2^53
+        .withColumn("shard", F.expr(f"_before div {int(cap)}").cast("long"))
+        .drop("_pid", "_off", "_before")
     )
 
 

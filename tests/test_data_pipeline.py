@@ -100,3 +100,68 @@ def test_curated_corpus_feeds_the_indexer(spark, frames):
         [(1, 0, "quick")], "query_id long, pos int, term string"
     )
     assert search(idx, q2, k=10).count() > 0
+
+
+def test_pack_shards_matches_global_window(spark):
+    """The distributed two-pass prefix sum == the single global window
+    (which is the DuckDB oracle's formulation), on adversarial sizes."""
+    import random
+
+    from jassjr_spark.plans.data_pipeline import pack_shards
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 120)) for i in range(400)]
+    df = spark.createDataFrame(rows, "docid long, n long").repartition(7)
+    got = {
+        r.docid: r.shard
+        for r in pack_shards(df, "n", ["docid"], cap=300).collect()
+    }
+    acc, want = 0, {}
+    for i, n in rows:
+        want[i] = acc // 300
+        acc += n
+    assert got == want
+
+
+def test_pack_shards_semantics(spark):
+    """Shard ids are monotone in order, may skip after an oversized doc,
+    never split a doc, and each shard's docs start under the cap."""
+    from jassjr_spark.plans.data_pipeline import pack_shards
+
+    rows = [(0, 100), (1, 100), (2, 900), (3, 50), (4, 50), (5, 400)]
+    out = sorted(
+        (r.docid, r.shard)
+        for r in pack_shards(
+            spark.createDataFrame(rows, "docid long, n long"),
+            "n", ["docid"], cap=300,
+        ).collect()
+    )
+    # totals before: 0,100,200,1100,1150,1200 -> shards 0,0,0,3,3,4
+    assert out == [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 4)]
+
+
+def test_pack_shards_no_single_partition_exchange(spark):
+    """The 100-TB property: no global-window funnel in the plan."""
+    from jassjr_spark.plans.data_pipeline import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(50)], "docid long, n long"
+    )
+    plan = (
+        pack_shards(df, "n", ["docid"], cap=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    # the window is PARTITIONED by the staged pid (the range-partition
+    # itself is pinned behind the checkpoint's ExistingRDD scan)
+    assert "windowspecdefinition(_pid" in plan
+
+
+def test_pack_shards_rejects_bad_cap(spark):
+    from jassjr_spark.plans.data_pipeline import pack_shards
+
+    df = spark.createDataFrame([(1, 1)], "docid long, n long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_shards(df, "n", ["docid"], cap=0)

@@ -5962,6 +5962,82 @@ SELECT 'all', round(avg(raw), 4) FROM perq
 """
 
 
+PR_ITER = 5
+PR_DAMP = 0.85
+
+
+def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic link graph over the documents table:
+    doc d links to (7d+1) mod N and (13d+5) mod N. Every node has
+    out-degree >= 1 (no dangling mass), so the textbook recurrence in
+    graph.pagerank and the unrolled SQL agree without a sink fixup."""
+    docs = load_documents(spark, sf_dir).select("docid")
+    n = docs.count()
+    a = docs.select(
+        F.col("docid").alias("src"),
+        ((F.col("docid") * 7 + 1) % n).alias("dst"),
+    )
+    b = docs.select(
+        F.col("docid").alias("src"),
+        ((F.col("docid") * 13 + 5) % n).alias("dst"),
+    )
+    return a.unionByName(b)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py:pagerank) over the synthetic doc
+    link graph — the static link-authority prior web engines multiply
+    into text scores (the ft_docboost_top10 pattern). Exact float
+    identity with the oracle via the ordered in-edge fold."""
+    from jassjr_spark.operators.graph import pagerank
+
+    edges = _pagerank_edges(spark, sf_dir)
+    pr = pagerank(edges, n_iter=PR_ITER, d=PR_DAMP)
+    return pr.select(F.col("node").cast("long"), "pr")
+
+
+def _sql_graph_pagerank(n_iter: int = PR_ITER, d: float = PR_DAMP) -> str:
+    """Unrolled power iterations; per-node in-edge sum is
+    list_reduce(list(c ORDER BY src)) — the same left-to-right
+    association as the Spark side's sorted-array fold."""
+    step = """,
+pr{j} AS (
+  SELECT n.node,
+         ((1.0 - {d}) / cnt.n) + {d} * COALESCE(s.s, 0.0) AS pr
+  FROM nodes n CROSS JOIN cnt
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           list_reduce(list(p.pr / e.outdeg ORDER BY e.src),
+                       (a, b) -> a + b) AS s
+    FROM edeg e JOIN pr{i} p ON e.src = p.node
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+    steps = "".join(
+        step.format(i=i, j=i + 1, d=d) for i in range(n_iter)
+    )
+    return f"""WITH cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 5) % (SELECT count(*) FROM documents)
+    FROM documents
+  )
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+edeg AS (
+  SELECT e.src, e.dst, o.outdeg
+  FROM edges e
+  JOIN (SELECT src, count(*) AS outdeg FROM edges GROUP BY src) o USING (src)
+),
+pr0 AS (SELECT node, 1.0 / cnt.n AS pr FROM nodes CROSS JOIN cnt){steps}
+SELECT CAST(node AS BIGINT) AS node, pr FROM pr{n_iter}
+"""
+
+
 # ----------------------------------------------------------------- catalog
 
 
@@ -6087,4 +6163,5 @@ def catalog() -> dict[str, tuple]:
         "code_histogram": (q_code_histogram, _sql_code_histogram()),
         "code_clone_pairs": (q_code_clone_pairs, _sql_code_clone_pairs()),
         "code_lang_profile": (q_code_lang_profile, _sql_code_lang_profile()),
+        "graph_pagerank": (q_graph_pagerank, _sql_graph_pagerank()),
     }

@@ -5962,6 +5962,43 @@ SELECT 'all', round(avg(raw), 4) FROM perq
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (operators/dedup.py:duplicate_clusters):
+    transitive closure over the MinHash-LSH candidate pairs — the step
+    that turns pairwise collisions into one canonical doc per group.
+    Components via log-round label propagation
+    (operators/graph.py:connected_components)."""
+    docs = load_documents(spark, sf_dir).filter(
+        F.col("docid") < NEARDUP_MAX_DOCID
+    )
+    pairs = dedup.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=4)
+    return dedup.duplicate_clusters(pairs)
+
+
+def _sql_dedup_clusters() -> str:
+    """Same pairs (the dedup_minhash_pairs SQL verbatim, as a subquery),
+    closed with a recursive reachability CTE: component = min node id
+    reachable over the undirected pair graph."""
+    return f"""WITH RECURSIVE pairs AS (
+  SELECT docid_a, docid_b FROM ({_sql_minhash()})
+),
+und AS (
+  SELECT docid_a AS src, docid_b AS dst FROM pairs
+  UNION
+  SELECT docid_b, docid_a FROM pairs
+),
+walk(node, m) AS (
+  SELECT DISTINCT src, src FROM und
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN und e ON e.src = w.m
+),
+comp AS (SELECT node AS docid, min(m) AS cluster FROM walk GROUP BY node)
+SELECT docid, cluster,
+       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_size
+FROM comp
+"""
+
+
 PR_ITER = 5
 PR_DAMP = 0.85
 
@@ -6100,6 +6137,7 @@ def catalog() -> dict[str, tuple]:
         "dedup_fingerprints": (q_dedup_fingerprints, SQL_DEDUP_FINGERPRINTS),
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
         "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
+        "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
         "decon_pairs": (q_decon_pairs, SQL_DECON_PAIRS),
         "text_redact": (q_text_redact, _sql_text_redact()),
         "pipe_curated": (q_pipe_curated, _sql_pipe_curated()),

@@ -195,6 +195,33 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+    """Resolve candidate pairs (docid_a, docid_b) into duplicate
+    clusters: -> (docid, cluster, cluster_size), cluster = min docid of
+    the connected component, only docids that appear in some pair.
+
+    This is the step between pair generation (LSH/SimHash/Jaccard) and
+    an actually-deduplicated corpus: transitive closure picks ONE
+    canonical doc per group even when A~B and B~C but A!~C never
+    collided directly. Components via log-round label propagation
+    (graph.connected_components); the size window shuffles once on the
+    cluster key.
+    """
+    from jassjr_spark.operators.graph import connected_components
+
+    cc = connected_components(
+        pairs.select(
+            F.col("docid_a").alias("src"), F.col("docid_b").alias("dst")
+        )
+    )
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("node").alias("docid"),
+        F.col("component").alias("cluster"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
 def _bit_literal(i: int):
     """2**i as a signed-64 Column literal. Bit 63 is the sign bit — its
     power does not fit a positive long, so it is the min-long literal

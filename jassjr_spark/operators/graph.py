@@ -83,3 +83,72 @@ def pagerank(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             pr = pr.localCheckpoint(eager=True)
     return pr
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """edges(src, dst), undirected semantics -> (node, component) where
+    component = min node id reachable from node. Only nodes that appear
+    in an edge are emitted (callers union isolated nodes if wanted).
+
+    Min-label propagation with pointer jumping: each round every node
+    takes the min of its own label, its neighbours' labels, AND its
+    label-node's label — the last hop halves label-chain lengths, so
+    rounds = O(log diameter), not O(diameter). Labels only ever
+    decrease, so sum(label) is a strictly-monotone convergence witness:
+    one cheap agg per round instead of a change-count join. Per round:
+    one edge join + one groupBy + one self-join, all on the node key —
+    the standard large-graph CC shape (no driver-side adjacency).
+    Lineage is truncated every round (localCheckpoint) or iterative
+    plans blow up.
+    """
+    e = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    if prev_sum is None:
+        return labels.select("node", F.col("lbl").alias("component"))
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "lbl")
+        merged = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jump: follow lbl -> lbl(lbl) one extra hop
+        hop = merged.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
+        labels = (
+            merged.join(hop, "lbl", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("lbl2"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            und.unpersist()
+            return labels.select("node", F.col("lbl").alias("component"))
+        prev_sum = cur_sum
+    und.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )

@@ -9,7 +9,8 @@ import math
 
 import pytest
 
-from jassjr_spark.operators.graph import pagerank
+from jassjr_spark.operators.dedup import duplicate_clusters
+from jassjr_spark.operators.graph import connected_components, pagerank
 
 
 def _pr_dict(df):
@@ -84,6 +85,57 @@ def test_checkpoint_every_does_not_change_values(spark):
     a = _pr_dict(pagerank(edges, n_iter=6))
     b = _pr_dict(pagerank(edges, n_iter=6, checkpoint_every=2))
     assert a == b
+
+
+def _cc_dict(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_cc_two_components(spark):
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21)], "src long, dst long"
+    )
+    cc = _cc_dict(connected_components(edges))
+    assert cc == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    # path graph 0-1-2-...-63: diameter 63; pointer jumping must close
+    # it well under a diameter's worth of rounds
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    cc = _cc_dict(connected_components(edges, max_iter=10))
+    assert set(cc.values()) == {0} and len(cc) == n
+
+
+def test_cc_direction_and_self_loops_ignored(spark):
+    edges = spark.createDataFrame(
+        [(7, 2), (2, 2), (9, 7)], "src long, dst long"
+    )
+    cc = _cc_dict(connected_components(edges))
+    assert cc == {2: 2, 7: 2, 9: 2}
+
+
+def test_cc_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0
+
+
+def test_duplicate_clusters_transitive(spark):
+    # A~B, B~C (never A~C directly), plus an unrelated pair
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (40, 41)], "docid_a long, docid_b long"
+    )
+    rows = {
+        r["docid"]: (r["cluster"], r["cluster_size"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert rows == {
+        10: (10, 3), 11: (10, 3), 12: (10, 3),
+        40: (40, 2), 41: (40, 2),
+    }
 
 
 def test_mass_conserved_without_dangling(spark):

@@ -5999,6 +5999,40 @@ FROM comp
 """
 
 
+def q_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup (operators/dedup.py:dedup_near): the
+    NEARDUP slice minus every non-canonical LSH-cluster member — the
+    corpus a training pipeline would actually keep."""
+    docs = load_documents(spark, sf_dir).filter(
+        F.col("docid") < NEARDUP_MAX_DOCID
+    )
+    pairs = dedup.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=4)
+    return dedup.dedup_near(docs, pairs).select("docid")
+
+
+def _sql_dedup_near() -> str:
+    return f"""WITH RECURSIVE pairs AS (
+  SELECT docid_a, docid_b FROM ({_sql_minhash()})
+),
+und AS (
+  SELECT docid_a AS src, docid_b AS dst FROM pairs
+  UNION
+  SELECT docid_b, docid_a FROM pairs
+),
+walk(node, m) AS (
+  SELECT DISTINCT src, src FROM und
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN und e ON e.src = w.m
+),
+losers AS (
+  SELECT node AS docid FROM walk GROUP BY node HAVING min(m) <> node
+)
+SELECT doc_id AS docid FROM documents
+WHERE doc_id < {NEARDUP_MAX_DOCID}
+  AND doc_id NOT IN (SELECT docid FROM losers)
+"""
+
+
 PR_ITER = 5
 PR_DAMP = 0.85
 
@@ -6033,8 +6067,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").cast("long"), "pr")
 
 
-def _sql_graph_pagerank(n_iter: int = PR_ITER, d: float = PR_DAMP) -> str:
-    """Unrolled power iterations; per-node in-edge sum is
+def _pagerank_ctes(n_iter: int = PR_ITER, d: float = PR_DAMP) -> str:
+    """CTE chain (no leading WITH) ending in pr{n_iter}(node, pr):
+    unrolled power iterations; per-node in-edge sum is
     list_reduce(list(c ORDER BY src)) — the same left-to-right
     association as the Spark side's sorted-array fold."""
     step = """,
@@ -6053,7 +6088,7 @@ pr{j} AS (
     steps = "".join(
         step.format(i=i, j=i + 1, d=d) for i in range(n_iter)
     )
-    return f"""WITH cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    return f"""cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
 edges AS (
   SELECT DISTINCT src, dst FROM (
     SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst
@@ -6070,8 +6105,72 @@ edeg AS (
   FROM edges e
   JOIN (SELECT src, count(*) AS outdeg FROM edges GROUP BY src) o USING (src)
 ),
-pr0 AS (SELECT node, 1.0 / cnt.n AS pr FROM nodes CROSS JOIN cnt){steps}
-SELECT CAST(node AS BIGINT) AS node, pr FROM pr{n_iter}
+pr0 AS (SELECT node, 1.0 / cnt.n AS pr FROM nodes CROSS JOIN cnt){steps}"""
+
+
+def _sql_graph_pagerank(n_iter: int = PR_ITER, d: float = PR_DAMP) -> str:
+    return (
+        f"WITH {_pagerank_ctes(n_iter, d)}\n"
+        f"SELECT CAST(node AS BIGINT) AS node, pr FROM pr{n_iter}\n"
+    )
+
+
+def q_ft_webrank_top10(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Web-style ranking: BM25 text score multiplied by (1 + PageRank)
+    link authority over the synthetic doc graph — the canonical
+    fusion every web engine runs, composed from function_score
+    (operators/scoring.py) and pagerank (operators/graph.py)."""
+    from jassjr_spark.operators.graph import pagerank
+    from jassjr_spark.operators.scoring import function_score
+
+    idx = corpus_index(spark, sf_dir)
+    pr = pagerank(_pagerank_edges(spark, sf_dir), n_iter=PR_ITER, d=PR_DAMP)
+    boosts = pr.select(
+        F.col("node").alias("docid"),
+        (F.lit(1.0) + F.col("pr")).alias("boost"),
+    )
+    ranked = function_score(
+        idx, _bm25_queries_df(spark), boosts, "multiply", k=k,
+        round_to=4, resolve=False,
+    )
+    return ranked.select(F.col("query_id").cast("long"), "docid",
+                         "rank", F.col("rsv").alias("rsv"))
+
+
+def _sql_ft_webrank(k: int = 10) -> str:
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_values_queries()}),
+{_pagerank_ctes()},
+scored AS (
+  SELECT q.query_id, p.docid,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({K1} + 1.0))
+              / (p.tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))) AS contrib
+  FROM queries q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+acc AS (
+  SELECT query_id, docid, sum(contrib) AS rsv0
+  FROM scored GROUP BY query_id, docid
+),
+fused AS (
+  SELECT a.query_id, a.docid,
+         round(a.rsv0 * (1.0 + p.pr), 4) + 0.0 AS rsv
+  FROM acc a JOIN pr{PR_ITER} p ON a.docid = p.node
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM fused
+WHERE rsv > 0
+QUALIFY rank <= {k}
 """
 
 
@@ -6138,6 +6237,8 @@ def catalog() -> dict[str, tuple]:
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
         "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
         "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
+        "dedup_near_survivors": (q_dedup_near_survivors, _sql_dedup_near()),
+        "ft_webrank_top10": (q_ft_webrank_top10, _sql_ft_webrank()),
         "decon_pairs": (q_decon_pairs, SQL_DECON_PAIRS),
         "text_redact": (q_text_redact, _sql_text_redact()),
         "pipe_curated": (q_pipe_curated, _sql_pipe_curated()),

@@ -222,6 +222,20 @@ def duplicate_clusters(pairs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_near(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Near-duplicate corpus dedup: drop every non-canonical member of
+    each duplicate cluster (canonical = min docid), keeping docs that
+    collide with nothing. The end-to-end LSH path is
+    ``dedup_near(docs, lsh_candidate_pairs(docs))``: candidate pairs ->
+    transitive clusters -> one survivor per cluster — a broadcastable
+    anti-join since losers are bounded by the duplicate count, not the
+    corpus."""
+    losers = duplicate_clusters(pairs).filter(
+        F.col("docid") != F.col("cluster")
+    ).select("docid")
+    return docs.join(losers, "docid", "left_anti")
+
+
 def _bit_literal(i: int):
     """2**i as a signed-64 Column literal. Bit 63 is the sign bit — its
     power does not fit a positive long, so it is the min-long literal

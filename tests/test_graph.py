@@ -138,6 +138,20 @@ def test_duplicate_clusters_transitive(spark):
     }
 
 
+def test_dedup_near_keeps_canonical_and_untouched(spark):
+    from jassjr_spark.operators.dedup import dedup_near
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "docid long, docno string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 4)], "docid_a long, docid_b long"
+    )
+    kept = sorted(r["docid"] for r in dedup_near(docs, pairs).collect())
+    # cluster {1,3,4} -> keep 1; 0,2,5 untouched
+    assert kept == [0, 1, 2, 5]
+
+
 def test_mass_conserved_without_dangling(spark):
     # every node has outdeg >= 1 => total rank == 1 at every iteration
     edges = spark.createDataFrame(

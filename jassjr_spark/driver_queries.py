@@ -2732,6 +2732,137 @@ FROM r
 """
 
 
+def q_text_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality signals: per-doc cross-entropy / perplexity /
+    KL divergence under the corpus model — the KenLM-style quality gate
+    of training-data pipelines, as two shuffles + ordered per-doc folds."""
+    return textstats.lm_scores(load_documents(spark, sf_dir))
+
+
+SQL_TEXT_PPL = f"""
+WITH t AS (
+  SELECT doc_id AS docid,
+         unnest(regexp_extract_all(lower(text), '{_TOK_SQL}')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT docid, term, CAST(count(*) AS BIGINT) AS tf
+  FROM t GROUP BY docid, term
+),
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+c AS (SELECT CAST(sum(cf) AS DOUBLE) AS corpus_c FROM cf),
+j AS (
+  SELECT tf.docid, tf.term, tf.tf, cf.cf FROM tf JOIN cf USING (term)
+),
+d AS (
+  SELECT j.docid,
+         sum(j.tf) AS dl,
+         list_reduce(
+           list(CAST(j.tf AS DOUBLE) * ln(CAST(j.cf AS DOUBLE) / c.corpus_c)
+                ORDER BY j.term),
+           (a, b) -> a + b) AS sum_lp
+  FROM j CROSS JOIN c
+  GROUP BY j.docid
+),
+k AS (
+  SELECT j.docid,
+         list_reduce(
+           list((CAST(j.tf AS DOUBLE) / CAST(d.dl AS DOUBLE))
+                * ln((CAST(j.tf AS DOUBLE) / CAST(d.dl AS DOUBLE))
+                     / (CAST(j.cf AS DOUBLE) / c.corpus_c))
+                ORDER BY j.term),
+           (a, b) -> a + b) AS kl
+  FROM j CROSS JOIN c JOIN d USING (docid)
+  GROUP BY j.docid, d.dl
+)
+SELECT d.docid, CAST(d.dl AS BIGINT) AS dl,
+       round(-d.sum_lp / CAST(d.dl AS DOUBLE), 6) AS xent,
+       round(exp(-d.sum_lp / CAST(d.dl AS DOUBLE)), 6) AS ppl,
+       round(k.kl, 6) AS kl
+FROM d JOIN k USING (docid)
+"""
+
+
+# Fixed, training-consistent merge list (each merge's operands exist as
+# single chars or as outputs of EARLIER merges). For such lists the
+# iterative lowest-rank BPE encode is provably identical to replaying the
+# merges once each in rank order (a later merge can never create an
+# earlier merge's adjacency: merged symbols are strictly longer than
+# either operand, and merging neighbors never removes a symbol between
+# two others) — which is what the SQL oracle's replace() chain does.
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"),
+    ("a", "n"), ("o", "n"), ("r", "e"), ("a", "t"),
+]
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget measurement with a fixed BPE merge table: per-doc word
+    and subword counts + an md5 over the exact subword stream (the strong
+    cross-engine witness that both tokenizers segmented identically)."""
+    from jassjr_spark.functions.bpe import bpe_encode
+
+    enc = bpe_encode(
+        load_documents(spark, sf_dir),
+        [(l, r, 0) for l, r in BPE_FIXED_MERGES],
+    )
+    return enc.select(
+        "docid",
+        "n_words",
+        "n_bpe_tokens",
+        F.md5(F.array_join("tokens", " ")).alias("tok_md5"),
+    )
+
+
+def _sql_text_bpe_tokens() -> str:
+    # one symbol per char, each wrapped in its own '|' delimiters so
+    # non-overlapping replace() matches can't share separator characters
+    expr = "'|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|'"
+    for left, right in BPE_FIXED_MERGES:
+        expr = f"replace({expr}, '|{left}||{right}|', '|{left}{right}|')"
+    return f"""
+WITH t AS (
+  SELECT doc_id AS docid,
+         regexp_extract_all(lower(text), '{_TOK_SQL}') AS words
+  FROM documents
+),
+e AS (
+  SELECT docid, words,
+         list_transform(words, word -> trim({expr}, '|')) AS encs
+  FROM t
+)
+SELECT docid,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(COALESCE(list_sum(list_transform(
+              encs, s -> len(string_split(s, '||')))), 0) AS BIGINT)
+         AS n_bpe_tokens,
+       md5(array_to_string(
+             list_transform(encs, s -> replace(s, '||', ' ')), ' '))
+         AS tok_md5
+FROM e
+"""
+
+
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE *training* over the corpus: vocab-sized pair-count
+    aggregations per round, 1-row argmax collects, Column-fold merge
+    application. Iterative algorithm — rows-only driver check (like
+    PageRank's convergence loop, the per-round argmax is inherently
+    sequential); exactness vs an independent reference implementation is
+    pinned by tests/test_bpe.py."""
+    from jassjr_spark.functions.bpe import train_bpe, word_frequencies
+
+    merges = train_bpe(
+        word_frequencies(load_documents(spark, sf_dir)),
+        n_merges=16,
+        min_freq=2,
+    )
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank long, left string, right string, cnt long",
+    )
+
+
 # -------------------------------------------------------- sketch queries
 
 HLL_P = 8              # 256 registers; corpus shingle space >> 2.5m = 640
@@ -6250,6 +6381,9 @@ def catalog() -> dict[str, tuple]:
         "text_winnow_fingerprints": (q_text_winnow, SQL_TEXT_WINNOW),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+        "text_ppl": (q_text_ppl, SQL_TEXT_PPL),
+        "text_bpe_tokens": (q_text_bpe_tokens, _sql_text_bpe_tokens()),
+        "text_bpe_merges": (q_text_bpe_merges, None),  # iterative: rows-only
         "agg_hll_shingles": (q_agg_hll_shingles, _sql_agg_hll()),
         "agg_cms_shingles": (q_agg_cms_shingles, _sql_agg_cms()),
         "agg_bloom_prune": (q_agg_bloom_prune, _sql_agg_bloom()),

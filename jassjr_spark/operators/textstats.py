@@ -151,6 +151,80 @@ def winnow_fingerprints(
     )
 
 
+def lm_scores(docs: DataFrame, round_to: int = 6) -> DataFrame:
+    """Unigram language-model quality signals per document.
+
+    (docid, content) -> (docid, dl, xent, ppl, kl):
+
+    * ``xent``  — cross-entropy of the document under the *corpus* unigram
+      model, ``-(1/dl) * sum_occurrences ln(cf_t / C)`` (nats/token).
+    * ``ppl``   — ``exp(xent)``: corpus-model perplexity. The standard
+      cheap "KenLM-style" quality gate of web-corpus pipelines: boilerplate
+      and natural text score low, gibberish/encoded blobs score high.
+    * ``kl``    — ``KL(doc || corpus) = sum_t p_dt ln(p_dt / q_t)`` with
+      ``p_dt = tf/dl``, ``q_t = cf/C``: domain-shift / repetitiveness
+      signal (how far the doc's term distribution sits from the corpus).
+
+    Shape at scale: one (docid, term) partial-agg shuffle for tf, one
+    vocab-sized shuffle for cf, one tf⋈cf shuffle join, one per-doc
+    aggregation — no UDF, no driver data. The corpus total C rides as a
+    one-row crossJoin (broadcast NL join), never a collected scalar.
+
+    Float identity with the DuckDB oracle: per-doc sums are ORDERED folds
+    (sort_array by term, then F.aggregate left-to-right — the exact
+    association ``list_reduce(list(x ORDER BY term))`` reproduces); the
+    only cross-engine drift source is ln() (JVM StrictMath vs libm, ≤1
+    ulp per element), absorbed by ``round_to``. Docs with zero tokens
+    emit no row (they have no distribution), matching the SQL's GROUP BY.
+    """
+    toks = F.explode(
+        F.regexp_extract_all(F.lower("content"), F.lit(TOKEN_RE), 0)
+    )
+    tf = (
+        docs.select("docid", toks.alias("term"))
+        .groupBy("docid", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    c_tot = cf.agg(F.sum("cf").cast("double").alias("corpus_c"))
+    entries = (
+        tf.join(cf, "term")
+        .groupBy("docid")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "tf", "cf")))
+            .alias("entries")
+        )
+        .crossJoin(c_tot)
+    )
+    dl = F.aggregate(
+        "entries", F.lit(0).cast("long"), lambda acc, e: acc + e.tf
+    )
+    d = entries.select("docid", "entries", "corpus_c", dl.alias("dl"))
+    c = F.col("corpus_c")
+    dl_d = F.col("dl").cast("double")
+    sum_lp = F.aggregate(
+        "entries",
+        F.lit(0.0),
+        lambda acc, e: acc
+        + e.tf.cast("double") * F.log(e.cf.cast("double") / c),
+    )
+    kl = F.aggregate(
+        "entries",
+        F.lit(0.0),
+        lambda acc, e: acc
+        + (e.tf.cast("double") / dl_d)
+        * F.log((e.tf.cast("double") / dl_d) / (e.cf.cast("double") / c)),
+    )
+    xent = -sum_lp / dl_d
+    return d.select(
+        "docid",
+        F.col("dl"),
+        F.round(xent, round_to).alias("xent"),
+        F.round(F.exp(xent), round_to).alias("ppl"),
+        F.round(kl, round_to).alias("kl"),
+    )
+
+
 # ASCII-explicit so Java regex (Spark) and RE2 (DuckDB) agree exactly;
 # \d and \w unicode semantics differ between engines
 REDACT_PATTERNS = {

@@ -2399,6 +2399,101 @@ WHERE a.docid < b.docid
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against the PERSISTED fingerprint store: even
+    docids (< NEARDUP_MAX_DOCID) play the existing corpus — fingerprinted
+    once into a bucket-partitioned store — and odd docids play the new
+    crawl batch probed against it. Store write memoized per (application,
+    corpus); the entry measures the probe path: batch-side hashing,
+    partition-pruned store scan, band join, signature verify, sha
+    short-circuit."""
+    import hashlib as _h
+    import tempfile
+
+    from jassjr_spark.sources.fingerprint_store import (
+        dedup_against_store,
+        write_fingerprint_store,
+    )
+
+    docs = load_documents(spark, sf_dir).filter(
+        F.col("docid") < NEARDUP_MAX_DOCID
+    )
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/jassjr_fp_store_{tag}"
+    skey = (spark.sparkContext.applicationId, sf_dir, "fp_store")
+    if _INDEX_MEMO.get(skey) != path:
+        write_fingerprint_store(
+            docs.filter(F.col("docid") % 2 == 0), path,
+            n=3, num_hashes=16, bands=4,
+        )
+        _INDEX_MEMO[skey] = path
+    return dedup_against_store(
+        docs.filter(F.col("docid") % 2 == 1), spark, path,
+        est_threshold=0.25,
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    hashes = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT docid, {b} AS band, md5(h{b*4} || '|' || h{b*4+1} || '|' "
+        f"|| h{b*4+2} || '|' || h{b*4+3}) AS bh FROM sigs"
+        for b in range(4)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN q.h{i} = s.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS docid, text,
+         regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+  FROM documents WHERE doc_id < {NEARDUP_MAX_DOCID}
+),
+sh AS (
+  SELECT DISTINCT docid,
+         unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM docs WHERE len(toks) > 0
+),
+sigs AS (
+  SELECT docid,
+         {hashes}
+  FROM sh GROUP BY docid
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT q.docid AS docid, s.docid AS match_docid,
+         CAST(count(*) AS BIGINT) AS n_bands
+  FROM banded q JOIN banded s ON q.band = s.band AND q.bh = s.bh
+  WHERE q.docid % 2 = 1 AND s.docid % 2 = 0
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.docid, c.match_docid, c.n_bands,
+         round(({agree}) / 16.0, 4) AS est_jaccard
+  FROM cand c
+  JOIN sigs q ON q.docid = c.docid
+  JOIN sigs s ON s.docid = c.match_docid
+),
+exact AS (
+  SELECT q.docid AS docid, s.docid AS match_docid,
+         CAST(4 AS BIGINT) AS n_bands, 1.0 AS est_jaccard, TRUE AS exact
+  FROM docs q JOIN docs s ON sha256(q.text) = sha256(s.text)
+  WHERE q.docid % 2 = 1 AND s.docid % 2 = 0
+)
+SELECT v.docid, v.match_docid, v.n_bands, v.est_jaccard, FALSE AS exact
+FROM verified v
+LEFT JOIN exact e ON v.docid = e.docid AND v.match_docid = e.match_docid
+WHERE e.docid IS NULL AND v.est_jaccard >= 0.25
+UNION ALL
+SELECT docid, match_docid, n_bands, est_jaccard, exact FROM exact
+"""
+
+
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.1) over the
     docid < 200 slice — the verification stage LSH candidates feed at
@@ -6366,6 +6461,7 @@ def catalog() -> dict[str, tuple]:
         "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
         "dedup_fingerprints": (q_dedup_fingerprints, SQL_DEDUP_FINGERPRINTS),
         "dedup_minhash_pairs": (q_dedup_minhash_pairs, _sql_minhash()),
+        "dedup_incremental": (q_dedup_incremental, _sql_dedup_incremental()),
         "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
         "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
         "dedup_near_survivors": (q_dedup_near_survivors, _sql_dedup_near()),

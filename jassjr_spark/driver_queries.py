@@ -2878,6 +2878,71 @@ FROM d JOIN k USING (docid)
 """
 
 
+BIGRAM_LAM = 0.75
+
+
+def q_text_ppl2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity (the 2-gram fluency gate):
+    bigram + unigram MLE models trained on the corpus, applied per doc
+    with a position-ordered fold."""
+    return textstats.bigram_lm_scores(
+        load_documents(spark, sf_dir), lam=BIGRAM_LAM
+    )
+
+
+SQL_TEXT_PPL2 = f"""
+WITH t AS (
+  SELECT doc_id AS docid, regexp_extract_all(lower(text), '{_TOK_SQL}') AS toks
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '{_TOK_SQL}')) > 0
+),
+tok AS (
+  SELECT docid,
+         unnest(list_transform(generate_series(1, len(toks)),
+                               i -> {{'pos': i - 1, 'term': toks[i]}}),
+                recursive := true)
+  FROM t
+),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY term),
+c AS (SELECT CAST(sum(cf) AS DOUBLE) AS corpus_c FROM cf),
+big AS (
+  SELECT docid,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> {{'pos': i - 1, 'a': toks[i],
+                                      'b': toks[i + 1]}}),
+                recursive := true)
+  FROM t WHERE len(toks) >= 2
+),
+bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS nab FROM big GROUP BY a, b),
+lc AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM bc GROUP BY a),
+lps AS (
+  SELECT tok.docid, CAST(-1 AS BIGINT) AS pos,
+         ln(CAST(cf.cf AS DOUBLE) / c.corpus_c) AS lp
+  FROM tok JOIN cf USING (term) CROSS JOIN c
+  WHERE tok.pos = 0
+  UNION ALL
+  SELECT big.docid, CAST(big.pos AS BIGINT) AS pos,
+         ln({BIGRAM_LAM} * (CAST(bc.nab AS DOUBLE) / CAST(lc.na AS DOUBLE))
+            + (1.0 - {BIGRAM_LAM})
+              * (CAST(cf.cf AS DOUBLE) / c.corpus_c)) AS lp
+  FROM big
+  JOIN bc USING (a, b)
+  JOIN lc USING (a)
+  JOIN cf ON cf.term = big.b
+  CROSS JOIN c
+),
+agg AS (
+  SELECT docid, CAST(count(*) AS BIGINT) AS dl,
+         list_reduce(list(lp ORDER BY pos), (x, y) -> x + y) AS score
+  FROM lps GROUP BY docid
+)
+SELECT docid, dl,
+       round(-score / CAST(dl AS DOUBLE), 6) AS xent2,
+       round(exp(-score / CAST(dl AS DOUBLE)), 6) AS ppl2
+FROM agg
+"""
+
+
 # Fixed, training-consistent merge list (each merge's operands exist as
 # single chars or as outputs of EARLIER merges). For such lists the
 # iterative lowest-rank BPE encode is provably identical to replaying the
@@ -6478,6 +6543,7 @@ def catalog() -> dict[str, tuple]:
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),
         "text_ppl": (q_text_ppl, SQL_TEXT_PPL),
+        "text_ppl2": (q_text_ppl2, SQL_TEXT_PPL2),
         "text_bpe_tokens": (q_text_bpe_tokens, _sql_text_bpe_tokens()),
         "text_bpe_merges": (q_text_bpe_merges, None),  # iterative: rows-only
         "agg_hll_shingles": (q_agg_hll_shingles, _sql_agg_hll()),

@@ -225,6 +225,115 @@ def lm_scores(docs: DataFrame, round_to: int = 6) -> DataFrame:
     )
 
 
+def bigram_lm_scores(
+    docs: DataFrame, lam: float = 0.75, round_to: int = 6
+) -> DataFrame:
+    """Interpolated bigram-LM perplexity per document — the 2-gram core
+    of the KenLM-style fluency gate, trained on and applied to the corpus
+    in one pass.
+
+    (docid, content) -> (docid, dl, xent2, ppl2):
+
+    Per token stream t_1..t_n the score is ``ln P_uni(t_1) +
+    sum_{i>=2} ln(lam * P_bi(t_i|t_{i-1}) + (1-lam) * P_uni(t_i))`` with
+    MLE estimates ``P_uni(t) = cf_t / C`` and ``P_bi(b|a) = c(a,b) /
+    c(a,·)`` (c(a,·) = occurrences of ``a`` as a bigram left — so rows
+    with an unseen-in-train bigram are impossible: the model trains on
+    the same corpus it scores). Interpolation with the unigram floor is
+    what makes the signal discriminative: rote/boilerplate text rides
+    high-probability bigrams, shuffled or machine-garbled text falls to
+    the unigram floor. xent2 = -score/dl (nats/token), ppl2 = exp(xent2).
+
+    Shape at scale: two model aggregations (bigram counts, unigram cf —
+    both vocab-ish sized), three shuffle joins of the exploded bigram
+    stream against them, one per-doc ordered fold. No UDF, no driver
+    data; C and the model tables stay distributed.
+
+    Exactness: per-doc sums fold in POSITION order (sort_array on
+    (pos, ...) structs) mirroring the oracle's
+    ``list_reduce(list(x ORDER BY pos))``; ln drift absorbed by
+    ``round_to``. Zero-token docs emit nothing.
+    """
+    toks = F.regexp_extract_all(F.lower("content"), F.lit(TOKEN_RE), 0)
+    d = docs.select("docid", toks.alias("toks")).filter(F.size("toks") > 0)
+    tok = d.select(
+        "docid", F.posexplode("toks").alias("pos", "term")
+    )
+    cf = tok.groupBy("term").agg(F.count("*").alias("cf"))
+    c_tot = cf.agg(F.sum("cf").cast("double").alias("corpus_c"))
+    big = d.select(
+        "docid",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("a"),
+                        F.element_at("toks", i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<a:string,b:string>>")),
+        ).alias("pos", "p"),
+    ).select("docid", "pos", "p.a", "p.b")
+    bc = big.groupBy("a", "b").agg(F.count("*").alias("nab"))
+    left_c = bc.groupBy("a").agg(F.sum("nab").alias("na"))
+    scored = (
+        big.join(bc, ["a", "b"])
+        .join(left_c, "a")
+        .join(cf.select(F.col("term").alias("b"), "cf"), "b")
+        .select(
+            "docid",
+            "pos",
+            (
+                F.lit(lam)
+                * (F.col("nab").cast("double") / F.col("na").cast("double"))
+            ).alias("p_bi_part"),
+            F.col("cf").cast("double").alias("cf_b"),
+        )
+    )
+    # first token: unigram-only, folded as pos = -1 so it leads the chain
+    first = (
+        tok.filter(F.col("pos") == 0)
+        .join(cf, "term")
+        .crossJoin(c_tot)
+        .select(
+            "docid",
+            F.lit(-1).alias("pos"),
+            F.log(F.col("cf").cast("double") / F.col("corpus_c"))
+            .alias("lp"),
+        )
+    )
+    rest = scored.crossJoin(c_tot).select(
+        "docid",
+        "pos",
+        F.log(
+            F.col("p_bi_part")
+            + F.lit(1.0 - lam) * (F.col("cf_b") / F.col("corpus_c"))
+        ).alias("lp"),
+    )
+    per_doc = (
+        first.unionByName(rest)
+        .groupBy("docid")
+        .agg(
+            F.count("*").cast("long").alias("dl"),
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("pos", "lp"))),
+                F.lit(0.0),
+                lambda acc, e: acc + e.lp,
+            ).alias("score"),
+        )
+    )
+    xent2 = -F.col("score") / F.col("dl").cast("double")
+    return per_doc.select(
+        "docid",
+        "dl",
+        F.round(xent2, round_to).alias("xent2"),
+        F.round(F.exp(xent2), round_to).alias("ppl2"),
+    )
+
+
 # ASCII-explicit so Java regex (Spark) and RE2 (DuckDB) agree exactly;
 # \d and \w unicode semantics differ between engines
 REDACT_PATTERNS = {

@@ -52,3 +52,58 @@ def test_lm_scores_gibberish_scores_higher(spark):
     docs = spark.createDataFrame(rows, "docid long, content string")
     out = {r.docid: r.ppl for r in lm_scores(docs).collect()}
     assert out[100] > out[0]
+
+
+def test_bigram_lm_hand_computed(spark):
+    from jassjr_spark.operators.textstats import bigram_lm_scores
+
+    # corpus: "a b a b" and "a b c"
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "docid long, content string"
+    )
+    out = {r.docid: r for r in bigram_lm_scores(docs, lam=0.5).collect()}
+    # unigrams: a=3, b=3, c=1, C=7
+    # bigrams: (a,b)=3, (b,a)=1, (b,c)=1 ; left counts: a·=3, b·=2
+    p_ab = 3 / 3
+    p_ba = 1 / 2
+    p_bc = 1 / 2
+    pu = {"a": 3 / 7, "b": 3 / 7, "c": 1 / 7}
+    lam = 0.5
+    s0 = (
+        math.log(pu["a"])
+        + math.log(lam * p_ab + (1 - lam) * pu["b"])
+        + math.log(lam * p_ba + (1 - lam) * pu["a"])
+        + math.log(lam * p_ab + (1 - lam) * pu["b"])
+    )
+    assert out[0].dl == 4
+    assert abs(out[0].xent2 - (-s0 / 4)) < 1e-6
+    s1 = (
+        math.log(pu["a"])
+        + math.log(lam * p_ab + (1 - lam) * pu["b"])
+        + math.log(lam * p_bc + (1 - lam) * pu["c"])
+    )
+    assert out[1].dl == 3
+    assert abs(out[1].ppl2 - math.exp(-s1 / 3)) < 1e-5
+
+
+def test_bigram_lm_single_token_doc(spark):
+    from jassjr_spark.operators.textstats import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(0, "hello"), (1, "hello world")], "docid long, content string"
+    )
+    out = {r.docid: r for r in bigram_lm_scores(docs).collect()}
+    assert out[0].dl == 1
+    # P_uni(hello) = 2/3 -> xent = -ln(2/3)
+    assert abs(out[0].xent2 - (-math.log(2 / 3))) < 1e-6
+
+
+def test_bigram_lm_shuffled_text_scores_worse(spark):
+    from jassjr_spark.operators.textstats import bigram_lm_scores
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, fluent) for i in range(8)]
+    rows.append((100, "mat the on dog sat rug the cat the and on sat"))
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    out = {r.docid: r.ppl2 for r in bigram_lm_scores(docs).collect()}
+    assert out[100] > out[0]

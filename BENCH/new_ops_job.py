@@ -42,6 +42,9 @@ ENTRIES = [
     "ft_lmd_top10", "ft_tfidf_top10", "ft_msm_top10", "ft_docboost_top10",
     "ft_err", "ft_rbp", "ft_zipf", "ft_stop_top10", "hybrid_linear_top10",
     "code_facet_percentiles", "snap_as_of_lengths", "sim_pq_top5",
+    # round-4 session-6 additions (LM quality, BPE, incremental dedup)
+    "text_ppl", "text_ppl2", "text_bpe_tokens", "text_bpe_merges",
+    "dedup_incremental",
 ]
 
 

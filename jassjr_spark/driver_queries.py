@@ -2878,6 +2878,45 @@ FROM d JOIN k USING (docid)
 """
 
 
+def q_pipe_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing plan: per-language token shares and capped resample
+    weights toward a uniform target mix — the planning table a
+    training-data run budgets from."""
+    from jassjr_spark.plans.data_pipeline import mix_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("lang"), F.col("text").alias("content")
+    )
+    return mix_weights(docs, domain_col="lang", max_upsample=3.0)
+
+
+SQL_PIPE_MIX_WEIGHTS = f"""
+WITH per AS (
+  SELECT lang AS domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower(text), '{_TOK_SQL}')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tokens,
+         CAST(count(*) AS BIGINT) AS n_domains
+  FROM per
+)
+SELECT domain, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS share,
+       round(1.0 / CAST(n_domains AS DOUBLE), 6) AS target,
+       round(least((1.0 / CAST(n_domains AS DOUBLE))
+                   / (CAST(n_tokens AS DOUBLE) / tot_tokens), 3.0), 6)
+         AS weight,
+       round(CAST(n_tokens AS DOUBLE)
+             * least((1.0 / CAST(n_domains AS DOUBLE))
+                     / (CAST(n_tokens AS DOUBLE) / tot_tokens), 3.0), 1)
+         AS eff_tokens
+FROM per CROSS JOIN tot
+"""
+
+
 BIGRAM_LAM = 0.75
 
 
@@ -6544,6 +6583,7 @@ def catalog() -> dict[str, tuple]:
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),
         "text_ppl": (q_text_ppl, SQL_TEXT_PPL),
         "text_ppl2": (q_text_ppl2, SQL_TEXT_PPL2),
+        "pipe_mix_weights": (q_pipe_mix_weights, SQL_PIPE_MIX_WEIGHTS),
         "text_bpe_tokens": (q_text_bpe_tokens, _sql_text_bpe_tokens()),
         "text_bpe_merges": (q_text_bpe_merges, None),  # iterative: rows-only
         "agg_hll_shingles": (q_agg_hll_shingles, _sql_agg_hll()),

@@ -179,3 +179,69 @@ def curate_report(
         for name, df in _stages(docs, benchmark, gates, decon_n,
                                 decon_min_shared)
     ]
+
+
+def mix_weights(
+    docs: DataFrame,
+    domain_col: str = "lang",
+    targets: dict[str, float] | None = None,
+    max_upsample: float = 3.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Domain-mixing resample weights: how much to up/down-sample each
+    domain so the shipped corpus hits a target token distribution.
+
+    -> (domain, n_docs, n_tokens, share, target, weight, eff_tokens):
+    ``share`` = domain tokens / corpus tokens; ``target`` = requested
+    share (uniform across observed domains when ``targets`` is None,
+    else normalized from the dict — domains absent from the dict get 0);
+    ``weight`` = min(target/share, max_upsample) — the per-doc sampling
+    multiplier, capped because upsampling a tiny domain 100x just
+    replays the same documents; ``eff_tokens`` = round(n_tokens *
+    weight): the token mass the mix actually yields, the number a
+    training-run planner budgets with.
+
+    One exploded token count + one domain-sized aggregation; the domain
+    table is tiny, so the shares/weights join is a broadcast. This is
+    the planning step of data mixing (the execution step is
+    sampling.stratified_sample / quota sampling with these weights).
+    """
+    from jassjr_spark.constants import TOKEN_RE
+
+    tok_count = F.size(
+        F.regexp_extract_all(F.lower("content"), F.lit(TOKEN_RE), 0)
+    ).cast("long")
+    per_domain = (
+        docs.select(F.col(domain_col).alias("domain"),
+                    tok_count.alias("toks"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("n_tokens"))
+    )
+    tot = per_domain.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens")
+    )
+    d = per_domain.crossJoin(F.broadcast(tot))
+    if targets is None:
+        n_domains = per_domain.count()
+        target = F.lit(1.0) / F.lit(float(n_domains))
+    else:
+        z = sum(targets.values())
+        if z <= 0:
+            raise ValueError("targets must have positive mass")
+        mapping = F.create_map(
+            *[F.lit(x) for kv in targets.items()
+              for x in (kv[0], kv[1] / z)]
+        )
+        target = F.coalesce(mapping[F.col("domain")], F.lit(0.0))
+    share = F.col("n_tokens").cast("double") / F.col("tot_tokens")
+    weight = F.least(target / share, F.lit(float(max_upsample)))
+    return d.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(share, round_to).alias("share"),
+        F.round(target, round_to).alias("target"),
+        F.round(weight, round_to).alias("weight"),
+        F.round(F.col("n_tokens").cast("double") * weight, 1)
+        .alias("eff_tokens"),
+    )

@@ -165,3 +165,52 @@ def test_pack_shards_rejects_bad_cap(spark):
 
     with _pytest.raises(ValueError):
         pack_shards(df, "n", ["docid"], cap=0)
+
+
+def test_mix_weights_uniform_and_capped(spark):
+    from jassjr_spark.plans.data_pipeline import mix_weights
+
+    docs = spark.createDataFrame(
+        [("py", "a b c d e f g h i j k l m n o p q r"),  # 18 tokens
+         ("py", "a b c d e f g h i j k l"),               # 12 tokens
+         ("go", "x y")],                                  # 2  tokens
+        "lang string, content string",
+    )
+    out = {r.domain: r for r in mix_weights(docs, "lang").collect()}
+    assert out["py"].n_docs == 2 and out["py"].n_tokens == 30
+    assert out["go"].n_tokens == 2
+    assert abs(out["py"].share - 30 / 32) < 1e-6
+    # uniform target 0.5; go's raw weight 0.5/(2/32) = 8 -> capped at 3
+    assert out["go"].weight == 3.0
+    assert abs(out["py"].weight - 0.5 / (30 / 32)) < 1e-6
+    assert out["go"].eff_tokens == 6.0
+
+
+def test_mix_weights_explicit_targets(spark):
+    from jassjr_spark.plans.data_pipeline import mix_weights
+
+    docs = spark.createDataFrame(
+        [("py", "a b c"), ("go", "x y z"), ("rs", "p q r")],
+        "lang string, content string",
+    )
+    out = {r.domain: r for r in mix_weights(
+        docs, "lang", targets={"py": 2.0, "go": 1.0}, max_upsample=10.0
+    ).collect()}
+    # normalized targets: py 2/3, go 1/3, rs absent -> 0
+    assert abs(out["py"].target - 2 / 3) < 1e-6
+    assert abs(out["go"].target - 1 / 3) < 1e-6
+    assert out["rs"].target == 0.0 and out["rs"].weight == 0.0
+    # shares are uniform 1/3 -> weights = target/share
+    assert abs(out["py"].weight - 2.0) < 1e-6
+
+
+def test_mix_weights_rejects_zero_mass(spark):
+    import pytest as _pytest
+
+    from jassjr_spark.plans.data_pipeline import mix_weights
+
+    docs = spark.createDataFrame(
+        [("py", "a")], "lang string, content string"
+    )
+    with _pytest.raises(ValueError, match="positive mass"):
+        mix_weights(docs, "lang", targets={"py": 0.0})

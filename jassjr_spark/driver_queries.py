@@ -1554,6 +1554,116 @@ QUALIFY rank <= {k}
 """
 
 
+# (query_id, terms, slop): ordered span-near workload; qid 4 reverses
+# qid 1's order so the entry witnesses order sensitivity, qid 5 is the
+# unmatched-constraint case
+SPAN_QUERIES: list[tuple[int, list[str], int]] = [
+    (1, ["merge", "group"], 2),
+    (2, ["hash", "table"], 0),          # slop 0 == exact phrase
+    (3, ["part", "key", "scan"], 4),    # 3-term ordered chain
+    (4, ["group", "merge"], 2),
+    (5, ["scan", "zzzmissing"], 3),     # unmatched -> no rows
+]
+
+
+def q_ft_span_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Ordered span-near top-10 (operators/positional.py:
+    span_near_occurrences): BM25 over the in-order-within-slop synthetic
+    term — order without adjacency, between phrase and proximity. Same
+    rounded re-rank shape as ft_prox_top10."""
+    from jassjr_spark.operators.positional import phrase_search
+
+    idx = corpus_index(spark, sf_dir).cache()
+    s = idx.scalar_stats()
+    pos = corpus_positions(spark, sf_dir)
+    out = []
+    for qid, terms, slop in SPAN_QUERIES:
+        out.append(
+            phrase_search(pos, idx.doc_lengths, [(qid, terms)], k=100,
+                          stats=s, slop=slop)
+        )
+    run = out[0]
+    for r in out[1:]:
+        run = run.unionByName(r)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
+def _sql_span_exists(terms: list[str], max_span: int) -> str:
+    """Nested existential chain: anchor var i, successors j0, j1, ...
+    each strictly after its predecessor and within i + max_span.
+    Equivalent to the engine's greedy-minimal chain (the minimal chain
+    has the smallest final position, so it fits iff any chain does)."""
+
+    def rec(prev_var: str, rest: list[str], depth: int) -> str:
+        if not rest:
+            return ""
+        v = f"j{depth}"
+        inner = rec(v, rest[1:], depth + 1)
+        body = f"toks[{v}] = '{rest[0]}'" + (f" AND {inner}" if inner else "")
+        return (
+            f"len(list_filter(range({prev_var} + 1,"
+            f" least(len(toks), i + {max_span}) + 1),"
+            f" {v} -> {body})) > 0"
+        )
+
+    chain = rec("i", terms[1:], 0)
+    return f"toks[i] = '{terms[0]}'" + (f" AND {chain}" if chain else "")
+
+
+def _sql_ft_span(k: int = 10) -> str:
+    selects = []
+    for qid, terms, slop in SPAN_QUERIES:
+        cond = _sql_span_exists(terms, len(terms) - 1 + slop)
+        selects.append(
+            f"SELECT {qid} AS query_id, docid,\n"
+            f"       len(list_filter(range(1, len(toks) + 1),\n"
+            f"           i -> {cond})) AS phrase_tf\n"
+            f"FROM toks"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS docid,
+         list_transform(regexp_extract_all(lower(text), '{_TOK_SQL}'),
+                        t -> substr(t, 1, 255)) AS toks
+  FROM documents
+),
+alldl AS (SELECT docid, len(toks) AS len FROM toks),
+stats AS (SELECT count(*) AS n, avg(len) AS avgdl FROM alldl),
+occ AS (
+  SELECT * FROM ({union}) WHERE phrase_tf > 0
+),
+dfs AS (SELECT query_id, count(*) AS df FROM occ GROUP BY query_id),
+scored AS (
+  SELECT o.query_id, o.docid,
+         round(ln(CAST(s.n AS DOUBLE) / f.df)
+           * ((o.phrase_tf * ({K1} + 1.0))
+              / (o.phrase_tf + {K1} * ((1.0 - {B}) + {B} * (a.len / s.avgdl)))),
+           4) AS rsv
+  FROM occ o
+  JOIN dfs f USING (query_id)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE f.df < s.n
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv
+FROM scored
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 def q_ft_bm25_and(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Conjunctive (boolean-AND) BM25 top-k (operators/search.py:
     search_conjunctive, lenient mode: OOV / df==N terms are
@@ -6534,6 +6644,7 @@ def catalog() -> dict[str, tuple]:
         "ft_phrase_top10": (q_ft_phrase_top10, _sql_ft_phrase()),
         "ft_phrase_mix_top10": (q_ft_phrase_mix_top10, _sql_ft_phrase_mix()),
         "ft_prox_top10": (q_ft_prox_top10, _sql_ft_prox()),
+        "ft_span_top10": (q_ft_span_top10, _sql_ft_span()),
         "ft_bm25_saat": (q_ft_bm25_saat, _sql_ft_saat()),
         "ft_top_terms": (q_ft_top_terms, SQL_FT_TOP_TERMS),
         "ft_show_document": (q_ft_show_document, SQL_FT_SHOW_DOCUMENT),

@@ -163,9 +163,83 @@ def proximity_occurrences(
     ).filter(F.col("prox_tf") > 0)
 
 
+def span_near_occurrences(
+    positions: DataFrame, terms: list[str], slop: int = 0
+) -> DataFrame:
+    """Ordered span-near (Lucene SpanNearQuery, inOrder=true):
+    -> (docid, span_tf) where
+
+        span_tf = |{p0 ∈ P(t0) : ∃ p0 < p1 < ... < pL−1, p_i ∈ P(t_i),
+                                  p_{L−1} − p0 ≤ (L−1) + slop}|
+
+    — anchor occurrences of the first term from which the remaining
+    terms can be chained IN ORDER within a total span of L−1+slop
+    positions. slop=0 degenerates to exact phrase (the only chain that
+    fits is p_i = p0+i). Sits between phrase (order + adjacency) and
+    proximity (neither): order without adjacency.
+
+    Evaluation is the GREEDY-minimal chain: per surviving anchor the
+    accumulator keeps (start, cur) and each step advances cur to
+    min{q ∈ P(t_i) : q > cur}. Greedy is exact for the existence
+    question — the minimal chain has the smallest possible p_{L−1}, so
+    it fits the span budget iff any chain does. Chains are pruned the
+    step they exceed the budget (cur only grows), so intermediate
+    arrays never exceed the anchor term's tf. Same plan shape as
+    phrase_occurrences: a term-pruned positional scan and L−1 docid
+    hash joins of per-doc position lists, pure HOF Column math, no UDF.
+    """
+    if not terms:
+        raise ValueError("empty term list")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    terms = [t.lower()[:255] for t in terms]
+    max_span = len(terms) - 1 + slop
+    pruned = positions.filter(F.col("term").isin(sorted(set(terms))))
+
+    acc = pruned.filter(F.col("term") == terms[0]).select(
+        "docid",
+        F.transform(
+            "positions", lambda p: F.struct(p.alias("s"), p.alias("c"))
+        ).alias("acc"),
+    )
+
+    def _advance(col_name: str):
+        # closure factory: the HOF bridge passes one Column per lambda
+        # parameter, so loop state must be captured here
+        def fn(x):
+            return F.struct(
+                x["s"].alias("s"),
+                F.array_min(
+                    F.filter(F.col(col_name), lambda q: q > x["c"])
+                ).alias("c"),
+            )
+
+        return fn
+
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pruned.filter(F.col("term") == t).select(
+            "docid", F.col("positions").alias(f"_s{i}")
+        )
+        acc = (
+            acc.join(nxt, "docid")
+            .select(
+                "docid",
+                F.filter(
+                    F.transform("acc", _advance(f"_s{i}")),
+                    lambda x: x["c"].isNotNull()
+                    & ((x["c"] - x["s"]) <= F.lit(max_span)),
+                ).alias("acc"),
+            )
+            .filter(F.size("acc") > 0)
+        )
+    return acc.select(
+        "docid", F.size("acc").cast("int").alias("span_tf")
+    ).filter(F.col("span_tf") > 0)
+
+
 def _scored_phrase(
     positions: DataFrame, doc_lengths: DataFrame, phrase: list[str],
-    n_docs: int, avgdl: float, window: int | None,
+    n_docs: int, avgdl: float, window: int | None, slop: int | None = None,
 ) -> DataFrame | None:
     """One phrase's per-doc BM25 contribution -> (docid, contrib), or
     None when the phrase matches nothing or everything (df==N elision).
@@ -177,7 +251,12 @@ def _scored_phrase(
     column (the match set is small: only matching docs survive)."""
     import math
 
-    if window is None:
+    if window is not None and slop is not None:
+        raise ValueError("window (unordered) and slop (ordered) are exclusive")
+    if slop is not None:
+        occ = span_near_occurrences(positions, phrase, slop) \
+            .withColumnRenamed("span_tf", "phrase_tf")
+    elif window is None:
         occ = phrase_occurrences(positions, phrase)
     else:
         occ = proximity_occurrences(positions, phrase, window) \
@@ -204,12 +283,14 @@ def phrase_search(
     k: int = TOP_K,
     stats: dict | None = None,
     window: int | None = None,
+    slop: int | None = None,
 ) -> DataFrame:
     """phrases = [(query_id, [term, ...]), ...] ->
     (query_id, docid, rank, rsv): BM25-scored top-k where each query is
     one synthetic term — exact-phrase occurrences by default, anchored
     unordered proximity within ``window`` tokens when ``window`` is set
-    (see proximity_occurrences).
+    (see proximity_occurrences), ordered span-near within ``slop``
+    when ``slop`` is set (see span_near_occurrences).
 
     ``doc_lengths`` is (docid, len); N and avgdl are derived from it when
     ``stats`` (n_docs, avgdl) isn't supplied. df is computed per query
@@ -225,7 +306,7 @@ def phrase_search(
     runs = []
     for qid, phrase in phrases:
         scored = _scored_phrase(positions, doc_lengths, phrase,
-                                n_docs, avgdl, window)
+                                n_docs, avgdl, window, slop)
         if scored is None:
             continue  # unmatched, or idf == 0 elision (df == N)
         runs.append(
@@ -267,14 +348,19 @@ def phrase_contribs(
     as ONE synthetic term (df from its own match set, same formula as
     phrase_search), with ``pos = PHRASE_POS_BASE + slot`` so the
     contribution unions into the scored-term stream and the ordered rsv
-    fold stays deterministic. Returns None when no phrase is scorable
-    (unmatched, or df == N elision). Scoring body shared with
-    phrase_search via _scored_phrase."""
+    fold stays deterministic. A 4-tuple (query_id, slot, terms, slop)
+    evaluates that clause as ordered span-near within ``slop`` instead
+    of exact phrase (slop None = exact; the query language's "a b"~n).
+    Returns None when no phrase is scorable (unmatched, or df == N
+    elision). Scoring body shared with phrase_search via
+    _scored_phrase."""
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     runs = []
-    for qid, slot, phrase in phrases:
+    for entry in phrases:
+        qid, slot, phrase = entry[0], entry[1], entry[2]
+        slop = entry[3] if len(entry) > 3 else None
         scored = _scored_phrase(positions, doc_lengths, phrase,
-                                n_docs, avgdl, window)
+                                n_docs, avgdl, window, slop)
         if scored is None:
             continue
         runs.append(
@@ -318,10 +404,9 @@ def search_with_phrases(
 
     s = stats or index.scalar_stats()
     spark = positions.sparkSession
-    ph = phrase_contribs(
-        positions, index.doc_lengths,
-        [(qid, slot, p) for qid, slot, p in phrases], s,
-    )
+    # phrase entries pass through verbatim: 3-tuples are exact phrases,
+    # 4-tuples (qid, slot, terms, slop) are ordered span-near clauses
+    ph = phrase_contribs(positions, index.doc_lengths, list(phrases), s)
     scored = None
     if queries is not None:
         bad = queries.filter(F.col("pos") >= PHRASE_POS_BASE).count()

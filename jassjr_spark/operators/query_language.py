@@ -10,6 +10,7 @@ the execution is entirely existing plans:
     +hash table           -> '+' terms REQUIRED, all score (search_mixed)
     hash -merge           -> '-' terms excluded            (search_negated)
     "hash table"          -> exact phrase                  (phrase_search)
+    "hash table"~2        -> ordered span-near, slop 2     (span_near)
     lang:py hash          -> metadata scope                (search_scoped)
     n_chars:>=100 hash    -> numeric range scope            (search_scoped)
     hash^2.5 table        -> '^w' term boost               (weighted search)
@@ -44,7 +45,7 @@ from pyspark.sql import functions as F
 from jassjr_spark.constants import MAX_TOKEN_LEN, TOKEN_RE
 from jassjr_spark.operators.index_build import Index
 
-_PHRASE_RE = re.compile(r'"([^"]*)"')
+_PHRASE_RE = re.compile(r'"([^"]*)"(?:~(\d+))?')
 _FIELD_RE = re.compile(r"^(\w+):(.+)$")
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.+)~(\d)?$")
@@ -60,6 +61,8 @@ class ParsedQuery:
     required: list[str] = field(default_factory=list)   # subset of positive
     negated: list[str] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
+    slops: list[int | None] = field(default_factory=list)  # 1:1 with phrases;
+    # None = exact phrase, n = ordered span-near within n extra positions
     filters: dict[str, str] = field(default_factory=dict)
     ranges: list[tuple[str, str, float]] = field(default_factory=list)
     # (field, op, bound) from field:>x / >=x / <x / <=x
@@ -88,6 +91,10 @@ def parse_user_query(line: str) -> ParsedQuery:
         toks = _lex(m.group(1))
         if toks:
             out.phrases.append(toks)
+            # "a b"~n = ordered span-near within n extra positions
+            # (this engine's ~n is IN-ORDER, stricter than Lucene's
+            # transposition-tolerant sloppy phrase)
+            out.slops.append(int(m.group(2)) if m.group(2) else None)
         return " "
 
     rest = _PHRASE_RE.sub(_take_phrase, line)
@@ -266,7 +273,8 @@ def run_user_query(
         from jassjr_spark.operators.positional import search_with_phrases
 
         plain = _plain_frame(spark, p, query_id) if p.positive else None
-        ph = [(query_id, slot, phr) for slot, phr in enumerate(p.phrases)]
+        ph = [(query_id, slot, phr, slop)
+              for slot, (phr, slop) in enumerate(zip(p.phrases, p.slops))]
         return search_with_phrases(index, plain, ph, positions, k=k,
                                    stats=index.scalar_stats())
 

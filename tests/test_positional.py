@@ -179,3 +179,112 @@ def test_proximity_search_ranks_by_bm25(spark):
                         window=1).collect()
     assert [r.docid for r in run] == [9] and run[0].rank == 1
     assert run[0].rsv > 0
+
+
+def _py_span_tf(text, terms, slop):
+    """Greedy-minimal ordered-chain reference (== existential: the
+    minimal chain has the smallest final position, so it fits iff any
+    chain does)."""
+    toks = _py_tokens(text)
+    by = {}
+    for p, t in enumerate(toks):
+        by.setdefault(t, []).append(p)
+    budget = len(terms) - 1 + slop
+    n = 0
+    for p0 in by.get(terms[0], []):
+        cur, ok = p0, True
+        for t in terms[1:]:
+            nxt = min((q for q in by.get(t, []) if q > cur), default=None)
+            if nxt is None or nxt - p0 > budget:
+                ok = False
+                break
+            cur = nxt
+        n += ok
+    return n
+
+
+def test_span_near_slop0_equals_phrase(spark):
+    from jassjr_spark.operators.positional import span_near_occurrences
+
+    docs = _docs(spark)
+    pos = build_positions(docs).cache()
+    for phrase in (["quick", "brown"], ["hash", "hash"],
+                   ["the", "quick", "brown"], ["no", "match"]):
+        span = {r.docid: r.span_tf
+                for r in span_near_occurrences(pos, phrase, 0).collect()}
+        ph = {r.docid: r.phrase_tf
+              for r in phrase_occurrences(pos, phrase).collect()}
+        assert span == ph, phrase
+
+
+def test_span_near_matches_python_reference(spark):
+    from jassjr_spark.operators.positional import span_near_occurrences
+
+    rows = [
+        (0, "alpha x beta y gamma"),        # alpha..gamma span 4 (slop 2)
+        (1, "alpha beta gamma"),            # exact chain (slop 0)
+        (2, "gamma beta alpha"),            # reversed: order must fail
+        (3, "alpha x x x beta x x x gamma"),  # span 8 (slop 6)
+        (4, "alpha beta alpha beta gamma"),  # multiple anchors
+        (5, "alpha alpha beta"),            # duplicate anchor
+    ]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    pos = build_positions(docs).cache()
+    for terms, slop in (
+        (["alpha", "beta"], 0), (["alpha", "beta"], 2),
+        (["alpha", "beta", "gamma"], 0), (["alpha", "beta", "gamma"], 2),
+        (["alpha", "beta", "gamma"], 6), (["beta", "alpha"], 1),
+        (["alpha", "gamma"], 3), (["alpha", "zzz"], 5),
+    ):
+        got = {r.docid: r.span_tf
+               for r in span_near_occurrences(pos, terms, slop).collect()}
+        expect = {
+            d.docid: _py_span_tf(d.content, terms, slop)
+            for d in docs.collect()
+            if _py_span_tf(d.content, terms, slop) > 0
+        }
+        assert got == expect, (terms, slop)
+
+
+def test_span_near_order_and_boundaries(spark):
+    from jassjr_spark.operators.positional import span_near_occurrences
+
+    docs = spark.createDataFrame(
+        [(0, "aa x bb"), (1, "bb x aa"), (2, "aa x x bb")],
+        "docid long, content string",
+    )
+    pos = build_positions(docs).cache()
+    # slop 1 reaches exactly one intervening token: doc 0 only
+    got = {r.docid for r in span_near_occurrences(pos, ["aa", "bb"], 1).collect()}
+    assert got == {0}
+    # slop 2 admits doc 2's two-token gap as well; doc 1 stays out (order)
+    got = {r.docid for r in span_near_occurrences(pos, ["aa", "bb"], 2).collect()}
+    assert got == {0, 2}
+    # window (unordered) at the same width would admit doc 1 — the
+    # operators genuinely differ
+    from jassjr_spark.operators.positional import proximity_occurrences
+    got = {r.docid for r in proximity_occurrences(pos, ["aa", "bb"], 2).collect()}
+    assert got == {0, 1}
+
+
+def test_span_near_search_scoring(spark):
+    rows = [(i, "alpha " + "pad " * 3 + ("alpha beta " * (i + 1)) + "end zzz")
+            for i in range(4)] + [(9, "alpha beta only once here")]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    pos = build_positions(docs).cache()
+    dl = docs.select(
+        "docid",
+        F.size(F.regexp_extract_all(F.lower("content"),
+                                    F.lit(TOK), 0)).alias("len"),
+    )
+    run = phrase_search(pos, dl, [(1, ["alpha", "beta"])], k=10, slop=0)
+    assert run.count() == 0  # every doc matches -> df == N -> elided
+    # (alpha, end): only docs 0-3; higher span_tf can't arise but the
+    # slop path must still rank by BM25 (shorter doc wins at equal tf)
+    run = phrase_search(pos, dl, [(2, ["beta", "end"])], k=10,
+                        slop=0).collect()
+    assert [r.docid for r in run] == [0, 1, 2, 3]
+    # window= and slop= together must refuse
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        phrase_search(pos, dl, [(3, ["alpha", "beta"])], window=2, slop=1)

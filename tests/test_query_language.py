@@ -414,3 +414,34 @@ def test_run_user_queries_property_mixed_operators(spark, engine):
         assert got == want
 
     check()
+
+
+def test_parse_phrase_slop():
+    p = parse_user_query('"apple orange"~2 cherry "exact one"')
+    assert p.phrases == [["apple", "orange"], ["exact", "one"]]
+    assert p.slops == [2, None]
+    assert p.positive == ["cherry"]
+    # "phrase"~ with no digits leaves a dangling ~ token -> raise-loudly
+    with pytest.raises(ValueError):
+        parse_user_query('"apple orange"~ cherry')
+
+
+def test_phrase_slop_executes_span_near(spark, engine):
+    docs, idx, _ = engine
+    from jassjr_spark.operators.positional import build_positions
+
+    pos = build_positions(docs.select("docid", "content")).cache()
+    # exact: only d3 has "apple orange" adjacent
+    rows = run_user_query(idx, '"apple orange"', positions=pos).collect()
+    assert {r.docno for r in rows} == {"d3"}
+    # slop 1 admits one intervening token: d0 (banana), d1 (cherry), d3
+    rows = run_user_query(idx, '"apple orange"~1', positions=pos).collect()
+    assert {r.docno for r in rows} == {"d0", "d1", "d3"}
+    # ordered: reversed phrase matches nothing even with slop
+    rows = run_user_query(idx, '"orange apple"~1', positions=pos).collect()
+    assert rows == []
+    # slop clause composes with a plain term in one disjunctive sum
+    rows = run_user_query(idx, '"apple orange"~1 banana',
+                          positions=pos).collect()
+    by = {r.docno: r.rsv for r in rows}
+    assert set(by) == {"d0", "d1", "d2", "d3"} and by["d0"] > by["d1"]

@@ -2916,6 +2916,75 @@ FROM t
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/textstats.py:
+    repetition_stats): per-doc top-2/3-gram and duplicate-5-gram
+    character fractions — the standard web-corpus repetitiveness gates."""
+    return textstats.repetition_stats(load_documents(spark, sf_dir))
+
+
+def _sql_text_repetition() -> str:
+    def grams_cte(n: int) -> str:
+        return (
+            f"g{n} AS (\n"
+            f"  SELECT docid,\n"
+            f"         unnest(list_transform(range(1, len(toks) - {n - 2}),\n"
+            f"                i -> array_to_string(toks[i:i+{n - 1}], ' ')))"
+            f" AS ngram\n"
+            f"  FROM t WHERE len(toks) >= {n}\n"
+            f"),\n"
+            f"c{n} AS (\n"
+            f"  SELECT docid, ngram, count(*) AS cnt,\n"
+            f"         length(ngram) - {n - 1} AS mass\n"
+            f"  FROM g{n} GROUP BY docid, ngram\n"
+            f")"
+        )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id AS docid,
+         list_transform(regexp_extract_all(lower(text), '{_TOK_SQL}'),
+                        x -> substr(x, 1, 255)) AS toks
+  FROM documents
+),
+base AS (
+  SELECT docid, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS total_chars
+  FROM t WHERE len(toks) > 0
+),
+{grams_cte(2)},
+{grams_cte(3)},
+{grams_cte(5)},
+top2 AS (
+  SELECT docid, cnt * mass AS v,
+         row_number() OVER (PARTITION BY docid
+                            ORDER BY cnt DESC, mass DESC) AS rn
+  FROM c2
+),
+top3 AS (
+  SELECT docid, cnt * mass AS v,
+         row_number() OVER (PARTITION BY docid
+                            ORDER BY cnt DESC, mass DESC) AS rn
+  FROM c3
+),
+dup5 AS (
+  SELECT docid, sum(cnt * mass) AS v FROM c5 WHERE cnt >= 2 GROUP BY docid
+)
+SELECT b.docid, b.n_tokens, b.total_chars,
+       round(coalesce(t2.v, 0) / CAST(b.total_chars AS DOUBLE), 6)
+         AS top2gram_frac,
+       round(coalesce(t3.v, 0) / CAST(b.total_chars AS DOUBLE), 6)
+         AS top3gram_frac,
+       round(coalesce(d5.v, 0) / CAST(b.total_chars AS DOUBLE), 6)
+         AS dup5gram_frac
+FROM base b
+LEFT JOIN (SELECT docid, v FROM top2 WHERE rn = 1) t2 USING (docid)
+LEFT JOIN (SELECT docid, v FROM top3 WHERE rn = 1) t3 USING (docid)
+LEFT JOIN dup5 d5 USING (docid)
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.langid_heuristic(load_documents(spark, sf_dir))
 
@@ -6691,6 +6760,7 @@ def catalog() -> dict[str, tuple]:
         "text_token_counts": (q_text_token_counts, SQL_TEXT_TOKEN_COUNTS),
         "text_winnow_fingerprints": (q_text_winnow, SQL_TEXT_WINNOW),
         "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+        "text_repetition": (q_text_repetition, _sql_text_repetition()),
         "text_langid": (q_text_langid, SQL_TEXT_LANGID),
         "text_ppl": (q_text_ppl, SQL_TEXT_PPL),
         "text_ppl2": (q_text_ppl2, SQL_TEXT_PPL2),

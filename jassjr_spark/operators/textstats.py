@@ -94,6 +94,108 @@ def langid_heuristic(docs: DataFrame, threshold: float = 0.08) -> DataFrame:
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+    round_to: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    fractions of character mass locked up in repeated word n-grams ->
+    (docid, n_tokens, total_chars, top{n}gram_frac..., dup{n}gram_frac...).
+
+    For each n in ``top_ns``: the character fraction of the MOST FREQUENT
+    n-gram, ``count * chars(ngram) / total_chars`` (count ties broken by
+    larger char mass; the fraction is tie-invariant beyond that). For each
+    n in ``dup_ns``: the character fraction of ALL n-grams occurring more
+    than once, ``sum(count * chars) / total_chars`` (overlap-agnostic, the
+    standard cheap implementation — occurrences of overlapping n-grams
+    count in full, so on degenerate repetition ("a b a b a b") a fraction
+    can exceed 1.0; threshold filters like Gopher's 0.18/0.20 cut the
+    same documents either way). chars(ngram) counts token characters only;
+    total_chars is the doc's summed token lengths. Tokens follow the
+    engine lexer contract (lowercase, TOKEN_RE, 255-char truncate), so
+    the thresholds compose with quality_scores' features.
+
+    Plan shape (the 100-TB path): one explode per n unioned with an ``n``
+    tag (n=1 rides along to supply n_tokens/total_chars — no extra join),
+    ONE groupBy (docid, n, ngram) with map-side combine (group size is
+    bounded by one doc's length), one final per-doc hash agg. No UDF, no
+    O(len^2) per-doc work, nothing driver-side. Docs with zero tokens
+    produce no output row (they have no character mass to score)."""
+    if any(n < 2 for n in (*top_ns, *dup_ns)):
+        raise ValueError("repetition n-gram orders must be >= 2")
+    toks = F.regexp_extract_all(F.lower("content"), F.lit(TOKEN_RE), 0)
+    base = docs.select(
+        "docid",
+        F.transform(toks, lambda t: F.substring(t, 1, 255)).alias("toks"),
+    )
+
+    streams = []
+    for n in sorted({1, *top_ns, *dup_ns}):
+        grams = F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.array_join(F.slice("toks", i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        streams.append(
+            base.select(
+                "docid", F.lit(n).alias("n"), F.explode(grams).alias("ngram")
+            )
+        )
+    allgrams = streams[0]
+    for s in streams[1:]:
+        allgrams = allgrams.unionByName(s)
+
+    counted = allgrams.groupBy("docid", "n", "ngram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).withColumn(
+        # token chars only: joined length minus the n-1 separators
+        "mass",
+        (F.length("ngram") - (F.col("n") - F.lit(1))).cast("long"),
+    )
+
+    aggs = [
+        F.sum(F.when(F.col("n") == 1, F.col("cnt"))).alias("n_tokens"),
+        F.sum(F.when(F.col("n") == 1, F.col("cnt") * F.col("mass")))
+        .alias("total_chars"),
+    ]
+    for n in top_ns:
+        top = F.max(
+            F.when(F.col("n") == n, F.struct(F.col("cnt"), F.col("mass")))
+        )
+        aggs.append(
+            (top.getField("cnt") * top.getField("mass")).alias(f"_top{n}")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("n") == n) & (F.col("cnt") >= 2),
+                    F.col("cnt") * F.col("mass"),
+                )
+            ).alias(f"_dup{n}")
+        )
+    per_doc = counted.groupBy("docid").agg(*aggs)
+
+    out_cols = ["docid", "n_tokens", "total_chars"]
+    sel = [F.col(c) for c in out_cols]
+    tot = F.col("total_chars").cast("double")
+    for n in top_ns:
+        sel.append(
+            F.round(F.coalesce(F.col(f"_top{n}"), F.lit(0)) / tot, round_to)
+            .alias(f"top{n}gram_frac")
+        )
+    for n in dup_ns:
+        sel.append(
+            F.round(F.coalesce(F.col(f"_dup{n}"), F.lit(0)) / tot, round_to)
+            .alias(f"dup{n}gram_frac")
+        )
+    return per_doc.select(*sel)
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(docid, content) -> (docid, sha, fp): exact-dup fingerprints.
 

@@ -38,6 +38,12 @@ class QualityGates:
     min_tokens: int = 20
     min_stopword_ratio: float = 0.02   # language-ish gate
     min_distinct_ratio: float = 0.35   # repetitiveness gate
+    # Gopher-style n-gram repetition caps (textstats.repetition_stats);
+    # None = gate disabled. A zero-token doc has no character mass to
+    # score and fails an ENABLED repetition gate (moot while min_tokens
+    # cuts it first).
+    max_top2gram_frac: float | None = None
+    max_dup5gram_frac: float | None = None
 
 
 def _stages(
@@ -65,6 +71,20 @@ def _stages(
         & (F.col("stopword_ratio") >= gates.min_stopword_ratio)
         & (F.col("distinct_ratio") >= gates.min_distinct_ratio)
     ).select("docid")
+    if (gates.max_top2gram_frac is not None
+            or gates.max_dup5gram_frac is not None):
+        from jassjr_spark.operators.textstats import repetition_stats
+
+        rep = repetition_stats(d2)
+        if gates.max_top2gram_frac is not None:
+            rep = rep.filter(
+                F.col("top2gram_frac") <= gates.max_top2gram_frac
+            )
+        if gates.max_dup5gram_frac is not None:
+            rep = rep.filter(
+                F.col("dup5gram_frac") <= gates.max_dup5gram_frac
+            )
+        keep = keep.join(rep.select("docid"), "docid")
     d3 = d2.join(keep, "docid")
     stages.append(("quality", d3))
     return stages

@@ -337,3 +337,82 @@ def test_exact_duplicates_caps_docids_sample(spark):
     g = out[0]
     assert g.n_dups == 10_000 and g.keep_docid == 0
     assert g.docids == list(range(50))
+
+
+def _py_repetition(text, top_ns=(2, 3), dup_ns=(5,)):
+    import re as _re
+    from collections import Counter
+
+    toks = [t[:255] for t in _re.findall(
+        "[a-zA-Z0-9][a-zA-Z0-9-]*", text.lower())]
+    if not toks:
+        return None
+    total = sum(len(t) for t in toks)
+    out = {"n_tokens": len(toks), "total_chars": total}
+    for kind, ns in (("top", top_ns), ("dup", dup_ns)):
+        for n in ns:
+            grams = Counter(
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+            )
+            if kind == "top":
+                v = max(
+                    (c * (len(g) - (n - 1)) for g, c in grams.items()
+                     if c == max(grams.values())),
+                    default=0,
+                )
+                out[f"top{n}gram_frac"] = round(v / total, 6)
+            else:
+                v = sum(c * (len(g) - (n - 1))
+                        for g, c in grams.items() if c >= 2)
+                out[f"dup{n}gram_frac"] = round(v / total, 6)
+    return out
+
+
+def test_repetition_stats_match_python_reference(spark):
+    rows = [
+        (0, "the cat sat on the mat the cat sat again"),
+        (1, "a b a b a b a b"),                  # degenerate: fracs > 1
+        (2, " ".join(f"word{i} tok{i * 7 % 50}" for i in range(30))),
+        (3, "x y z q r x y z q r x y z q r"),    # dup 5-grams
+        (4, ""),                                  # no tokens -> no row
+        (5, "single"),
+    ]
+    df = spark.createDataFrame(rows, "docid long, content string")
+    got = {r.docid: r.asDict() for r in
+           textstats.repetition_stats(df).collect()}
+    assert 4 not in got
+    for docid, text in rows:
+        want = _py_repetition(text)
+        if want is None:
+            continue
+        g = got[docid]
+        for k, v in want.items():
+            assert g[k] == pytest.approx(v, abs=1e-9), (docid, k)
+    # the degenerate doc really does exceed 1.0 (documented behavior)
+    assert got[1]["dup5gram_frac"] > 1.0
+    # a Gopher-style threshold separates the repetitive docs
+    bad = {d for d, g in got.items() if g["top2gram_frac"] > 0.20}
+    assert 1 in bad and 2 not in bad
+
+
+def test_repetition_stats_rejects_unigram_order(spark):
+    df = spark.createDataFrame([(0, "a b")], "docid long, content string")
+    with pytest.raises(ValueError):
+        textstats.repetition_stats(df, top_ns=(1, 2))
+
+
+def test_repetition_gates_in_curate_funnel(spark):
+    from jassjr_spark.plans.data_pipeline import QualityGates, curate
+
+    ok = "the quick brown fox jumps over the lazy dog it is a fine day "
+    rep = "spam spam spam spam " * 10
+    rows = [(0, ok * 3), (1, rep + ok), (2, ok * 2 + "more clean text it is")]
+    df = spark.createDataFrame(rows, "docid long, content string")
+    base_gates = QualityGates(min_tokens=5, min_stopword_ratio=0.0,
+                              min_distinct_ratio=0.0)
+    base = {r.docid for r in curate(df, gates=base_gates).collect()}
+    assert base == {0, 1, 2}
+    gated = QualityGates(min_tokens=5, min_stopword_ratio=0.0,
+                         min_distinct_ratio=0.0, max_top2gram_frac=0.25)
+    got = {r.docid for r in curate(df, gates=gated).collect()}
+    assert got == {0, 2}

@@ -1596,6 +1596,60 @@ def q_ft_span_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+def corpus_positions_store(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once persisted positional store per (application, corpus) —
+    the phrase/span entries that probe it measure PRUNED SCANS of an
+    index-time artifact, not per-query corpus re-tokenization (the same
+    memo discipline as the LSH/IVF stores)."""
+    import hashlib as _h
+    import tempfile
+
+    from jassjr_spark.sources.index_store import write_positions_store
+
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/jassjr_pos_store_{tag}"
+    key = (spark.sparkContext.applicationId, sf_dir, "pos_store")
+    if _POS_MEMO.get(key) != path:
+        write_positions_store(corpus_positions(spark, sf_dir), path)
+        _POS_MEMO[key] = path
+    return path
+
+
+def q_ft_span_persisted_top10(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """The SAME span workload off the persisted term-bucketed positional
+    store (sources/index_store.py:write_positions_store): per query the
+    scan is pruned to the query terms' bucket directories with the term
+    predicate pushed to the Parquet row groups — shares ft_span_top10's
+    oracle because the store is a faithful copy of the positional table."""
+    from jassjr_spark.operators.positional import phrase_search
+    from jassjr_spark.sources.index_store import pruned_positions
+
+    idx = corpus_index(spark, sf_dir).cache()
+    s = idx.scalar_stats()
+    path = corpus_positions_store(spark, sf_dir)
+    out = []
+    for qid, terms, slop in SPAN_QUERIES:
+        out.append(
+            phrase_search(pruned_positions(spark, path, terms),
+                          idx.doc_lengths, [(qid, terms)], k=100,
+                          stats=s, slop=slop)
+        )
+    run = out[0]
+    for r in out[1:]:
+        run = run.unionByName(r)
+    rounded = run.withColumn("rsv", F.round("rsv", 4)).filter(F.col("rsv") > 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rsv").desc(), F.col("docid").desc()
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("query_id").cast("long"), "docid", "rank", "rsv")
+    )
+
+
 def _sql_span_exists(terms: list[str], max_span: int) -> str:
     """Nested existential chain: anchor var i, successors j0, j1, ...
     each strictly after its predecessor and within i + max_span.
@@ -6714,6 +6768,7 @@ def catalog() -> dict[str, tuple]:
         "ft_phrase_mix_top10": (q_ft_phrase_mix_top10, _sql_ft_phrase_mix()),
         "ft_prox_top10": (q_ft_prox_top10, _sql_ft_prox()),
         "ft_span_top10": (q_ft_span_top10, _sql_ft_span()),
+        "ft_span_persisted_top10": (q_ft_span_persisted_top10, _sql_ft_span()),
         "ft_bm25_saat": (q_ft_bm25_saat, _sql_ft_saat()),
         "ft_top_terms": (q_ft_top_terms, SQL_FT_TOP_TERMS),
         "ft_show_document": (q_ft_show_document, SQL_FT_SHOW_DOCUMENT),

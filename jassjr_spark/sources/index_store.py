@@ -457,3 +457,61 @@ def merge_indexes(
             "n_docs long, avgdl double, total_terms long, vocab_size long",
         ).coalesce(1).write.mode("overwrite").parquet(f"{dst}/stats")
     write_meta(spark, dst, n_buckets)  # last: certifies a complete merge
+
+
+def write_positions_store(
+    positions: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS
+) -> None:
+    """Persist a positional side-table (operators/positional.py:
+    build_positions output: term, docid, positions, tf) under the SAME
+    term-bucket layout as the tf postings:
+
+        {path}/positions/bucket=NN/...   sorted (term, docid) in-file
+
+    Phrase / proximity / span queries at corpus scale must not
+    re-tokenize the corpus per query — they need the positional table
+    to be a write-once artifact with the same two-level pushdown as
+    pruned_postings: bucket-directory pruning planned from the query's
+    terms (driver-side md5, no I/O) + a term IN predicate into the
+    Parquet row-group stats. A phrase query touching 3 terms then reads
+    at most 3 bucket directories of position lists, never the corpus.
+
+    _meta (shared schema with the tf store, block_span=0) is written
+    FIRST for the same crash-ordering reason as write_index: a reader
+    of a half-written store may see missing rows but never wrong-bucket
+    pruning."""
+    write_meta(positions.sparkSession, path, n_buckets)
+    (
+        positions
+        .withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
+        .repartition(n_buckets, "bucket")
+        .sortWithinPartitions("term", "docid")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/positions")
+    )
+
+
+def read_positions(spark: SparkSession, path: str) -> DataFrame:
+    """The full persisted positional table (term, docid, positions, tf
+    [, bucket]). Feed it to phrase_search / span_near_occurrences /
+    proximity_occurrences directly, or through pruned_positions for the
+    per-query scan."""
+    return spark.read.parquet(f"{path}/positions")
+
+
+def pruned_positions(
+    spark: SparkSession, path: str, terms: list[str]
+) -> DataFrame:
+    """Positions restricted to ``terms`` with bucket-directory pruning +
+    term pushdown — the positional twin of pruned_postings. Falls back
+    to the (always-correct) term filter alone when _meta is unreadable
+    (n_buckets=0: a guessed modulus would prune the WRONG directories
+    and silently drop phrase matches)."""
+    meta = read_meta(spark, path)
+    p = read_positions(spark, path)
+    norm = sorted({t.lower()[:255] for t in terms})
+    if meta["n_buckets"] > 0:
+        buckets = sorted({term_bucket_py(t, meta["n_buckets"]) for t in norm})
+        p = p.filter(F.col("bucket").isin(buckets))
+    return p.filter(F.col("term").isin(norm))

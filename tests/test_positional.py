@@ -288,3 +288,79 @@ def test_span_near_search_scoring(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         phrase_search(pos, dl, [(3, ["alpha", "beta"])], window=2, slop=1)
+
+
+def test_persisted_positions_store(spark, tmp_path):
+    from jassjr_spark.operators.positional import (
+        phrase_search, span_near_occurrences,
+    )
+    from jassjr_spark.sources.index_store import (
+        pruned_positions, read_positions, term_bucket_py,
+        write_positions_store,
+    )
+
+    rows = [(i, f"alpha beta w{i} gamma alpha beta " + "pad " * (i % 4))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "docid long, content string")
+    pos = build_positions(docs).cache()
+    path = str(tmp_path / "posstore")
+    write_positions_store(pos, path, n_buckets=8)
+
+    # roundtrip: persisted table == in-memory table
+    a = {(r.term, r.docid, tuple(r.positions), r.tf) for r in pos.collect()}
+    b = {(r.term, r.docid, tuple(r.positions), r.tf)
+         for r in read_positions(spark, path).collect()}
+    assert a == b
+
+    # bucket placement honors the portable md5 contract
+    placed = read_positions(spark, path).select("term", "bucket").distinct()
+    for r in placed.collect():
+        assert term_bucket_py(r.term, 8) == r.bucket
+
+    # pruned scan: bucket partition pruning + term pushdown in the plan
+    pr = pruned_positions(spark, path, ["alpha", "gamma"])
+    plan = pr._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:300]
+    assert "PushedFilters" in plan
+    assert "term" in plan.split("PushedFilters", 1)[1][:300]
+
+    # phrase and span results off the pruned persisted scan are
+    # bitwise-identical to the in-memory positional table
+    dl = docs.select(
+        "docid",
+        F.size(F.regexp_extract_all(F.lower("content"),
+                                    F.lit(TOK), 0)).alias("len"),
+    ).cache()
+    mem = phrase_search(pos, dl, [(1, ["alpha", "beta"])], k=10).collect()
+    store = phrase_search(pruned_positions(spark, path, ["alpha", "beta"]),
+                          dl, [(1, ["alpha", "beta"])], k=10).collect()
+    assert [(r.docid, r.rank, r.rsv) for r in mem] \
+        == [(r.docid, r.rank, r.rsv) for r in store]
+    sm = {(r.docid, r.span_tf)
+          for r in span_near_occurrences(pos, ["alpha", "gamma"], 2).collect()}
+    ss = {(r.docid, r.span_tf)
+          for r in span_near_occurrences(
+              pruned_positions(spark, path, ["alpha", "gamma"]),
+              ["alpha", "gamma"], 2).collect()}
+    assert sm == ss and sm
+
+
+def test_pruned_positions_survives_missing_meta(spark, tmp_path):
+    import shutil
+
+    from jassjr_spark.sources.index_store import (
+        pruned_positions, write_positions_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta gamma delta")],
+        "docid long, content string",
+    )
+    pos = build_positions(docs)
+    path = str(tmp_path / "pos2")
+    write_positions_store(pos, path, n_buckets=4)
+    shutil.rmtree(f"{path}/_meta")
+    got = {(r.term, r.docid)
+           for r in pruned_positions(spark, path, ["beta"]).collect()}
+    assert got == {("beta", 0), ("beta", 1)}

@@ -3953,6 +3953,62 @@ GROUP BY user_id, session_id
 """
 
 
+def q_ev_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1-hour/15-minute windows per event_type — each event lands
+    in 4 overlapping epoch-aligned windows (operators/events.py:
+    hopping_event_counts)."""
+    from jassjr_spark.operators.events import hopping_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hopping_event_counts(events, window="1 hour", slide="15 minutes")
+
+
+# Member window starts for an event at t: s = k*S for
+# floor((t-W)/S) < k <= floor(t/S) — the epoch-aligned hopping-window
+# expansion F.window(slide=...) performs engine-side.
+SQL_EV_HOPPING_COUNTS = """
+WITH e AS (
+  SELECT epoch_us(ts) AS t, event_type, value FROM events
+),
+m AS (
+  SELECT (k * 900000000) AS window_start_us, event_type, value
+  FROM e, unnest(range((t - 3600000000) // 900000000 + 1,
+                       t // 900000000 + 1)) AS u(k)
+)
+SELECT window_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM m
+GROUP BY 1, 2
+"""
+
+
+def q_ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour top-3 most active users (operators/events.py:
+    top_users_per_window) — the leaderboard shape with WindowGroupLimit
+    rank pushdown."""
+    from jassjr_spark.operators.events import top_users_per_window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return top_users_per_window(events, window="1 hour", k=3)
+
+
+SQL_EV_TOP_USERS = """
+WITH per_user AS (
+  SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+         user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start_us, user_id, n_events,
+       CAST(row_number() OVER (PARTITION BY window_start_us
+                               ORDER BY n_events DESC, user_id ASC)
+            AS BIGINT) AS rank
+FROM per_user
+QUALIFY rank <= 3
+"""
+
+
 def q_hybrid_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (operators/hybrid.py): RRF-fuse the BM25 lexical
     ranking (documents index, BM25_QUERIES, top-50) with an exact cosine
@@ -6841,6 +6897,8 @@ def catalog() -> dict[str, tuple]:
                                 _sql_hybrid_linear()),
         "ev_windowed_counts": (q_ev_windowed_counts, SQL_EV_WINDOWED_COUNTS),
         "ev_user_sessions": (q_ev_user_sessions, SQL_EV_USER_SESSIONS),
+        "ev_hopping_counts": (q_ev_hopping_counts, SQL_EV_HOPPING_COUNTS),
+        "ev_top_users": (q_ev_top_users, SQL_EV_TOP_USERS),
         "code_sha_invariant": (q_code_sha_invariant, _sql_code_sha()),
         "code_repo_bm25_top10": (q_code_repo_bm25_top10, _sql_code_repo_bm25()),
         "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),

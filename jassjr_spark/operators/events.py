@@ -76,3 +76,61 @@ def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         )
         .select("user_id", "session_start_us", "n_events", "duration_us")
     )
+
+
+def hopping_event_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Hopping (sliding) event-time windows per event_type:
+    (window_start_us, event_type, n_events, sum_value) — each event
+    lands in window/slide overlapping epoch-aligned windows (the
+    trailing-indicator dashboards and rate alerts are computed on).
+
+    Same two-phase hash-aggregate shape as the tumbling variant —
+    Spark's F.window(slide=...) expands each row to its member windows
+    BEFORE the partial aggregate, so the shuffle carries pre-combined
+    (window, type) partials, not x(window/slide) raw rows. Streaming-
+    capable under a watermark like every window aggregate here."""
+    events = _with_tz_ts(events)
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def top_users_per_window(
+    events: DataFrame, window: str = "1 hour", k: int = 3
+) -> DataFrame:
+    """Per tumbling window: the k most active users ->
+    (window_start_us, user_id, n_events, rank). Ties break user_id
+    ascending (deterministic across engines). The leaderboard shape:
+    one (window, user) hash aggregate, then a rank window PARTITIONED
+    BY window — Spark plants partial+final WindowGroupLimit below the
+    shuffle for rank <= k, so only k-ish rows per window survive each
+    side of the exchange."""
+    from pyspark.sql import Window as W
+
+    events = _with_tz_ts(events)
+    per_user = events.groupBy(
+        F.window("ts", window).alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = W.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "user_id", "n_events", "rank",
+        )
+    )

@@ -766,3 +766,80 @@ def test_streaming_dedup_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(provider_key, old)
     got = {(r.keep_docid, r.docno) for r in spark.read.parquet(out).collect()}
     assert got == {(0, "A"), (1, "B"), (3, "D")}
+
+
+def test_hopping_counts_membership_and_totals(spark):
+    """Each event lands in window/slide overlapping windows; summing a
+    window-aligned slice over hops equals the tumbling total."""
+    from datetime import datetime
+
+    from jassjr_spark.operators.events import (
+        hopping_event_counts, windowed_event_counts,
+    )
+
+    rows = [
+        (0, datetime(2024, 1, 1, 0, 7), 1, "a", 1.0, ""),
+        (1, datetime(2024, 1, 1, 0, 22), 1, "a", 2.0, ""),
+        (2, datetime(2024, 1, 1, 1, 2), 2, "b", 3.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    hop = hopping_event_counts(ev, window="1 hour", slide="15 minutes")
+    got = {(r.window_start_us, r.event_type): r.n_events for r in hop.collect()}
+    HOUR, Q = 3_600_000_000, 900_000_000
+    base = 1_704_067_200_000_000  # 2024-01-01T00:00Z in epoch micros
+    # event at 00:07 belongs to starts 23:15..00:00 (4 windows)
+    for k in range(4):
+        s = base - HOUR + Q + k * Q
+        assert got[(s, "a")] >= 1, s
+    # both 'a' events share exactly the windows covering [00:07, 00:22]:
+    # starts 23:30, 23:45, 00:00
+    both = [s for (s, t), n in got.items() if t == "a" and n == 2]
+    assert sorted(both) == [base - 2 * Q, base - Q, base]
+    # every event appears in exactly window/slide = 4 hopping windows
+    assert sum(n for (s, t), n in got.items() if t == "a") == 2 * 4
+    assert sum(n for (s, t), n in got.items() if t == "b") == 1 * 4
+    # tumbling is the slide==window degenerate case
+    tum = {(r.window_start_us, r.event_type): r.n_events
+           for r in windowed_event_counts(ev, window="1 hour").collect()}
+    hop_eq = {(r.window_start_us, r.event_type): r.n_events
+              for r in hopping_event_counts(
+                  ev, window="1 hour", slide="1 hour").collect()}
+    assert tum == hop_eq
+
+
+def test_top_users_per_window_rank_and_plan(spark):
+    from datetime import datetime
+
+    from jassjr_spark.operators.events import top_users_per_window
+
+    rows = []
+    eid = 0
+    # hour 0: user 1 x3, user 2 x2, user 3 x1, user 4 x1 (tie w/ 3)
+    for uid, n in ((1, 3), (2, 2), (3, 1), (4, 1)):
+        for i in range(n):
+            rows.append((eid, datetime(2024, 1, 1, 0, 5 + eid % 50), uid,
+                         "a", 1.0, ""))
+            eid += 1
+    # hour 1: user 9 alone
+    rows.append((eid, datetime(2024, 1, 1, 1, 10), 9, "a", 1.0, ""))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = top_users_per_window(ev, window="1 hour", k=3).collect()
+    by_w = {}
+    for r in out:
+        by_w.setdefault(r.window_start_us, []).append((r.rank, r.user_id))
+    h0, h1 = sorted(by_w)
+    # ties break user_id ASC: user 3 beats user 4 at rank 3
+    assert sorted(by_w[h0]) == [(1, 1), (2, 2), (3, 3)]
+    assert by_w[h1] == [(1, 9)]
+    # rank<=k is pushed below the shuffle: partial + final WindowGroupLimit
+    plan = top_users_per_window(ev, window="1 hour", k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2

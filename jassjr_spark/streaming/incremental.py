@@ -74,6 +74,7 @@ def append_documents(
     prepend_docno: bool = True,
     n_buckets: int | None = None,
     epoch_id: int | None = None,
+    maintain_positions: bool | None = None,
 ) -> int:
     """Append one batch of (docno, content) documents to the index at
     ``path``; returns the number of docs appended. This is the foreachBatch
@@ -86,10 +87,34 @@ def append_documents(
     A replay of a *completed* epoch is skipped via the applied-epoch mark in
     ``_watermark``. Do not mix epoch-ful and epoch-less appends in one
     index: partition discovery needs a consistent directory depth.
+
+    ``maintain_positions``: also write the batch's positional side-table
+    segment ({path}/positions, operators/positional.py layout, term-
+    bucketed like postings) so phrase/span/proximity queries run against
+    the LIVE index (live_positions). Default None = maintain iff the
+    table already exists. A positional table with epoch holes silently
+    loses phrase matches, so: enabling it on an index that already has
+    appends raises (rebuild, or enable from the first append), and
+    explicitly passing False while the table exists raises too.
     """
     if n_buckets is None:
         n_buckets = read_meta(spark, path)["n_buckets"] or DEFAULT_BUCKETS
     base, last_epoch = _read_watermark(spark, path)
+    has_pos = _exists(spark, f"{path}/positions")
+    if maintain_positions is None:
+        maintain_positions = has_pos
+    elif maintain_positions and not has_pos and base > 0:
+        raise ValueError(
+            "positions can only be maintained from the FIRST append: this "
+            "index already has documents without a positional table "
+            "(a table with epoch holes would silently lose phrase matches)"
+        )
+    elif not maintain_positions and has_pos:
+        raise ValueError(
+            "this index maintains a positional table; appending without "
+            "it would leave an epoch hole (pass maintain_positions=None "
+            "or True)"
+        )
     if epoch_id is not None and last_epoch is not None and epoch_id <= last_epoch:
         return 0  # replay of an already-applied epoch
     seg = f"/epoch={epoch_id}" if epoch_id is not None else ""
@@ -120,6 +145,18 @@ def append_documents(
         .write.mode(mode).parquet(f"{path}/doc_lengths{seg}")
     )
     batch.select("docid", "docno").write.mode(mode).parquet(f"{path}/docids{seg}")
+    if maintain_positions:
+        from jassjr_spark.operators.positional import build_positions
+
+        (
+            build_positions(batch.select("docid", "content"))
+            .withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
+            .repartition(n_buckets, "bucket")
+            .sortWithinPartitions("term", "docid")
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(f"{path}/positions{seg}")
+        )
     # watermark last: its presence certifies every segment above landed
     _write_watermark(spark, path, base + n, epoch_id)
     # release the per-batch caches: a long-running stream must not pin
@@ -221,13 +258,39 @@ def upsert_documents(
     )
 
 
+def live_positions(
+    spark: SparkSession, path: str, terms: list[str] | None = None
+) -> DataFrame:
+    """The positional table of a LIVE incremental index (term, docid,
+    positions, tf), tombstone-masked — feed it to phrase_search /
+    span_near_occurrences / proximity_occurrences for phrase queries
+    over the streaming index. With ``terms`` the scan is pruned to the
+    query terms' bucket directories + a pushed term predicate
+    (index_store.pruned_positions); masking is the same docid anti-join
+    every other segment-table read applies, so a deleted document can
+    never resurrect through a phrase match."""
+    from jassjr_spark.sources.index_store import (
+        masked_docid_set, pruned_positions, read_positions,
+    )
+
+    p = (
+        pruned_positions(spark, path, terms)
+        if terms is not None
+        else read_positions(spark, path)
+    )
+    mask = masked_docid_set(spark, path)
+    if mask is not None:
+        p = p.join(mask, "docid", "left_anti")
+    return p
+
+
 def _refresh_reader_caches(spark: SparkSession, path: str) -> None:
     """Invalidate session caches over the segment tables after an
     external file change (append/compaction): Spark's CacheManager
     substitutes any matching cached plan into later queries, so a reader
     that cached read_index() earlier in the session would silently keep
     serving the pre-mutation snapshot (stale stats => wrong scores)."""
-    for t in _SEGMENT_TABLES + ("dictionary", "stats", "blocks"):
+    for t in _SEGMENT_TABLES + ("positions", "dictionary", "stats", "blocks"):
         try:
             spark.catalog.refreshByPath(f"{path}/{t}")
         except Exception:
@@ -433,6 +496,7 @@ def start_indexing_stream(
     max_segments: int = 8,
     maintain_blocks: bool = False,
     block_span: int | None = None,
+    maintain_positions: bool = False,
 ):
     """Attach the incremental indexer to a streaming documents source
     (columns docno, content). Returns the StreamingQuery.
@@ -453,6 +517,12 @@ def start_indexing_stream(
     per-epoch block segments — one pass over that epoch's postings, so
     maintenance cost tracks the append rate. Implies a refresh_derived
     per epoch (block impacts need current stats), which is delta-sized.
+
+    ``maintain_positions=True`` additionally writes each epoch's
+    positional side-table segment so phrase/span queries run against
+    the live index (live_positions); compaction merges and purges it
+    with the other segment tables. Must be set from the stream's FIRST
+    epoch (append_documents refuses epoch holes).
     """
     write_meta(spark, path, n_buckets)
 
@@ -461,6 +531,7 @@ def start_indexing_stream(
             spark, batch.select("docno", "content"), path,
             prepend_docno=prepend_docno, n_buckets=n_buckets,
             epoch_id=epoch_id,
+            maintain_positions=maintain_positions or None,
         )
         compacted = False
         if compact_every and n and epoch_id % compact_every == 0:
@@ -624,7 +695,13 @@ def compact_segments(
     """
     if n_buckets is None:
         n_buckets = read_meta(spark, path)["n_buckets"] or DEFAULT_BUCKETS
-    for t in _SEGMENT_TABLES:
+    # the optional positional side-table compacts exactly like the core
+    # segment tables: keyed by docid (purge anti-join applies) and
+    # term-bucketed (postings-style rewrite)
+    tables = _SEGMENT_TABLES + (
+        ("positions",) if _exists(spark, f"{path}/positions") else ()
+    )
+    for t in tables:
         _recover_compaction(spark, f"{path}/{t}")
     # stale purge staging from a crashed previous compaction: discard.
     # NOT applying an orphaned delta is always safe — the dictionary/stats
@@ -695,7 +772,7 @@ def compact_segments(
             floor = max(floor, int(mt))
     _write_floor_marker(spark, path, floor)
 
-    for t in _SEGMENT_TABLES:
+    for t in tables:
         tpath = f"{path}/{t}"
         tmp = f"{tpath}/_compact_tmp_{lo}_{hi}"
         merged = (
@@ -705,7 +782,7 @@ def compact_segments(
         )
         if purge is not None:
             merged = merged.join(purge, "docid", "left_anti")
-        if t == "postings":
+        if t in ("postings", "positions"):
             (
                 merged.repartition(n_buckets, "bucket")
                 .sortWithinPartitions("term", "docid")

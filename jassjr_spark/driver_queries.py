@@ -4009,6 +4009,114 @@ QUALIFY rank <= 3
 """
 
 
+def q_ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/events.py:asof_join): every click event
+    gains the most recent prior-or-simultaneous purchase by the same
+    user. The union-and-carry construction — one shuffle on user_id, no
+    join operator at all — vs DuckDB's native ASOF LEFT JOIN."""
+    from jassjr_spark.operators.events import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase")
+    out = asof_join(clicks, purchases, on="user_id", ts="ts",
+                    right_cols=("value",))
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts")).alias("click_ts_us"),
+        F.unix_micros(F.col("asof.r_ts")).alias("purchase_ts_us"),
+        F.col("asof.value").alias("purchase_value"),
+    )
+
+
+SQL_EV_ASOF_JOIN = """
+WITH p AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) AS purchase_ts_us, p.value AS purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# Six literal (overlapping) campaign windows over the synthetic events'
+# January-2024 span, in int64 epoch micros (2024-01-01T00:00:00Z =
+# 1704067200s; day = 86_400_000_000 us). Overlap is the point: an event
+# inside k windows must count k times (a genuine range join, not a
+# width_bucket rollup).
+_CAMPAIGNS = [
+    ("launch_week", 0, 7),
+    ("email_blast", 5, 12),
+    ("mid_month", 10, 20),
+    ("flash_sale", 14, 15),
+    ("always_on", 0, 30),
+    ("winddown", 25, 28),
+]
+_T0_US = 1_704_067_200 * 1_000_000
+_DAY_US = 86_400_000_000
+
+
+def q_ev_range_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/events.py:range_join_campaigns): events
+    falling inside six overlapping literal campaign windows, aggregated
+    per campaign. Broadcast nested-loop on the 6-row dimension — the
+    fact side never shuffles."""
+    from jassjr_spark.operators.events import range_join_campaigns
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    campaigns = spark.createDataFrame(
+        [(cid, _T0_US + lo * _DAY_US, _T0_US + hi * _DAY_US)
+         for cid, lo, hi in _CAMPAIGNS],
+        schema="campaign_id string, start_us long, end_us long",
+    )
+    return range_join_campaigns(events, campaigns)
+
+
+def _sql_ev_range_campaigns() -> str:
+    values = ", ".join(
+        f"('{cid}', {_T0_US + lo * _DAY_US}, {_T0_US + hi * _DAY_US})"
+        for cid, lo, hi in _CAMPAIGNS
+    )
+    return f"""
+WITH campaigns(campaign_id, start_us, end_us) AS (VALUES {values}),
+e AS (SELECT epoch_us(ts) AS t, value FROM events)
+SELECT campaign_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM e JOIN campaigns ON t >= start_us AND t < end_us
+GROUP BY 1
+"""
+
+
+def q_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/events.py:retention_cohorts) —
+    cohort = first active epoch week per user, pure int64 week math."""
+    from jassjr_spark.operators.events import retention_cohorts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(events)
+
+
+SQL_EV_RETENTION = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       CAST(count(DISTINCT weekly.user_id) AS BIGINT) AS n_users
+FROM weekly JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_hybrid_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (operators/hybrid.py): RRF-fuse the BM25 lexical
     ranking (documents index, BM25_QUERIES, top-50) with an exact cosine
@@ -6899,6 +7007,10 @@ def catalog() -> dict[str, tuple]:
         "ev_user_sessions": (q_ev_user_sessions, SQL_EV_USER_SESSIONS),
         "ev_hopping_counts": (q_ev_hopping_counts, SQL_EV_HOPPING_COUNTS),
         "ev_top_users": (q_ev_top_users, SQL_EV_TOP_USERS),
+        "ev_asof_join": (q_ev_asof_join, SQL_EV_ASOF_JOIN),
+        "ev_range_campaigns": (q_ev_range_campaigns,
+                               _sql_ev_range_campaigns()),
+        "ev_retention": (q_ev_retention, SQL_EV_RETENTION),
         "code_sha_invariant": (q_code_sha_invariant, _sql_code_sha()),
         "code_repo_bm25_top10": (q_code_repo_bm25_top10, _sql_code_repo_bm25()),
         "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),

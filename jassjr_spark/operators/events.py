@@ -134,3 +134,115 @@ def top_users_per_window(
             "user_id", "n_events", "rank",
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    right_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """Distributed as-of join: each left row gains the RIGHT row with the
+    greatest right.ts <= left.ts for the same key (inclusive, i.e.
+    DuckDB's ``ASOF LEFT JOIN ... ON l.ts >= r.ts`` semantics); left rows
+    with no prior right row keep NULLs.
+
+    Spark has no native as-of join; the scale shape here is the
+    union-and-carry construction, NOT a join: tag both inputs, union,
+    and per key take ``last(right payload, ignoreNulls) OVER (ORDER BY
+    ts, side ROWS UNBOUNDED PRECEDING)``. One shuffle on the key, one
+    partition-local sort — the same cost as a co-partitioned merge join
+    but with no build side, no skew ambiguity, and it streams at any
+    right-side size (a broadcast-range implementation would cap the
+    right side). At equal timestamps the right row sorts FIRST
+    (side 0 < side 1) so an exactly-simultaneous right row is visible to
+    the left row, matching the inclusive >= contract.
+
+    Right rows are pre-deduplicated to one per (key, ts) via max() so
+    both engines resolve the (otherwise arbitrary) tie identically.
+    """
+    from pyspark.sql import Window as W
+
+    left = _with_tz_ts(left)
+    right = _with_tz_ts(right.select(on, ts, *right_cols))
+
+    right = right.groupBy(on, ts).agg(
+        *[F.max(c).alias(c) for c in right_cols]
+    )
+    r_payload = F.struct(
+        F.col(ts).alias("r_ts"), *[F.col(c) for c in right_cols]
+    )
+    r_tagged = right.select(
+        F.col(on), F.col(ts), F.lit(0).alias("side"),
+        r_payload.alias("r"),
+    )
+    l_tagged = left.withColumn("side", F.lit(1)).withColumn(
+        "r", F.lit(None).cast(r_tagged.schema["r"].dataType)
+    )
+    unioned = l_tagged.select(
+        *[F.col(c) for c in left.columns], "side", "r"
+    ).unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.withColumn("asof", F.last("r", ignorenulls=True).over(w))
+    return carried.filter(F.col("side") == 1).drop("side", "r")
+
+
+def range_join_campaigns(
+    events: DataFrame, campaigns: DataFrame
+) -> DataFrame:
+    """Non-equi range join: events whose timestamp falls inside each
+    (possibly overlapping) campaign window -> per-campaign
+    (campaign_id, n_events, sum_value). An event inside k overlapping
+    windows counts toward all k.
+
+    The scale shape: the campaign table is dimension-tiny, so the right
+    plan is an explicit broadcast + nested-loop range predicate (Spark
+    cannot hash a BETWEEN) — every executor streams its events partition
+    once against the broadcast ranges, no shuffle of the fact side at
+    all; the only exchange is the final k-row aggregate. The predicate
+    compares int64 epoch micros, never timestamps (engine-portable).
+    """
+    events = _with_tz_ts(events)
+    e = events.select(
+        F.unix_micros(F.col("ts")).alias("t"), F.col("value")
+    )
+    joined = e.join(
+        F.broadcast(campaigns),
+        (F.col("t") >= F.col("start_us")) & (F.col("t") < F.col("end_us")),
+        "inner",
+    )
+    return joined.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: cohort = each user's first active epoch
+    week (integer floor(epoch_us / week_us) — pure int64 math, no
+    calendar functions, so every engine agrees), offset = active week -
+    cohort week -> (cohort_week, week_offset, n_users) with n_users =
+    distinct users from that cohort active at that offset.
+
+    Two hash aggregates: per-(user, week) distinct (map-side
+    combinable), a tiny per-user min() for the cohort, then the final
+    (cohort, offset) count — the classic growth-accounting rollup, all
+    shuffles on low-cardinality keys."""
+    WEEK_US = 7 * 24 * 3600 * 1_000_000
+    events = _with_tz_ts(events)
+    weekly = events.select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / WEEK_US).cast("long").alias("week"),
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )

@@ -4117,6 +4117,51 @@ GROUP BY 1, 2
 """
 
 
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+_FUNNEL_WITHIN_US = 14 * 86_400_000_000  # whole funnel within 14 days
+
+
+def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/events.py:funnel): users completing
+    signup -> view -> click -> purchase in order within 14 days, greedy
+    earliest-completion, with per-step conversion ratios."""
+    from jassjr_spark.operators.events import funnel
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(events, steps=_FUNNEL_STEPS, within_us=_FUNNEL_WITHIN_US)
+
+
+def _sql_ev_funnel() -> str:
+    steps, W = _FUNNEL_STEPS, _FUNNEL_WITHIN_US
+    ctes = [
+        f"s1 AS (SELECT user_id, min(t) AS t1 FROM e "
+        f"WHERE event_type = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i in range(2, len(steps) + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(t1) AS t1, min(t) AS t{i} "
+            f"FROM e JOIN s{i - 1} USING (user_id) "
+            f"WHERE event_type = '{steps[i - 1]}' AND t >= t{i - 1} "
+            f"AND t <= t1 + {W} GROUP BY 1)"
+        )
+    counts = "\nUNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS event_type, "
+        f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, s in enumerate(steps, start=1)
+    )
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+{", ".join(ctes)},
+counts AS ({counts})
+SELECT step, event_type, n_users,
+       CASE WHEN step = 1 THEN 1.0
+            ELSE round(CAST(n_users AS DOUBLE)
+                       / lag(n_users) OVER (ORDER BY step), 4)
+       END AS conversion
+FROM counts
+"""
+
+
 def q_hybrid_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (operators/hybrid.py): RRF-fuse the BM25 lexical
     ranking (documents index, BM25_QUERIES, top-50) with an exact cosine
@@ -7011,6 +7056,7 @@ def catalog() -> dict[str, tuple]:
         "ev_range_campaigns": (q_ev_range_campaigns,
                                _sql_ev_range_campaigns()),
         "ev_retention": (q_ev_retention, SQL_EV_RETENTION),
+        "ev_funnel": (q_ev_funnel, _sql_ev_funnel()),
         "code_sha_invariant": (q_code_sha_invariant, _sql_code_sha()),
         "code_repo_bm25_top10": (q_code_repo_bm25_top10, _sql_code_repo_bm25()),
         "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),

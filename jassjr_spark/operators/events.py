@@ -246,3 +246,66 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    within_us: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each prefix of ``steps``, the number
+    of users who completed it in order (greedy earliest-completion:
+    step i's timestamp is the MIN event time of that type at-or-after
+    the user's step i-1 time; the comparison is >=, so same-microsecond
+    progressions count, and both engines resolve them identically).
+    ``within_us`` optionally requires the whole funnel to finish within
+    that horizon of the step-1 time. Returns
+    (step, event_type, n_users, conversion) where conversion is the
+    ratio to the previous step rounded to 4 places (1.0 at step 1).
+
+    Scale shape: k-1 chained (filter -> hash agg on user_id -> join)
+    passes, every shuffle on the same user_id key so AQE plans them as
+    co-partitioned; each pass reduces to one row per surviving user, so
+    intermediate state shrinks monotonically. The per-step survivor
+    sets union into ONE k-row aggregate + lag window — a single job, no
+    driver-side counting loop. No window over the full event stream and
+    no per-user collect: at 10^12 events each pass is a
+    partial-aggregable groupBy over ONE event type's pushdown-filtered
+    subset."""
+    from pyspark.sql import Window as W
+
+    events = _with_tz_ts(events)
+    e = events.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t")
+    )
+    cur = (
+        e.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    survivors = [cur.select("user_id").withColumn("step", F.lit(1))]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = e.filter(F.col("event_type") == step).join(cur, "user_id")
+        nxt = nxt.filter(F.col("t") >= F.col(f"t{i - 1}"))
+        if within_us is not None:
+            nxt = nxt.filter(F.col("t") <= F.col("t1") + F.lit(within_us))
+        cur = nxt.groupBy("user_id").agg(
+            F.min("t1").alias("t1"), F.min("t").alias(f"t{i}")
+        )
+        survivors.append(cur.select("user_id").withColumn("step", F.lit(i)))
+    unioned = survivors[0]
+    for s in survivors[1:]:
+        unioned = unioned.unionByName(s)
+    agg = unioned.groupBy("step").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    names = F.array(*[F.lit(s) for s in steps])
+    w = W.orderBy("step")  # k rows: the single-partition window is fine
+    return agg.select(
+        "step",
+        F.element_at(names, F.col("step").cast("int")).alias("event_type"),
+        "n_users",
+        F.when(F.col("step") == 1, F.lit(1.0)).otherwise(
+            F.round(F.col("n_users") / F.lag("n_users").over(w), 4)
+        ).alias("conversion"),
+    )

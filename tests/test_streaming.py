@@ -957,3 +957,43 @@ def test_retention_cohorts_small(spark):
     assert w[(w0, w1 - w0)] == 1      # only user 1 returns
     assert w[(w1, 0)] == 1            # user 3's cohort is week1
     assert sum(w.values()) == 4
+
+
+def test_funnel_order_horizon_and_greedy(spark):
+    """Funnel counts only in-order progressions, enforces the within_us
+    horizon from step 1, and is greedy (earliest step times)."""
+    from datetime import datetime
+
+    from jassjr_spark.operators.events import funnel
+
+    D = lambda day, h=0: datetime(2024, 1, day, h)
+    rows = [
+        # user 1: full in-order funnel
+        (0, D(1), 1, "signup", 0.0, ""), (1, D(2), 1, "view", 0.0, ""),
+        (2, D(3), 1, "click", 0.0, ""), (3, D(4), 1, "purchase", 0.0, ""),
+        # user 2: click BEFORE view -> stops after view
+        (4, D(1), 2, "signup", 0.0, ""), (5, D(3), 2, "view", 0.0, ""),
+        (6, D(2), 2, "click", 0.0, ""),
+        # user 3: purchase outside the 14-day horizon from signup
+        (7, D(1), 3, "signup", 0.0, ""), (8, D(2), 3, "view", 0.0, ""),
+        (9, D(3), 3, "click", 0.0, ""), (10, D(20), 3, "purchase", 0.0, ""),
+        # user 4: never signs up -> not even step 1
+        (11, D(1), 4, "view", 0.0, ""),
+        # user 5: greedy check — a second, later view must not rescue a
+        # click that precedes BOTH views... (click at day 2 < first view
+        # day 3) -> funnel stops at view even though view@day5 also exists
+        (12, D(1), 5, "signup", 0.0, ""), (13, D(3), 5, "view", 0.0, ""),
+        (14, D(5), 5, "view", 0.0, ""), (15, D(2), 5, "click", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = funnel(ev, steps=("signup", "view", "click", "purchase"),
+                 within_us=14 * 86_400_000_000)
+    got = {r.step: (r.event_type, r.n_users, r.conversion) for r in out.collect()}
+    assert got[1] == ("signup", 4, 1.0)       # users 1, 2, 3, 5
+    assert got[2] == ("view", 4, 1.0)         # all four progress to view
+    assert got[3] == ("click", 2, 0.5)        # users 1 and 3 only
+    assert got[4] == ("purchase", 1, 0.5)     # user 3 out of horizon

@@ -4117,6 +4117,48 @@ GROUP BY 1, 2
 """
 
 
+def q_io_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL connector fidelity (sources/jsonl.py): export the documents
+    table to gzip'd JSON lines (memoized per corpus), read it back with
+    the explicit-schema quarantining reader, and fingerprint per lang —
+    count, doc_id sum, char sum, distinct-text count and the min/max
+    text md5. The oracle computes the same fingerprint straight off the
+    parquet, so any roundtrip loss (escaping, truncation, type
+    widening, dropped rows) hash-mismatches."""
+    import hashlib as _h
+    import tempfile
+
+    from jassjr_spark.sources.jsonl import read_jsonl_docs, write_jsonl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/jassjr_jsonl_{tag}"
+    skey = (spark.sparkContext.applicationId, sf_dir, "jsonl_export")
+    if _INDEX_MEMO.get(skey) != path:
+        write_jsonl(docs, path, compression="gzip")
+        _INDEX_MEMO[skey] = path
+    good, bad = read_jsonl_docs(spark, path)
+    assert bad.rdd.isEmpty(), "self-written JSONL must have no bad lines"
+    return good.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_texts"),
+        F.min(F.md5("text")).alias("min_md5"),
+        F.max(F.md5("text")).alias("max_md5"),
+    )
+
+
+SQL_IO_JSONL_ROUNDTRIP = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts,
+       min(md5(text)) AS min_md5, max(md5(text)) AS max_md5
+FROM documents GROUP BY lang
+"""
+
+
 _FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 _FUNNEL_WITHIN_US = 14 * 86_400_000_000  # whole funnel within 14 days
 
@@ -7057,6 +7099,7 @@ def catalog() -> dict[str, tuple]:
                                _sql_ev_range_campaigns()),
         "ev_retention": (q_ev_retention, SQL_EV_RETENTION),
         "ev_funnel": (q_ev_funnel, _sql_ev_funnel()),
+        "io_jsonl_roundtrip": (q_io_jsonl_roundtrip, SQL_IO_JSONL_ROUNDTRIP),
         "code_sha_invariant": (q_code_sha_invariant, _sql_code_sha()),
         "code_repo_bm25_top10": (q_code_repo_bm25_top10, _sql_code_repo_bm25()),
         "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),

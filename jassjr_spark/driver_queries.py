@@ -4117,6 +4117,59 @@ GROUP BY 1, 2
 """
 
 
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR training-matrix export (operators/ltr.py): per (query, top-10
+    candidate) feature vector — BM25 rsv + match/tf/idf/length features —
+    over the flagship BM25_QUERIES and the documents index."""
+    from jassjr_spark.operators.ltr import ltr_features
+
+    idx = corpus_index(spark, sf_dir)
+    return ltr_features(idx, _bm25_queries_df(spark), k=10)
+
+
+def _sql_ltr_features(k: int = 10, k1: float = K1, b: float = B) -> str:
+    return f"""{_INDEX_CTES},
+queries(query_id, pos, term) AS (VALUES {_values_queries()}),
+qd AS (
+  SELECT query_id, term, CAST(count(*) AS DOUBLE) AS qtf
+  FROM queries GROUP BY 1, 2
+),
+scored AS (
+  SELECT q.query_id, p.docid, p.tf, a.len, s.avgdl,
+         ln(CAST(s.n AS DOUBLE) / d.df) AS idf,
+         ln(CAST(s.n AS DOUBLE) / d.df)
+           * ((p.tf * ({k1} + 1.0))
+              / (p.tf + {k1} * ((1.0 - {b}) + {b} * (a.len / s.avgdl))))
+           * q.qtf AS contrib
+  FROM qd q
+  JOIN dict d USING (term)
+  JOIN postings p USING (term)
+  JOIN alldl a USING (docid)
+  CROSS JOIN stats s
+  WHERE d.df < s.n
+),
+feats AS (
+  SELECT query_id, docid,
+         round(sum(contrib), 4) AS rsv,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(tf) AS BIGINT) AS sum_tf,
+         CAST(max(tf) AS BIGINT) AS max_tf,
+         round(sum(idf), 4) AS sum_idf,
+         round(max(idf), 4) AS max_idf,
+         CAST(min(len) AS BIGINT) AS doc_len,
+         round(CAST(min(len) AS DOUBLE) / min(avgdl), 4) AS len_ratio
+  FROM scored GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, docid,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rsv DESC, docid DESC) AS BIGINT) AS rank,
+       rsv, n_matched, sum_tf, max_tf, sum_idf, max_idf, doc_len, len_ratio
+FROM feats
+WHERE rsv > 0
+QUALIFY rank <= {k}
+"""
+
+
 def q_io_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL connector fidelity (sources/jsonl.py): export the documents
     table to gzip'd JSON lines (memoized per corpus), read it back with
@@ -7100,6 +7153,7 @@ def catalog() -> dict[str, tuple]:
         "ev_retention": (q_ev_retention, SQL_EV_RETENTION),
         "ev_funnel": (q_ev_funnel, _sql_ev_funnel()),
         "io_jsonl_roundtrip": (q_io_jsonl_roundtrip, SQL_IO_JSONL_ROUNDTRIP),
+        "ltr_features": (q_ltr_features, _sql_ltr_features()),
         "code_sha_invariant": (q_code_sha_invariant, _sql_code_sha()),
         "code_repo_bm25_top10": (q_code_repo_bm25_top10, _sql_code_repo_bm25()),
         "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),

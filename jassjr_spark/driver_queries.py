@@ -4117,6 +4117,44 @@ GROUP BY 1, 2
 """
 
 
+def q_ev_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomalies (operators/events.py:daily_anomalies):
+    per-user days whose event count exceeds mean + 2.5 sigma of that
+    user's active days; exact integer-sum mean/variance so the z-score
+    doubles are bit-identical cross-engine."""
+    from jassjr_spark.operators.events import daily_anomalies
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return daily_anomalies(events, z=2.5)
+
+
+SQL_EV_ANOMALIES = """
+WITH daily AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, CAST(sum(n_events) AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM daily GROUP BY 1
+)
+SELECT * FROM (
+  SELECT user_id, day, n_events,
+         round((CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / cnt)
+               / sqrt(CAST(s2 AS DOUBLE) / cnt
+                      - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt)),
+               4) AS z_score
+  FROM daily JOIN per_user USING (user_id)
+  WHERE (CAST(s2 AS DOUBLE) / cnt
+         - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt)) > 0
+    AND n_events > 0
+)
+WHERE z_score > 2.5
+"""
+
+
 def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTR training-matrix export (operators/ltr.py): per (query, top-10
     candidate) feature vector — BM25 rsv + match/tf/idf/length features —
@@ -7154,6 +7192,7 @@ def catalog() -> dict[str, tuple]:
         "ev_funnel": (q_ev_funnel, _sql_ev_funnel()),
         "io_jsonl_roundtrip": (q_io_jsonl_roundtrip, SQL_IO_JSONL_ROUNDTRIP),
         "ltr_features": (q_ltr_features, _sql_ltr_features()),
+        "ev_anomalies": (q_ev_anomalies, SQL_EV_ANOMALIES),
         "code_sha_invariant": (q_code_sha_invariant, _sql_code_sha()),
         "code_repo_bm25_top10": (q_code_repo_bm25_top10, _sql_code_repo_bm25()),
         "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),

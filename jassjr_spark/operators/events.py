@@ -309,3 +309,49 @@ def funnel(
             F.round(F.col("n_users") / F.lag("n_users").over(w), 4)
         ).alias("conversion"),
     )
+
+
+def daily_anomalies(events: DataFrame, z: float = 3.0) -> DataFrame:
+    """Per-user daily-volume anomaly detection: flag (user_id, day)
+    cells whose event count exceeds that user's mean daily count by more
+    than ``z`` population standard deviations (over the user's ACTIVE
+    days). Returns (user_id, day, n_events, z_score) for flagged days.
+
+    Numeric discipline: mean/variance are derived from the exact
+    integer sums (sum n, sum n^2, count) with the explicit textbook
+    formula, NOT a streaming stddev aggregate — the identical double
+    expression on identical integers is bit-identical across engines,
+    so the oracle comparison never hinges on summation order. Days are
+    integer epoch-day buckets (floor(epoch_us / day_us)), calendar-free.
+
+    Scale shape: two chained hash aggregates — (user, day) then user —
+    both map-side combinable, then a join back on user_id; the day-level
+    aggregate's exchange already hashes on (user_id, day) and the
+    per-user side is tiny (one row per user), so the join costs one
+    re-use-or-small shuffle, never a window over the raw stream."""
+    DAY_US = 86_400_000_000
+    events = _with_tz_ts(events)
+    daily = (
+        events.select(
+            "user_id",
+            (F.unix_micros(F.col("ts")) / DAY_US).cast("long").alias("day"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    per_user = daily.groupBy("user_id").agg(
+        F.sum("n_events").cast("long").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    joined = daily.join(per_user, "user_id")
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = F.col("s2").cast("double") / F.col("cnt") - mean * mean
+    sigma = F.sqrt(var)
+    zscore = (F.col("n_events").cast("double") - mean) / sigma
+    return (
+        joined.filter((var > 0) & (F.col("n_events") > 0))
+        .withColumn("z_score", F.round(zscore, 4))
+        .filter(F.col("z_score") > F.lit(float(z)))
+        .select("user_id", "day", "n_events", "z_score")
+    )

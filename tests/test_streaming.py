@@ -997,3 +997,37 @@ def test_funnel_order_horizon_and_greedy(spark):
     assert got[2] == ("view", 4, 1.0)         # all four progress to view
     assert got[3] == ("click", 2, 0.5)        # users 1 and 3 only
     assert got[4] == ("purchase", 1, 0.5)     # user 3 out of horizon
+
+
+def test_daily_anomalies_hand_computed(spark):
+    """One 30-event spike after ten 1-event days flags at z>3; a
+    constant-volume user (variance 0) never flags."""
+    import math
+    from datetime import datetime, timedelta
+
+    from jassjr_spark.operators.events import daily_anomalies
+
+    rows, eid = [], 0
+    base = datetime(2024, 1, 1)
+    for day in range(10):          # user 1: one event/day for 10 days
+        rows.append((eid, base + timedelta(days=day), 1, "a", 1.0, ""))
+        eid += 1
+    for i in range(30):            # then a 30-event spike on day 10
+        rows.append((eid, base + timedelta(days=10, minutes=i), 1, "a", 1.0, ""))
+        eid += 1
+    for day in range(5):           # user 2: constant 2 events/day
+        for i in range(2):
+            rows.append((eid, base + timedelta(days=day, hours=i), 2, "a", 1.0, ""))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = daily_anomalies(ev, z=3.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    mean, var = 40 / 11, (10 + 900) / 11 - (40 / 11) ** 2
+    want_z = round((30 - mean) / math.sqrt(var), 4)
+    assert (r.user_id, r.n_events, r.z_score) == (1, 30, want_z)
+    assert want_z > 3.0

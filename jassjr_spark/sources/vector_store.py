@@ -634,3 +634,106 @@ def pq_topk_persisted(
     scored = with_cosine(full.join(F.broadcast(cdf), "vec_id"))
     scored = scored.withColumn("cosine", F.round("cosine", 6))
     return rank_topk(scored, k)
+
+
+# -------------------------------------------------------------- appends
+
+
+def append_vectors(spark: SparkSession, path: str, vectors: DataFrame) -> int:
+    """Live-ingest new (vec_id, embedding) rows into an EXISTING store,
+    preserving its layout contract — the embedding analogue of the LSM
+    index's append_documents:
+
+    * lsh: new vectors are hashed with the store's own planes
+      (meta n_planes/seed/dim) and appended into their bucket
+      directories; probes see them with no rebuild and no change to the
+      pruning plan.
+    * ivf: new vectors are assigned to the NEAREST EXISTING centroid
+      (squared-Euclidean argmin against the persisted centroid table —
+      the standard IVF ingest; the quantizer is never refit, so probe
+      routing stays stable). For quantize=True stores the int8 codes +
+      scales are encoded with the same kernel the writer uses, keeping
+      the two-phase SQ8 probe valid over appended rows.
+
+    Returns the number of rows appended. Dimension is validated against
+    the store (planes / centroids) before any write — a wrong-width
+    batch fails loudly instead of silently hashing garbage.
+
+    Scale shape: one pass over the NEW batch only (hash or a
+    broadcast-centroid argmin — the store itself is never read), then a
+    partitioned parquet append; crash safety is the parquet commit
+    protocol (uncommitted task files live under _temporary, invisible
+    to readers).
+    """
+    meta = read_vec_meta(spark, path)
+    widths = [
+        r.w for r in vectors.select(F.size("embedding").alias("w"))
+        .distinct().collect()
+    ]
+    if meta["method"] == "lsh":
+        if widths != [meta["dim"]]:
+            raise ValueError(
+                f"store at {path!r} hashes dim={meta['dim']}; "
+                f"batch has widths {widths}"
+            )
+        vb = lsh_bucket(vectors, n_planes=meta["n_planes"],
+                        seed=meta["seed"], dim=meta["dim"])
+        n = vb.count()
+        (
+            vb.repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(f"{path}/vectors")
+        )
+        return n
+    if meta["method"] != "ivf":
+        raise ValueError(f"unknown vector store method {meta['method']!r}")
+    cents = spark.read.parquet(f"{path}/centroids")
+    dim = len(cents.first().centroid)
+    if widths != [dim]:
+        raise ValueError(
+            f"ivf store at {path!r} has dim={dim}; batch has widths {widths}"
+        )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        vectors.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", d2)
+        .groupBy("vec_id")
+        .agg(
+            # ties (equidistant centroids) break on cluster id for
+            # determinism; embedding is constant per vec_id
+            F.min_by(F.struct("_d2", "cluster"), F.struct("_d2", "cluster"))
+            .getField("cluster").alias("cluster"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", "cluster")
+    )
+    if meta.get("sq8"):
+        assigned = assigned.withColumn(
+            "scale",
+            (
+                F.array_max(
+                    F.transform(F.col("embedding"),
+                                lambda x: F.abs(x.cast("double")))
+                ) / F.lit(127.0)
+            ).cast("float"),
+        ).withColumn(
+            "code", _sq8_encode_col()(F.col("embedding"), F.col("scale"))
+        )
+    n = assigned.count()
+    (
+        assigned.repartition("cluster")
+        .sortWithinPartitions("vec_id")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/vectors")
+    )
+    return n

@@ -287,3 +287,102 @@ def test_pq_train_is_deterministic_and_reconstructs(spark):
         d2 = ((S[:, None, :] - b1[j][None, :, :]) ** 2).sum(axis=2)
         errs.append(d2.min(axis=1).mean())
     assert np.mean(errs) < 0.5 * (X ** 2).sum(axis=1).mean() / 4
+
+
+def test_append_vectors_lsh_equals_rebuild(spark, tmp_path):
+    """Appending a batch to an LSH store == rebuilding on the union:
+    identical probe results, pruning intact, no rehash of old rows."""
+    from jassjr_spark.sources.vector_store import append_vectors
+
+    rows, _ = _vectors(spark, n=100, dim=16)
+    old = spark.createDataFrame(rows[:80], "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(rows[80:], "vec_id long, embedding array<float>")
+    both = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    inc = str(tmp_path / "inc")
+    write_lsh_store(old, inc, n_planes=6, seed=42, dim=16)
+    assert append_vectors(spark, inc, new) == 20
+    full = str(tmp_path / "full")
+    write_lsh_store(both, full, n_planes=6, seed=42, dim=16)
+
+    queries_local = rows[:3]
+    a = {(r.qvec_id, r.rank, r.vec_id, r.cosine)
+         for r in lsh_topk_persisted(spark, inc, queries_local, k=5,
+                                     hamming=1).collect()}
+    b = {(r.qvec_id, r.rank, r.vec_id, r.cosine)
+         for r in lsh_topk_persisted(spark, full, queries_local, k=5,
+                                     hamming=1).collect()}
+    assert a == b
+    # appended rows are reachable: a probe BY a new vector finds itself
+    # excluded but its bucket-mates present
+    plan = lsh_topk_persisted(spark, inc, queries_local, k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_append_vectors_ivf_exhaustive_probe_exact(spark, tmp_path):
+    """IVF append assigns to nearest existing centroids; an exhaustive
+    probe (nprobe == n_clusters) over the appended store equals brute
+    force over the union — regardless of where appends landed."""
+    from jassjr_spark.sources.vector_store import append_vectors
+
+    rows, _ = _vectors(spark, n=90, dim=16)
+    old = spark.createDataFrame(rows[:70], "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(rows[70:], "vec_id long, embedding array<float>")
+    both = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    path = str(tmp_path / "ivf_inc")
+    write_ivf_store(old, path, n_clusters=5, seed=42)
+    assert append_vectors(spark, path, new) == 20
+
+    queries_local = rows[:3]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries_local], "qvec_id long, qvec array<float>"
+    )
+    exact = {(r.qvec_id, r.rank, r.vec_id)
+             for r in cosine_topk(both, qdf, k=5).collect()}
+    got = {(r.qvec_id, r.rank, r.vec_id)
+           for r in ivf_topk_persisted(spark, path, queries_local, k=5,
+                                       nprobe=5).collect()}
+    assert got == exact
+
+
+def test_append_vectors_sq8_and_dim_guard(spark, tmp_path):
+    """Appends into a quantized store carry valid codes (two-phase
+    rerank stays exact with a generous margin); wrong-width batches are
+    refused before any write."""
+    import pytest
+
+    from jassjr_spark.sources.vector_store import append_vectors
+
+    rows, _ = _vectors(spark, n=80, dim=16)
+    old = spark.createDataFrame(rows[:60], "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(rows[60:], "vec_id long, embedding array<float>")
+    both = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    path = str(tmp_path / "sq8_inc")
+    write_ivf_store(old, path, n_clusters=4, seed=42, quantize=True)
+    assert append_vectors(spark, path, new) == 20
+    appended = spark.read.parquet(f"{path}/vectors")
+    assert {"code", "scale"} <= set(appended.columns)
+    assert appended.filter(F.col("code").isNull()).count() == 0
+
+    queries_local = rows[:2]
+    qdf = spark.createDataFrame(
+        [(i, v) for i, v in queries_local], "qvec_id long, qvec array<float>"
+    )
+    exact = {(r.qvec_id, r.rank, r.vec_id)
+             for r in cosine_topk(both, qdf, k=3).collect()}
+    got = {(r.qvec_id, r.rank, r.vec_id)
+           for r in ivf_topk_persisted(spark, path, queries_local, k=3,
+                                       nprobe=4, rerank=60).collect()}
+    assert got == exact
+
+    bad = spark.createDataFrame([(999, [1.0] * 8)],
+                                "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        append_vectors(spark, path, bad)
+    with pytest.raises(ValueError, match="dim"):
+        lsh = str(tmp_path / "lshg")
+        write_lsh_store(old, lsh, n_planes=4, seed=1, dim=16)
+        append_vectors(spark, lsh, bad)

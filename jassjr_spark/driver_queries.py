@@ -4155,6 +4155,51 @@ WHERE z_score > 2.5
 """
 
 
+def q_ev_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multidimensional ROLLUP over events: (event_type, epoch-day)
+    cells plus per-type subtotals and the grand total in ONE pass —
+    Spark's rollup() lowers to a single Expand + hash aggregate, the
+    cube-lattice shape a reporting layer needs at 10^12 events (one
+    shuffle, map-side partial aggregation on every grouping set). NULL
+    group keys are coalesced to sentinels ('(all)', -1) with
+    grouping_id disambiguating, so the oracle compare never rides on
+    NULL-vs-NaN dtype coercion."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    DAY_US = 86_400_000_000
+    e = events.select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / DAY_US)
+        .cast("long").alias("day"),
+        "value",
+    )
+    return (
+        e.rollup("event_type", "day")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("day", F.lit(-1)).alias("day"),
+            "gid", "n_events", "sum_value",
+        )
+    )
+
+
+SQL_EV_ROLLUP = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, value FROM events
+)
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(day, -1) AS day,
+       CAST(grouping(event_type) * 2 + grouping(day) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM e GROUP BY ROLLUP (event_type, day)
+"""
+
+
 def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTR training-matrix export (operators/ltr.py): per (query, top-10
     candidate) feature vector — BM25 rsv + match/tf/idf/length features —
@@ -7193,6 +7238,7 @@ def catalog() -> dict[str, tuple]:
         "io_jsonl_roundtrip": (q_io_jsonl_roundtrip, SQL_IO_JSONL_ROUNDTRIP),
         "ltr_features": (q_ltr_features, _sql_ltr_features()),
         "ev_anomalies": (q_ev_anomalies, SQL_EV_ANOMALIES),
+        "ev_rollup": (q_ev_rollup, SQL_EV_ROLLUP),
         "code_sha_invariant": (q_code_sha_invariant, _sql_code_sha()),
         "code_repo_bm25_top10": (q_code_repo_bm25_top10, _sql_code_repo_bm25()),
         "code_collapsed_top10": (q_code_collapsed_top10, _sql_code_collapsed()),

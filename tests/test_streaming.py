@@ -1031,3 +1031,36 @@ def test_daily_anomalies_hand_computed(spark):
     want_z = round((30 - mean) / math.sqrt(var), 4)
     assert (r.user_id, r.n_events, r.z_score) == (1, 30, want_z)
     assert want_z > 3.0
+
+
+def test_ev_rollup_lattice_consistency(spark, tmp_path):
+    """Rollup cells sum to their subtotals and the grand total, and the
+    plan is ONE Expand + aggregate (no per-grouping-set rescan)."""
+    from jassjr_spark.driver_queries import q_ev_rollup
+
+    from datetime import datetime
+    rows = [
+        (0, datetime(2024, 1, 1), 1, "a", 1.5, ""),
+        (1, datetime(2024, 1, 1), 2, "a", 2.0, ""),
+        (2, datetime(2024, 1, 2), 1, "b", 3.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path)
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = q_ev_rollup(spark, sf)
+    rows_out = out.collect()
+    cells = [r for r in rows_out if r.gid == 0]
+    subs = {r.event_type: r for r in rows_out if r.gid == 1}
+    total = [r for r in rows_out if r.gid == 3]
+    assert len(total) == 1 and total[0].n_events == 3
+    assert abs(total[0].sum_value - 6.5) < 1e-9
+    assert subs["a"].n_events == 2 and abs(subs["a"].sum_value - 3.5) < 1e-9
+    assert sum(r.n_events for r in cells) == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1

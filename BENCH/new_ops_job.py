@@ -45,6 +45,9 @@ ENTRIES = [
     # round-4 session-6 additions (LM quality, BPE, incremental dedup)
     "text_ppl", "text_ppl2", "text_bpe_tokens", "text_bpe_merges",
     "dedup_incremental",
+    # round-4 session-7 additions (event analytics, training-data I/O, LTR)
+    "ev_asof_join", "ev_range_campaigns", "ev_retention", "ev_funnel",
+    "ev_anomalies", "ev_rollup", "io_jsonl_roundtrip", "ltr_features",
 ]
 
 

@@ -515,3 +515,122 @@ def pruned_positions(
         buckets = sorted({term_bucket_py(t, meta["n_buckets"]) for t in norm})
         p = p.filter(F.col("bucket").isin(buckets))
     return p.filter(F.col("term").isin(norm))
+
+
+# ----------------------------------------------------------------- fsck
+
+
+def fsck_index(spark: SparkSession, path: str) -> list[dict]:
+    """Offline integrity check of a persisted index — the production
+    fsck a 100-TB deployment runs after a merge/compaction/restore
+    before putting an index back in the serving path. Verifies every
+    cross-table invariant the engine RELIES on but never re-checks at
+    query time:
+
+      meta                 _meta readable, modulus recorded
+      docids_unique        docid and docno each appear once
+      docids_dense         docids are exactly 0..N-1 (ordinal contract
+                           of assign_docids; dl/postings join on it)
+      doc_lengths_cover    doc_lengths and docids hold the SAME docid set
+      postings_docids      every posting's docid exists in docids
+      postings_dl          the dl riding in each posting row equals
+                           doc_lengths.len (the WAND kernel trusts it)
+      dictionary           df/cf equal a full recompute from postings
+      stats                n_docs/avgdl/total_terms/vocab_size equal
+                           their definitions
+      bucket_layout        every postings row sits in the bucket its
+                           term hashes to under _meta's modulus (wrong
+                           placement = silently invisible to pruned
+                           scans)
+      tf_positive          no zero/negative term frequencies
+
+    Returns [{check, ok, detail}] — report, don't raise: an operator
+    wants the full damage list, not the first failure. Each check is
+    one aggregate or anti-join over the audited tables (a handful of
+    full scans total — an offline maintenance cost, never a query-path
+    one). Live (LSM) indexes pass too: appends keep docids dense and
+    masking is a read-time overlay, so the physical tables audited here
+    must satisfy the same invariants between compactions.
+    """
+    out: list[dict] = []
+
+    def report(check: str, ok: bool, detail: str = "") -> None:
+        out.append({"check": check, "ok": bool(ok), "detail": detail})
+
+    meta = read_meta(spark, path)
+    report("meta", meta["n_buckets"] > 0,
+           f"n_buckets={meta['n_buckets']} block_span={meta['block_span']}")
+
+    docids = spark.read.parquet(f"{path}/docids")
+    dl = spark.read.parquet(f"{path}/doc_lengths")
+    postings = spark.read.parquet(f"{path}/postings")
+    dictionary = spark.read.parquet(f"{path}/dictionary")
+    stats = spark.read.parquet(f"{path}/stats").first()
+
+    r = docids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("docid").alias("nd"),
+        F.countDistinct("docno").alias("nn"),
+        F.min("docid").alias("lo"),
+        F.max("docid").alias("hi"),
+    ).first()
+    report("docids_unique", r.n == r.nd == r.nn,
+           f"rows={r.n} distinct_docid={r.nd} distinct_docno={r.nn}")
+    report("docids_dense", r.n == 0 or (r.lo == 0 and r.hi == r.n - 1),
+           f"min={r.lo} max={r.hi} n={r.n}")
+
+    only_dl = dl.join(docids, "docid", "left_anti").count()
+    only_ids = docids.join(dl, "docid", "left_anti").count()
+    report("doc_lengths_cover", only_dl == 0 and only_ids == 0,
+           f"doc_lengths_orphans={only_dl} docids_without_length={only_ids}")
+
+    orphans = (
+        postings.select("docid").distinct()
+        .join(docids, "docid", "left_anti").count()
+    )
+    report("postings_docids", orphans == 0, f"orphan_docids={orphans}")
+
+    dl_bad = (
+        postings.join(dl, "docid")
+        .filter(F.col("dl") != F.col("len")).count()
+    )
+    report("postings_dl", dl_bad == 0, f"dl_mismatch_rows={dl_bad}")
+
+    recomputed = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df2"),
+        F.sum("tf").cast("long").alias("cf2"),
+    )
+    dict_bad = (
+        dictionary.join(recomputed, "term", "full_outer")
+        .filter(
+            F.col("df").isNull() | F.col("df2").isNull()
+            | (F.col("df") != F.col("df2")) | (F.col("cf") != F.col("cf2"))
+        ).count()
+    )
+    report("dictionary", dict_bad == 0, f"term_mismatches={dict_bad}")
+
+    sums = dl.agg(F.sum("len").cast("long").alias("tt")).first()
+    vocab = dictionary.count()
+    tt = sums.tt or 0
+    stats_ok = (
+        stats.n_docs == r.n
+        and stats.total_terms == tt
+        and stats.vocab_size == vocab
+        and (r.n == 0 or abs(stats.avgdl - tt / r.n) < 1e-9)
+    )
+    report("stats", stats_ok,
+           f"stats=({stats.n_docs},{stats.avgdl},{stats.total_terms},"
+           f"{stats.vocab_size}) recomputed=({r.n},"
+           f"{tt / r.n if r.n else 0},{tt},{vocab})")
+
+    if meta["n_buckets"] > 0 and "bucket" in postings.columns:
+        misplaced = postings.filter(
+            F.col("bucket")
+            != term_bucket_col(F.col("term"), meta["n_buckets"])
+        ).count()
+        report("bucket_layout", misplaced == 0,
+               f"misplaced_rows={misplaced}")
+
+    bad_tf = postings.filter(F.col("tf") < 1).count()
+    report("tf_positive", bad_tf == 0, f"nonpositive_tf_rows={bad_tf}")
+    return out

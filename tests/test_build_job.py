@@ -182,3 +182,64 @@ def test_merge_indexes_matches_full_build(spark, tmp_path):
     write_index(build_index(sdf), pc, n_buckets=4)
     with _pytest.raises(ValueError, match="moduli"):
         merge_indexes(spark, [paths[0], pc], str(tmp_path / "bad"))
+
+
+def test_fsck_clean_index_passes_and_corruption_flags(spark, tmp_path):
+    """fsck over a freshly-written index is all-ok; targeted corruptions
+    flag exactly the violated invariants (report, not raise)."""
+    from pyspark.sql import functions as F
+
+    from jassjr_spark.fixtures import docno_of, synth_docs
+    from jassjr_spark.operators.index_build import build_index
+    from jassjr_spark.sources.index_store import fsck_index, write_index
+
+    rows = [(docno_of(r, p, c), t) for r, p, c, _, t in synth_docs(60)]
+    docs = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(rows)],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(docs)
+    path = str(tmp_path / "fsck_idx")
+    write_index(idx, path, n_buckets=4)
+
+    rep = {r["check"]: r for r in fsck_index(spark, path)}
+    assert all(r["ok"] for r in rep.values()), rep
+    assert set(rep) >= {
+        "meta", "docids_unique", "docids_dense", "doc_lengths_cover",
+        "postings_docids", "postings_dl", "dictionary", "stats",
+        "bucket_layout", "tf_positive",
+    }
+
+    # corruption 1: drop a docid row -> dense/cover/orphan checks trip
+    # (materialize before overwriting the directory being read)
+    kept = [
+        (r.docid, r.docno)
+        for r in spark.read.parquet(f"{path}/docids").collect()
+        if r.docid != 0
+    ]
+    spark.createDataFrame(kept, "docid long, docno string") \
+        .write.mode("overwrite").parquet(f"{path}/docids")
+    rep2 = {r["check"]: r for r in fsck_index(spark, path)}
+    assert not rep2["docids_dense"]["ok"]
+    assert not rep2["doc_lengths_cover"]["ok"]
+    assert not rep2["postings_docids"]["ok"]
+    assert rep2["dictionary"]["ok"]  # postings untouched
+
+    # restore, then corruption 2: tamper a dictionary df
+    spark.createDataFrame(
+        [(i, d) for i, (d, _) in enumerate(rows)], "docid long, docno string"
+    ).write.mode("overwrite").parquet(f"{path}/docids")
+    drows = [
+        (r.term, r.df, r.cf)
+        for r in spark.read.parquet(f"{path}/dictionary").collect()
+    ]
+    assert drows, "corpus must have a vocabulary"
+    t0, df0, cf0 = drows[0]
+    drows[0] = (t0, df0 + 1, cf0)
+    spark.createDataFrame(drows, "term string, df long, cf long") \
+        .write.mode("overwrite").parquet(f"{path}/dictionary")
+    rep3 = {r["check"]: r for r in fsck_index(spark, path)}
+    assert not rep3["dictionary"]["ok"]
+    assert "term_mismatches=1" in rep3["dictionary"]["detail"] \
+        or not rep3["stats"]["ok"]
+    assert rep3["docids_dense"]["ok"]

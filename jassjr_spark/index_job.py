@@ -28,14 +28,29 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="TREC-XML file or directory")
     ap.add_argument("--input-parquet", help="parquet documents table")
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output")
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--block-span", type=int, default=1024)
     ap.add_argument("--no-docno-term", action="store_true",
                     help="do not index the DOCNO token (non-TREC semantics)")
     ap.add_argument("--impact", action="store_true",
                     help="also build impact-ordered segments (SAAT path)")
+    ap.add_argument("--fsck", metavar="INDEX_PATH",
+                    help="audit an existing index's cross-table invariants "
+                         "and exit (no build; --output ignored)")
     args = ap.parse_args()
+
+    if args.fsck:
+        from jassjr_spark.session import get_spark
+        from jassjr_spark.sources.index_store import fsck_index
+
+        spark = get_spark("jassjr_fsck")
+        report = fsck_index(spark, args.fsck)
+        for r in report:
+            print(f"{'ok ' if r['ok'] else 'BAD'} {r['check']:18s} {r['detail']}")
+        bad = [r for r in report if not r["ok"]]
+        print(f"fsck: {len(report) - len(bad)}/{len(report)} checks passed")
+        sys.exit(1 if bad else 0)
 
     from jassjr_spark.plans.build_job import build_persisted_index
     from jassjr_spark.session import get_spark
@@ -61,6 +76,8 @@ def main() -> None:
             order_cols = None
     else:
         ap.error("one of --input / --input-parquet is required")
+    if not args.output:
+        ap.error("--output is required when building")
 
     n = docs.count()
     for i in range(0, n, 1000):

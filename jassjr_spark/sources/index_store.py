@@ -557,80 +557,120 @@ def fsck_index(spark: SparkSession, path: str) -> list[dict]:
     def report(check: str, ok: bool, detail: str = "") -> None:
         out.append({"check": check, "ok": bool(ok), "detail": detail})
 
+    def guarded(check: str, fn) -> None:
+        # corruption includes SCHEMA corruption: a check that cannot even
+        # run (missing table/column, type clash) is a failed check with
+        # the error as its detail, never an fsck crash
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — report everything
+            report(check, False, f"error: {type(e).__name__}: {e}"[:300])
+
     meta = read_meta(spark, path)
     report("meta", meta["n_buckets"] > 0,
            f"n_buckets={meta['n_buckets']} block_span={meta['block_span']}")
 
-    docids = spark.read.parquet(f"{path}/docids")
-    dl = spark.read.parquet(f"{path}/doc_lengths")
-    postings = spark.read.parquet(f"{path}/postings")
-    dictionary = spark.read.parquet(f"{path}/dictionary")
-    stats = spark.read.parquet(f"{path}/stats").first()
+    def _docids_profile():
+        docids = spark.read.parquet(f"{path}/docids")
+        r = docids.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("docid").alias("nd"),
+            F.countDistinct("docno").alias("nn"),
+            F.min("docid").alias("lo"),
+            F.max("docid").alias("hi"),
+        ).first()
+        report("docids_unique", r.n == r.nd == r.nn,
+               f"rows={r.n} distinct_docid={r.nd} distinct_docno={r.nn}")
+        report("docids_dense", r.n == 0 or (r.lo == 0 and r.hi == r.n - 1),
+               f"min={r.lo} max={r.hi} n={r.n}")
 
-    r = docids.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("docid").alias("nd"),
-        F.countDistinct("docno").alias("nn"),
-        F.min("docid").alias("lo"),
-        F.max("docid").alias("hi"),
-    ).first()
-    report("docids_unique", r.n == r.nd == r.nn,
-           f"rows={r.n} distinct_docid={r.nd} distinct_docno={r.nn}")
-    report("docids_dense", r.n == 0 or (r.lo == 0 and r.hi == r.n - 1),
-           f"min={r.lo} max={r.hi} n={r.n}")
+    guarded("docids_unique", _docids_profile)
 
-    only_dl = dl.join(docids, "docid", "left_anti").count()
-    only_ids = docids.join(dl, "docid", "left_anti").count()
-    report("doc_lengths_cover", only_dl == 0 and only_ids == 0,
-           f"doc_lengths_orphans={only_dl} docids_without_length={only_ids}")
+    def _cover():
+        docids = spark.read.parquet(f"{path}/docids")
+        dl = spark.read.parquet(f"{path}/doc_lengths")
+        only_dl = dl.join(docids, "docid", "left_anti").count()
+        only_ids = docids.join(dl, "docid", "left_anti").count()
+        report("doc_lengths_cover", only_dl == 0 and only_ids == 0,
+               f"doc_lengths_orphans={only_dl} "
+               f"docids_without_length={only_ids}")
 
-    orphans = (
-        postings.select("docid").distinct()
-        .join(docids, "docid", "left_anti").count()
-    )
-    report("postings_docids", orphans == 0, f"orphan_docids={orphans}")
+    guarded("doc_lengths_cover", _cover)
 
-    dl_bad = (
-        postings.join(dl, "docid")
-        .filter(F.col("dl") != F.col("len")).count()
-    )
-    report("postings_dl", dl_bad == 0, f"dl_mismatch_rows={dl_bad}")
+    def _orphans():
+        docids = spark.read.parquet(f"{path}/docids")
+        postings = spark.read.parquet(f"{path}/postings")
+        n = (
+            postings.select("docid").distinct()
+            .join(docids, "docid", "left_anti").count()
+        )
+        report("postings_docids", n == 0, f"orphan_docids={n}")
 
-    recomputed = postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df2"),
-        F.sum("tf").cast("long").alias("cf2"),
-    )
-    dict_bad = (
-        dictionary.join(recomputed, "term", "full_outer")
-        .filter(
-            F.col("df").isNull() | F.col("df2").isNull()
-            | (F.col("df") != F.col("df2")) | (F.col("cf") != F.col("cf2"))
+    guarded("postings_docids", _orphans)
+
+    def _dl_payload():
+        postings = spark.read.parquet(f"{path}/postings")
+        dl = spark.read.parquet(f"{path}/doc_lengths")
+        n = postings.join(dl, "docid").filter(
+            F.col("dl") != F.col("len")
         ).count()
-    )
-    report("dictionary", dict_bad == 0, f"term_mismatches={dict_bad}")
+        report("postings_dl", n == 0, f"dl_mismatch_rows={n}")
 
-    sums = dl.agg(F.sum("len").cast("long").alias("tt")).first()
-    vocab = dictionary.count()
-    tt = sums.tt or 0
-    stats_ok = (
-        stats.n_docs == r.n
-        and stats.total_terms == tt
-        and stats.vocab_size == vocab
-        and (r.n == 0 or abs(stats.avgdl - tt / r.n) < 1e-9)
-    )
-    report("stats", stats_ok,
-           f"stats=({stats.n_docs},{stats.avgdl},{stats.total_terms},"
-           f"{stats.vocab_size}) recomputed=({r.n},"
-           f"{tt / r.n if r.n else 0},{tt},{vocab})")
+    guarded("postings_dl", _dl_payload)
 
-    if meta["n_buckets"] > 0 and "bucket" in postings.columns:
-        misplaced = postings.filter(
-            F.col("bucket")
-            != term_bucket_col(F.col("term"), meta["n_buckets"])
-        ).count()
-        report("bucket_layout", misplaced == 0,
-               f"misplaced_rows={misplaced}")
+    def _dictionary():
+        postings = spark.read.parquet(f"{path}/postings")
+        dictionary = spark.read.parquet(f"{path}/dictionary")
+        recomputed = postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df2"),
+            F.sum("tf").cast("long").alias("cf2"),
+        )
+        n = (
+            dictionary.join(recomputed, "term", "full_outer")
+            .filter(
+                F.col("df").isNull() | F.col("df2").isNull()
+                | (F.col("df") != F.col("df2"))
+                | (F.col("cf") != F.col("cf2"))
+            ).count()
+        )
+        report("dictionary", n == 0, f"term_mismatches={n}")
 
-    bad_tf = postings.filter(F.col("tf") < 1).count()
-    report("tf_positive", bad_tf == 0, f"nonpositive_tf_rows={bad_tf}")
+    guarded("dictionary", _dictionary)
+
+    def _stats():
+        dl = spark.read.parquet(f"{path}/doc_lengths")
+        stats = spark.read.parquet(f"{path}/stats").first()
+        n_docs = spark.read.parquet(f"{path}/docids").count()
+        tt = dl.agg(F.sum("len").cast("long").alias("tt")).first().tt or 0
+        vocab = spark.read.parquet(f"{path}/dictionary").count()
+        ok = (
+            stats.n_docs == n_docs
+            and stats.total_terms == tt
+            and stats.vocab_size == vocab
+            and (n_docs == 0 or abs(stats.avgdl - tt / n_docs) < 1e-9)
+        )
+        report("stats", ok,
+               f"stats=({stats.n_docs},{stats.avgdl},{stats.total_terms},"
+               f"{stats.vocab_size}) recomputed=({n_docs},"
+               f"{tt / n_docs if n_docs else 0},{tt},{vocab})")
+
+    guarded("stats", _stats)
+
+    def _buckets():
+        postings = spark.read.parquet(f"{path}/postings")
+        if meta["n_buckets"] > 0 and "bucket" in postings.columns:
+            n = postings.filter(
+                F.col("bucket")
+                != term_bucket_col(F.col("term"), meta["n_buckets"])
+            ).count()
+            report("bucket_layout", n == 0, f"misplaced_rows={n}")
+
+    guarded("bucket_layout", _buckets)
+
+    def _tf():
+        postings = spark.read.parquet(f"{path}/postings")
+        n = postings.filter(F.col("tf") < 1).count()
+        report("tf_positive", n == 0, f"nonpositive_tf_rows={n}")
+
+    guarded("tf_positive", _tf)
     return out

@@ -208,3 +208,39 @@ def test_cli_as_of_snapshot(spark, tmp_path):
         capture_output=True, text=True, cwd=REPO, timeout=120,
     )
     assert out.returncode != 0 and "--as-of" in out.stderr
+
+
+def test_indexer_cli_fsck(tmp_path):
+    """index_job.py --fsck audits a freshly-built index (exit 0, all ok)
+    and flags a corrupted one (exit 1, named check BAD)."""
+    out_idx = str(tmp_path / "fsck_index")
+    build = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jassjr_spark", "index_job.py"),
+         "--input", "/root/reference/test_documents.xml",
+         "--output", out_idx, "--buckets", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=420,
+    )
+    assert build.returncode == 0, build.stderr[-2000:]
+
+    ok = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jassjr_spark", "index_job.py"),
+         "--fsck", out_idx],
+        capture_output=True, text=True, cwd=REPO, timeout=420,
+    )
+    assert ok.returncode == 0, ok.stdout + ok.stderr[-2000:]
+    assert "BAD" not in ok.stdout
+    assert "checks passed" in ok.stdout
+
+    # corrupt: truncate the docids table to a single parquet-less dir
+    import shutil
+
+    shutil.rmtree(f"{out_idx}/doc_lengths")
+    shutil.copytree(f"{out_idx}/docids", f"{out_idx}/doc_lengths")
+    # doc_lengths now has docids' schema -> cover/dl checks must trip
+    bad = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jassjr_spark", "index_job.py"),
+         "--fsck", out_idx],
+        capture_output=True, text=True, cwd=REPO, timeout=420,
+    )
+    assert bad.returncode == 1
+    assert "BAD" in bad.stdout

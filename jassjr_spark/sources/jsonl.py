@@ -110,3 +110,43 @@ def write_jsonl(
     if shard_col is not None:
         w = w.partitionBy(shard_col)
     w.json(path)
+
+
+def stream_jsonl_docs(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming face of the reader: watch ``path`` for new
+    JSONL files and emit GOOD rows of ``schema`` per micro-batch.
+
+    The parse is the same from_json expression as the batch reader, so
+    the two faces accept byte-identical input. Malformed lines are
+    DROPPED here (a streaming sink can't return two frames); pipelines
+    that must audit rejects run the batch reader over the same files —
+    the whole point of sharing the expression is that the verdicts
+    can't diverge.
+
+    ``max_files_per_trigger`` bounds each micro-batch (ingest-rate
+    control on a 10^12-file feed). Feed the result straight to
+    streaming/incremental.start_indexing_stream after mapping to its
+    (docno, content) contract.
+    """
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    lines = reader.text(path)
+    parsed = lines.select(
+        F.from_json(
+            "value",
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+        ).alias("r")
+    )
+    return parsed.filter(F.col(f"r.{_CORRUPT}").isNull()).select(
+        *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
+    )

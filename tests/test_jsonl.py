@@ -74,3 +74,57 @@ def test_jsonl_sharded_export_layout(spark, tmp_path):
         assert len(ids) == 5  # cap/size = 5 docs per shard, in order
         seen.extend(ids)
     assert seen == list(range(20))  # corpus order preserved across shards
+
+
+def test_stream_jsonl_into_incremental_index(spark, tmp_path):
+    """JSONL files streamed through stream_jsonl_docs feed the live
+    incremental index; search over it equals a batch build of the same
+    docs — the full training-feed ingest loop."""
+    from jassjr_spark.fixtures import docno_of, synth_docs, synth_queries
+    from jassjr_spark.operators.index_build import build_index
+    from jassjr_spark.operators.search import search_lines
+    from jassjr_spark.sources.index_store import read_index, write_meta
+    from jassjr_spark.sources.jsonl import stream_jsonl_docs
+    from jassjr_spark.streaming.incremental import (
+        refresh_derived,
+        start_indexing_stream,
+    )
+
+    rows = [(docno_of(r, p, c), t) for r, p, c, _, t in synth_docs(60)]
+    src = tmp_path / "feed"
+    src.mkdir()
+    for i, chunk in enumerate((rows[:30], rows[30:])):
+        (src / f"batch{i}.jsonl").write_text(
+            "\n".join(json.dumps({"docno": d, "content": c})
+                      for d, c in chunk)
+        )
+
+    from pyspark.sql import types as T
+    doc_schema = T.StructType([
+        T.StructField("docno", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    stream = stream_jsonl_docs(spark, str(src), schema=doc_schema,
+                               max_files_per_trigger=1)
+    path = str(tmp_path / "jsonl_idx")
+    write_meta(spark, path, n_buckets=4)
+    q = start_indexing_stream(
+        spark, stream, path, checkpoint=str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    q.awaitTermination(180)
+    refresh_derived(spark, path)
+
+    inc = read_index(spark, path).cache()
+    # batch reference under the SAME docid assignment the stream made
+    # (file arrival order is the stream's to choose; content identity is
+    # what's under test)
+    assigned = {r.docno: r.docid
+                for r in spark.read.parquet(f"{path}/docids").collect()}
+    assert len(assigned) == 60
+    content = dict(rows)
+    ref = build_index(spark.createDataFrame(
+        [(assigned[d], d, content[d]) for d in assigned],
+        "docid long, docno string, content string",
+    )).cache()
+    qs = synth_queries(8)
+    assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)

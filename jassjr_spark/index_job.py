@@ -28,6 +28,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="TREC-XML file or directory")
     ap.add_argument("--input-parquet", help="parquet documents table")
+    ap.add_argument("--input-jsonl",
+                    help="JSONL documents dir/file with (docno, content) "
+                         "objects; malformed lines are counted and skipped")
     ap.add_argument("--output")
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--block-span", type=int, default=1024)
@@ -74,8 +77,23 @@ def main() -> None:
                 order_cols = ["docno"]
         else:
             order_cols = None
+    elif args.input_jsonl:
+        from pyspark.sql import types as T
+
+        from jassjr_spark.sources.jsonl import read_jsonl_docs
+
+        schema = T.StructType([
+            T.StructField("docno", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ])
+        docs, bad = read_jsonl_docs(spark, args.input_jsonl, schema=schema)
+        n_bad = bad.count()
+        if n_bad:
+            print(f"{n_bad} malformed lines skipped", file=sys.stderr)
+        order_cols = ["docno"]
     else:
-        ap.error("one of --input / --input-parquet is required")
+        ap.error("one of --input / --input-parquet / --input-jsonl "
+                 "is required")
     if not args.output:
         ap.error("--output is required when building")
 

@@ -244,3 +244,31 @@ def test_indexer_cli_fsck(tmp_path):
     )
     assert bad.returncode == 1
     assert "BAD" in bad.stdout
+
+
+def test_indexer_cli_jsonl_input(tmp_path):
+    """index_job.py --input-jsonl: a JSONL rendering of the reference
+    corpus builds an index that answers the golden queries byte-exactly;
+    malformed lines are skipped with a count, not a crash."""
+    import json as _json
+
+    from jassjr_spark.fixtures import GOLDEN_EXPECTED, golden_docs
+
+    feed = tmp_path / "docs.jsonl"
+    lines = [_json.dumps({"docno": d, "content": c}) for d, c in golden_docs()]
+    lines.insert(3, "}} not json at all")
+    feed.write_text("\n".join(lines))
+
+    out_idx = str(tmp_path / "jsonl_index")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jassjr_spark", "index_job.py"),
+         "--input-jsonl", str(feed), "--output", out_idx, "--buckets", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "1 malformed lines skipped" in out.stderr
+
+    qfile = tmp_path / "q.txt"
+    qfile.write_text("ten\n")
+    got = _run_cli(["--index", out_idx, "--queries", str(qfile)])
+    assert got == GOLDEN_EXPECTED["ten"]

@@ -4323,7 +4323,7 @@ def _sql_ev_funnel() -> str:
             f"AND t <= t1 + {W} GROUP BY 1)"
         )
     counts = "\nUNION ALL ".join(
-        f"SELECT {i} AS step, '{s}' AS event_type, "
+        f"SELECT CAST({i} AS BIGINT) AS step, '{s}' AS event_type, "
         f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
         for i, s in enumerate(steps, start=1)
     )
@@ -4333,6 +4333,7 @@ WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
 counts AS ({counts})
 SELECT step, event_type, n_users,
        CASE WHEN step = 1 THEN 1.0
+            WHEN lag(n_users) OVER (ORDER BY step) = 0 THEN 0.0
             ELSE round(CAST(n_users AS DOUBLE)
                        / lag(n_users) OVER (ORDER BY step), 4)
        END AS conversion

@@ -87,6 +87,11 @@ def main() -> None:
             T.StructField("content", T.StringType()),
         ])
         docs, bad = read_jsonl_docs(spark, args.input_jsonl, schema=schema)
+        # the build makes several passes over docs (count, docid staging,
+        # postings); cache the parsed rows so the JSONL text is scanned
+        # and parsed once for ALL of them. The quarantine count is one
+        # additional text scan, unavoidable without materializing rejects
+        docs = docs.cache()
         n_bad = bad.count()
         if n_bad:
             print(f"{n_bad} malformed lines skipped", file=sys.stderr)

@@ -164,6 +164,13 @@ def asof_join(
     """
     from pyspark.sql import Window as W
 
+    reserved = {"side", "r", "asof"} & set(left.columns)
+    if reserved:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)} on the "
+            "left input (internal tags + the output struct); rename them "
+            "before joining"
+        )
     left = _with_tz_ts(left)
     right = _with_tz_ts(right.select(on, ts, *right_cols))
 
@@ -299,15 +306,27 @@ def funnel(
     agg = unioned.groupBy("step").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
-    names = F.array(*[F.lit(s) for s in steps])
+    # EVERY step emits a row, zero-survivor steps included — a funnel
+    # report with missing rungs is unreadable, and the SQL oracle's
+    # global count(*) per step always yields one row. Conversion is
+    # pinned at the edge cases (step 1 -> 1.0, empty previous step ->
+    # 0.0) so no engine's divide-by-zero convention enters the compare.
+    spark = events.sparkSession
+    steps_df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(steps, start=1)],
+        "step long, event_type string",
+    )
+    filled = steps_df.join(agg, "step", "left").withColumn(
+        "n_users", F.coalesce(F.col("n_users"), F.lit(0)).cast("long")
+    )
     w = W.orderBy("step")  # k rows: the single-partition window is fine
-    return agg.select(
-        "step",
-        F.element_at(names, F.col("step").cast("int")).alias("event_type"),
-        "n_users",
-        F.when(F.col("step") == 1, F.lit(1.0)).otherwise(
-            F.round(F.col("n_users") / F.lag("n_users").over(w), 4)
-        ).alias("conversion"),
+    prev = F.lag("n_users").over(w)
+    return filled.select(
+        "step", "event_type", "n_users",
+        F.when(F.col("step") == 1, F.lit(1.0))
+        .when(prev == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_users") / prev, 4))
+        .alias("conversion"),
     )
 
 

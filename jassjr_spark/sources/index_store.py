@@ -557,14 +557,19 @@ def fsck_index(spark: SparkSession, path: str) -> list[dict]:
     def report(check: str, ok: bool, detail: str = "") -> None:
         out.append({"check": check, "ok": bool(ok), "detail": detail})
 
-    def guarded(check: str, fn) -> None:
+    def guarded(checks, fn) -> None:
         # corruption includes SCHEMA corruption: a check that cannot even
         # run (missing table/column, type clash) is a failed check with
-        # the error as its detail, never an fsck crash
+        # the error as its detail, never an fsck crash. ``checks`` names
+        # EVERY check the closure would report, so a crashed closure
+        # still yields one (failed) row per check — the report's shape
+        # never depends on which failure mode occurred.
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — report everything
-            report(check, False, f"error: {type(e).__name__}: {e}"[:300])
+            names = [checks] if isinstance(checks, str) else list(checks)
+            for c in names:
+                report(c, False, f"error: {type(e).__name__}: {e}"[:300])
 
     meta = read_meta(spark, path)
     report("meta", meta["n_buckets"] > 0,
@@ -584,7 +589,7 @@ def fsck_index(spark: SparkSession, path: str) -> list[dict]:
         report("docids_dense", r.n == 0 or (r.lo == 0 and r.hi == r.n - 1),
                f"min={r.lo} max={r.hi} n={r.n}")
 
-    guarded("docids_unique", _docids_profile)
+    guarded(("docids_unique", "docids_dense"), _docids_profile)
 
     def _cover():
         docids = spark.read.parquet(f"{path}/docids")
@@ -657,13 +662,21 @@ def fsck_index(spark: SparkSession, path: str) -> list[dict]:
     guarded("stats", _stats)
 
     def _buckets():
+        if meta["n_buckets"] <= 0:
+            return  # unbucketed store: nothing to audit ("meta" flags it)
         postings = spark.read.parquet(f"{path}/postings")
-        if meta["n_buckets"] > 0 and "bucket" in postings.columns:
-            n = postings.filter(
-                F.col("bucket")
-                != term_bucket_col(F.col("term"), meta["n_buckets"])
-            ).count()
-            report("bucket_layout", n == 0, f"misplaced_rows={n}")
+        if "bucket" not in postings.columns:
+            # the exact corruption pruned scans go blind on: a bucketed
+            # meta over unbucketed postings MUST fail, not skip
+            report("bucket_layout", False,
+                   "postings table has no bucket column but _meta says "
+                   f"n_buckets={meta['n_buckets']}")
+            return
+        n = postings.filter(
+            F.col("bucket")
+            != term_bucket_col(F.col("term"), meta["n_buckets"])
+        ).count()
+        report("bucket_layout", n == 0, f"misplaced_rows={n}")
 
     guarded("bucket_layout", _buckets)
 

@@ -45,6 +45,42 @@ DOCS_SCHEMA = T.StructType(
 _CORRUPT = "_corrupt_record"
 
 
+def _parse_lines(lines: DataFrame, schema: T.StructType) -> DataFrame:
+    """(value string) lines -> one ``r`` struct column: the schema's
+    fields plus the corrupt capture. SHARED by the batch and streaming
+    readers so their parse verdicts cannot diverge.
+
+    Blank / whitespace-only lines are dropped BEFORE parsing: from_json
+    returns an all-NULL struct with a NULL corrupt field for them, which
+    would otherwise pass the quarantine as phantom all-NULL "good" rows.
+    Separator blank lines are standard JSONL tolerance — neither
+    documents nor corruption.
+
+    text scan + from_json, NOT spark.read.json: Spark 4 forbids queries
+    that reference only the file relation's internal corrupt column
+    (SPARK-21610) unless the whole read is cached — a non-starter at
+    corpus scale. Parsing as an expression sidesteps that; from_json's
+    own columnNameOfCorruptRecord captures the raw line on parse OR
+    type failure, and a legitimate "{}" line stays good (all-null
+    fields, null corrupt)."""
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    return lines.filter(F.trim(F.col("value")) != "").select(
+        F.from_json(
+            "value",
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+        ).alias("r")
+    )
+
+
+def _good_rows(parsed: DataFrame, schema: T.StructType) -> DataFrame:
+    return parsed.filter(F.col(f"r.{_CORRUPT}").isNull()).select(
+        *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
+    )
+
+
 def read_jsonl_docs(
     spark: SparkSession,
     path: str,
@@ -62,26 +98,8 @@ def read_jsonl_docs(
     column is pruned from the good path, so the common all-clean case
     pays nothing for the quarantine.
     """
-    # text scan + from_json, NOT spark.read.json: Spark 4 forbids
-    # queries that reference only the file relation's internal corrupt
-    # column (SPARK-21610) unless the whole read is cached — a non-
-    # starter at corpus scale. Parsing as an expression over a text
-    # scan sidesteps that; from_json's own columnNameOfCorruptRecord
-    # captures the raw line on parse OR type failure, and a legitimate
-    # "{}" line stays good (all-null fields, null corrupt).
-    with_corrupt = T.StructType(
-        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
-    )
-    parsed = spark.read.text(path).select(
-        F.from_json(
-            "value",
-            with_corrupt,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
-        ).alias("r")
-    )
-    good = parsed.filter(F.col(f"r.{_CORRUPT}").isNull()).select(
-        *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
-    )
+    parsed = _parse_lines(spark.read.text(path), schema)
+    good = _good_rows(parsed, schema)
     bad = (
         parsed.filter(F.col(f"r.{_CORRUPT}").isNotNull())
         .select(F.col(f"r.{_CORRUPT}").alias("line"))
@@ -133,20 +151,7 @@ def stream_jsonl_docs(
     streaming/incremental.start_indexing_stream after mapping to its
     (docno, content) contract.
     """
-    with_corrupt = T.StructType(
-        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
-    )
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    lines = reader.text(path)
-    parsed = lines.select(
-        F.from_json(
-            "value",
-            with_corrupt,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
-        ).alias("r")
-    )
-    return parsed.filter(F.col(f"r.{_CORRUPT}").isNull()).select(
-        *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
-    )
+    return _good_rows(_parse_lines(reader.text(path), schema), schema)

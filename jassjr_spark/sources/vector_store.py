@@ -670,6 +670,9 @@ def append_vectors(spark: SparkSession, path: str, vectors: DataFrame) -> int:
         r.w for r in vectors.select(F.size("embedding").alias("w"))
         .distinct().collect()
     ]
+    if not widths:
+        return 0  # empty ingest micro-batch: nothing to append
+
     if meta["method"] == "lsh":
         if widths != [meta["dim"]]:
             raise ValueError(

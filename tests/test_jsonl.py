@@ -128,3 +128,17 @@ def test_stream_jsonl_into_incremental_index(spark, tmp_path):
     )).cache()
     qs = synth_queries(8)
     assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)
+
+
+def test_jsonl_blank_lines_skipped_not_phantom(spark, tmp_path):
+    """Blank / whitespace-only separator lines are neither documents nor
+    corruption — no phantom all-NULL rows, no quarantine entries."""
+    src = tmp_path / "raw"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '\n\n{"doc_id": 1, "text": "ok", "lang": "en", '
+        '"source": "web", "n_chars": 2}\n   \n\n'
+    )
+    good, bad = read_jsonl_docs(spark, str(src))
+    assert good.count() == 1 and bad.count() == 0
+    assert good.first().doc_id == 1

@@ -1064,3 +1064,33 @@ def test_ev_rollup_lattice_consistency(spark, tmp_path):
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("Expand") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_funnel_zero_step_rows_and_collision_guard(spark):
+    """Empty funnel steps still emit rows (n_users=0, conversion 0.0 past
+    the first empty step) — matching the SQL oracle's global counts; and
+    asof_join refuses left inputs whose columns collide with its
+    internals instead of silently corrupting them."""
+    from datetime import datetime
+
+    import pytest
+
+    from jassjr_spark.operators.events import asof_join, funnel
+
+    rows = [(0, datetime(2024, 1, 1), 1, "signup", 0.0, ""),
+            (1, datetime(2024, 1, 2), 1, "view", 0.0, "")]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.step: (r.event_type, r.n_users, r.conversion)
+           for r in funnel(ev).collect()}
+    assert out == {
+        1: ("signup", 1, 1.0), 2: ("view", 1, 1.0),
+        3: ("click", 0, 0.0), 4: ("purchase", 0, 0.0),
+    }
+
+    bad_left = ev.withColumnRenamed("props", "side")
+    with pytest.raises(ValueError, match="reserves"):
+        asof_join(bad_left, ev)

@@ -268,55 +268,87 @@ def funnel(
     ``within_us`` optionally requires the whole funnel to finish within
     that horizon of the step-1 time. Returns
     (step, event_type, n_users, conversion) where conversion is the
-    ratio to the previous step rounded to 4 places (1.0 at step 1).
+    ratio to the previous step rounded to 4 places (1.0 at step 1;
+    0.0 past an empty step). EVERY step emits a row — zero-survivor
+    steps included, matching the SQL oracle's global per-step counts.
 
-    Scale shape: k-1 chained (filter -> hash agg on user_id -> join)
-    passes, every shuffle on the same user_id key so AQE plans them as
-    co-partitioned; each pass reduces to one row per surviving user, so
-    intermediate state shrinks monotonically. The per-step survivor
-    sets union into ONE k-row aggregate + lag window — a single job, no
-    driver-side counting loop. No window over the full event stream and
-    no per-user collect: at 10^12 events each pass is a
-    partial-aggregable groupBy over ONE event type's pushdown-filtered
-    subset."""
+    Scale shape: ONE pass, ONE shuffle. Funnel-type events shuffle once
+    on user_id into per-user time-sorted arrays, and a JVM-side
+    F.aggregate fold walks each array once, greedily filling the k step
+    times (ascending scan ⇒ first eligible occurrence == the chained
+    MIN — provably the same semantics as the k-CTE oracle; ties sort
+    (t, step) so a step-1 event at the same microsecond is visible to
+    step 2). k per-step non-null counts + a k-row window finish the
+    report. An earlier implementation chained k filter→agg→join passes
+    and union'd the survivor sets; Spark re-executed the shared prefix
+    per branch (no exchange reuse across the union), costing O(k²)
+    scans — measured 11 scans / 13 exchanges for k=4. State here is
+    bounded by each user's count of FUNNEL-TYPE events (the groupBy
+    collect_list); a pathological bot user bounds at its own event
+    count, never the corpus."""
     from pyspark.sql import Window as W
 
+    k = len(steps)
     events = _with_tz_ts(events)
-    e = events.select(
-        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("t")
-    )
-    cur = (
-        e.filter(F.col("event_type") == steps[0])
-        .groupBy("user_id")
-        .agg(F.min("t").alias("t1"))
-    )
-    survivors = [cur.select("user_id").withColumn("step", F.lit(1))]
-    for i, step in enumerate(steps[1:], start=2):
-        nxt = e.filter(F.col("event_type") == step).join(cur, "user_id")
-        nxt = nxt.filter(F.col("t") >= F.col(f"t{i - 1}"))
-        if within_us is not None:
-            nxt = nxt.filter(F.col("t") <= F.col("t1") + F.lit(within_us))
-        cur = nxt.groupBy("user_id").agg(
-            F.min("t1").alias("t1"), F.min("t").alias(f"t{i}")
+    step_of = F.array_position(
+        F.array(*[F.lit(s) for s in steps]), F.col("event_type")
+    ).cast("int")
+    e = (
+        events.filter(F.col("event_type").isin(list(steps)))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("t"),
+            step_of.alias("s"),
         )
-        survivors.append(cur.select("user_id").withColumn("step", F.lit(i)))
-    unioned = survivors[0]
-    for s in survivors[1:]:
-        unioned = unioned.unionByName(s)
-    agg = unioned.groupBy("step").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users")
     )
-    # EVERY step emits a row, zero-survivor steps included — a funnel
-    # report with missing rungs is unreadable, and the SQL oracle's
-    # global count(*) per step always yields one row. Conversion is
-    # pinned at the edge cases (step 1 -> 1.0, empty previous step ->
-    # 0.0) so no engine's divide-by-zero convention enters the compare.
+    per_user = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "s"))).alias("evs")
+    )
+
+    init = F.array_repeat(F.lit(None).cast("long"), k)
+
+    def visit(acc, x):
+        # fill slot i (1-based step i+1) iff: still empty, this event IS
+        # that step, the previous step time exists and is <= t, and the
+        # horizon from the step-1 time holds. transform reads the OLD
+        # acc, which is correct: one event carries exactly one step.
+        def slot(v, i):
+            prev_ok = F.when(i == 0, F.lit(True)).otherwise(
+                (F.element_at(acc, i) <= x["t"])
+                & F.element_at(acc, i).isNotNull()
+            )
+            horizon_ok = (
+                F.lit(True) if within_us is None
+                else F.when(i == 0, F.lit(True)).otherwise(
+                    x["t"] <= F.element_at(acc, 1) + F.lit(int(within_us))
+                )
+            )
+            take = v.isNull() & (x["s"] == i + 1) & prev_ok & horizon_ok
+            return F.when(take, x["t"]).otherwise(v)
+
+        return F.transform(acc, slot)
+
+    folded = per_user.select(F.aggregate("evs", init, visit).alias("acc"))
+    sums = folded.agg(*[
+        F.count(F.element_at("acc", i + 1)).cast("long").alias(f"n{i + 1}")
+        for i in range(k)
+    ])
+    melted = sums.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.col(f"n{i + 1}").alias("n_users"),
+            )
+            for i in range(k)
+        ])).alias("x")
+    ).select("x.step", "x.n_users")
+
     spark = events.sparkSession
     steps_df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(steps, start=1)],
         "step long, event_type string",
     )
-    filled = steps_df.join(agg, "step", "left").withColumn(
+    filled = steps_df.join(melted, "step", "left").withColumn(
         "n_users", F.coalesce(F.col("n_users"), F.lit(0)).cast("long")
     )
     w = W.orderBy("step")  # k rows: the single-partition window is fine
@@ -328,6 +360,7 @@ def funnel(
         .otherwise(F.round(F.col("n_users") / prev, 4))
         .alias("conversion"),
     )
+
 
 
 def daily_anomalies(events: DataFrame, z: float = 3.0) -> DataFrame:

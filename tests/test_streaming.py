@@ -1094,3 +1094,27 @@ def test_funnel_zero_step_rows_and_collision_guard(spark):
     bad_left = ev.withColumnRenamed("props", "side")
     with pytest.raises(ValueError, match="reserves"):
         asof_join(bad_left, ev)
+
+
+def test_funnel_plan_single_pass(spark):
+    """The fold funnel is ONE scan of the events + ONE hash shuffle
+    (the per-user collect_list); the k-row tail is broadcast/local.
+    Guards against regressing to the chained-union shape that
+    re-executed its shared prefix per branch (11 scans for k=4)."""
+    from datetime import datetime
+
+    from jassjr_spark.operators.events import funnel
+
+    rows = [(i, datetime(2024, 1, 1 + i % 20), i % 7,
+             ["signup", "view", "click", "purchase"][i % 4], 0.0, "")
+            for i in range(40)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    plan = funnel(ev)._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    # events relation appears once, not once per step
+    assert plan.count("Scan ExistingRDD[event_id") == 1

@@ -68,18 +68,19 @@ def test_asof_join_matches_duckdb_asof(spark, tmp_path, seed):
     assert got == want
 
 
-@pytest.mark.parametrize("seed", [11, 12])
-def test_funnel_matches_python_oracle(spark, seed):
+@pytest.mark.parametrize("seed,within_days", [(11, 4), (12, 4), (13, 1), (14, 30)])
+def test_funnel_matches_python_oracle(spark, seed, within_days):
     from jassjr_spark.operators.events import funnel
 
     steps = ("signup", "view", "click", "purchase")
-    within = dt.timedelta(days=4)
+    within = dt.timedelta(days=within_days)
     rows = _random_events(seed, n_users=20, n_events=400)
     ev = spark.createDataFrame(rows, EV_SCHEMA)
     got = {r.step: r.n_users
            for r in funnel(ev, steps=steps,
                            within_us=within // dt.timedelta(microseconds=1))
            .collect()}
+    assert set(got) == {1, 2, 3, 4}  # every step emits, even when empty
 
     # pure-Python greedy oracle
     by_user: dict = {}

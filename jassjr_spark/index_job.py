@@ -87,14 +87,25 @@ def main() -> None:
             T.StructField("content", T.StringType()),
         ])
         docs, bad = read_jsonl_docs(spark, args.input_jsonl, schema=schema)
+        # a well-formed JSON object can still be missing docno/content
+        # ({} or wrong keys parses to an all-NULL row); those must not
+        # reach the build as NULL-docno documents — count and drop them
+        # under the same skipped-lines contract as unparseable lines
+        incomplete = F.col("docno").isNull() | F.col("content").isNull()
         # the build makes several passes over docs (count, docid staging,
         # postings); cache the parsed rows so the JSONL text is scanned
         # and parsed once for ALL of them. The quarantine count is one
         # additional text scan, unavoidable without materializing rejects
-        docs = docs.cache()
+        docs = docs.filter(~incomplete).cache()
         n_bad = bad.count()
-        if n_bad:
-            print(f"{n_bad} malformed lines skipped", file=sys.stderr)
+        n_incomplete = (
+            read_jsonl_docs(spark, args.input_jsonl, schema=schema)[0]
+            .filter(incomplete).count()
+        )
+        if n_bad or n_incomplete:
+            print(f"{n_bad} malformed lines skipped; "
+                  f"{n_incomplete} parsed lines missing docno/content "
+                  "skipped", file=sys.stderr)
         order_cols = ["docno"]
     else:
         ap.error("one of --input / --input-parquet / --input-jsonl "

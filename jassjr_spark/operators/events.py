@@ -33,6 +33,17 @@ def _with_tz_ts(events: DataFrame) -> DataFrame:
     return events.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def epoch_bucket(ts, width_us: int):
+    """Fixed-width epoch bucket with FLOOR semantics for every epoch,
+    including pre-1970 negatives (plain ``(us / W).cast('long')``
+    truncates toward zero, merging the buckets either side of epoch 0).
+    pmod yields the positive remainder, so the numerator is an exact
+    multiple of the width and the double divide is exact: any i64 epoch
+    divided by a >=1s width quotients well inside 53 bits."""
+    us = F.unix_micros(ts)
+    return ((us - F.pmod(us, F.lit(width_us))) / F.lit(width_us)).cast("long")
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling event-time windows per event_type:
     (window_start_us, event_type, n_events, sum_value).
@@ -159,8 +170,11 @@ def asof_join(
     (side 0 < side 1) so an exactly-simultaneous right row is visible to
     the left row, matching the inclusive >= contract.
 
-    Right rows are pre-deduplicated to one per (key, ts) via max() so
-    both engines resolve the (otherwise arbitrary) tie identically.
+    Right rows are pre-deduplicated to one per (key, ts) by taking the
+    lexicographic struct-max over the payload columns — ROW-CONSISTENT
+    (the winning row's fields stay together; a per-column max() could
+    synthesize a row that never existed when payloads have >1 column)
+    and reproducible in SQL as max(ROW(...)) / max_by.
     """
     from pyspark.sql import Window as W
 
@@ -174,8 +188,10 @@ def asof_join(
     left = _with_tz_ts(left)
     right = _with_tz_ts(right.select(on, ts, *right_cols))
 
-    right = right.groupBy(on, ts).agg(
-        *[F.max(c).alias(c) for c in right_cols]
+    winner = F.max(F.struct(*[F.col(c) for c in right_cols])).alias("_w")
+    right = (
+        right.groupBy(on, ts).agg(winner)
+        .select(on, ts, *[F.col(f"_w.{c}").alias(c) for c in right_cols])
     )
     r_payload = F.struct(
         F.col(ts).alias("r_ts"), *[F.col(c) for c in right_cols]
@@ -245,7 +261,7 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     events = _with_tz_ts(events)
     weekly = events.select(
         "user_id",
-        (F.unix_micros(F.col("ts")) / WEEK_US).cast("long").alias("week"),
+        epoch_bucket(F.col("ts"), WEEK_US).alias("week"),
     ).distinct()
     cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
@@ -386,7 +402,7 @@ def daily_anomalies(events: DataFrame, z: float = 3.0) -> DataFrame:
     daily = (
         events.select(
             "user_id",
-            (F.unix_micros(F.col("ts")) / DAY_US).cast("long").alias("day"),
+            epoch_bucket(F.col("ts"), DAY_US).alias("day"),
         )
         .groupBy("user_id", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))

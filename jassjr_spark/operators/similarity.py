@@ -261,6 +261,10 @@ def mmr_rerank(
     matched set). Deterministic: cosines are rounded to 6 dp before
     every argmax and ties break vec_id ascending, so the SELECTION is
     reproducible across hosts even where float sums differ in the ulp.
+    max_sim is floored at 0.0 (it starts there and only increases), so
+    an anti-correlated candidate is scored by pure lam*relevance rather
+    than being rewarded for negative similarity — the SQL oracle
+    (driver_queries._sql_sim_mmr) mirrors this with greatest(0.0, ...).
 
     This is the driver-side stage of a two-phase plan: candidate
     generation is distributed (search / rescore / ANN produce the

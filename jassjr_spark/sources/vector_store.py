@@ -689,6 +689,15 @@ def append_vectors(spark: SparkSession, path: str, vectors: DataFrame) -> int:
             .parquet(f"{path}/vectors")
         )
         return n
+    if meta["method"] == "pq":
+        # pq is a method this module writes (write_pq_store), but its
+        # codebooks are trained on the full corpus — appending without
+        # retraining would silently degrade quantization, so refuse
+        # explicitly rather than implying store corruption
+        raise ValueError(
+            "appends are not supported for pq stores (codebooks are "
+            "corpus-trained); rebuild with write_pq_store"
+        )
     if meta["method"] != "ivf":
         raise ValueError(f"unknown vector store method {meta['method']!r}")
     cents = spark.read.parquet(f"{path}/centroids")

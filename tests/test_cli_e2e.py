@@ -257,6 +257,10 @@ def test_indexer_cli_jsonl_input(tmp_path):
     feed = tmp_path / "docs.jsonl"
     lines = [_json.dumps({"docno": d, "content": c}) for d, c in golden_docs()]
     lines.insert(3, "}} not json at all")
+    # well-formed JSON but missing docno/content: must be counted and
+    # dropped, never indexed as an all-NULL document
+    lines.insert(5, "{}")
+    lines.insert(7, _json.dumps({"wrong": "keys"}))
     feed.write_text("\n".join(lines))
 
     out_idx = str(tmp_path / "jsonl_index")
@@ -266,7 +270,8 @@ def test_indexer_cli_jsonl_input(tmp_path):
         capture_output=True, text=True, cwd=REPO, timeout=420,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    assert "1 malformed lines skipped" in out.stderr
+    assert ("1 malformed lines skipped; 2 parsed lines missing "
+            "docno/content skipped") in out.stderr
 
     qfile = tmp_path / "q.txt"
     qfile.write_text("ten\n")

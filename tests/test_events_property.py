@@ -68,6 +68,97 @@ def test_asof_join_matches_duckdb_asof(spark, tmp_path, seed):
     assert got == want
 
 
+def test_epoch_bucket_floors_pre_1970(spark):
+    """Week/day bucketing must FLOOR for negative epochs: an event just
+    before 1970 belongs to bucket -1, not bucket 0 (cast('long') after
+    double division truncates toward zero and would merge them)."""
+    import pyspark.sql.functions as F
+
+    from jassjr_spark.operators.events import epoch_bucket
+
+    DAY_US = 86_400_000_000
+    rows = [
+        (dt.datetime(1969, 12, 31, 23, 0), -1),
+        (dt.datetime(1970, 1, 1, 1, 0), 0),
+        (dt.datetime(1969, 12, 25, 0, 0), -7),
+        (dt.datetime(1969, 12, 24, 23, 59, 59), -8),
+        (dt.datetime(1970, 1, 2, 0, 0), 1),
+    ]
+    df = spark.createDataFrame(
+        [(ts,) for ts, _ in rows], "ts timestamp_ntz"
+    ).select(
+        "ts",
+        epoch_bucket(F.col("ts").cast("timestamp"), DAY_US).alias("day"),
+    )
+    got = {r.ts: r.day for r in df.collect()}
+    for ts, want in rows:
+        assert got[ts] == want, (ts, got[ts], want)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_asof_join_multicol_ties_row_consistent(spark, tmp_path, seed):
+    """Multi-column right payloads with engineered (key, ts) ties: the
+    tie winner must be ONE real row (lexicographic struct-max), never a
+    per-column-max chimera. Checked against DuckDB's ASOF join over the
+    same struct-max dedup."""
+    from jassjr_spark.operators.events import asof_join
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    # few distinct timestamps -> many exact (user_id, ts) collisions;
+    # label sorts OPPOSITE to value so per-column max() would mix rows
+    right_rows, left_rows = [], []
+    for i in range(200):
+        ts = base + dt.timedelta(hours=rng.randrange(0, 24))
+        v = float(rng.randrange(0, 9))
+        right_rows.append(
+            (rng.randrange(1, 6), ts, v, chr(ord("z") - int(v)))
+        )
+    for eid in range(120):
+        ts = base + dt.timedelta(minutes=rng.randrange(0, 24 * 60))
+        left_rows.append((eid, rng.randrange(1, 6), ts))
+    right = spark.createDataFrame(
+        right_rows, "user_id long, ts timestamp_ntz, value double,"
+        " label string"
+    )
+    left = spark.createDataFrame(
+        left_rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    out = asof_join(left, right, right_cols=("value", "label"))
+    got = {
+        (r.event_id, r.asof.r_ts if r.asof else None,
+         r.asof.value if r.asof else None,
+         r.asof.label if r.asof else None)
+        for r in out.collect()
+    }
+    # every non-null (value, label) pair must be a row that exists
+    real = {(v, l) for _, _, v, l in right_rows}
+    assert all(
+        (v, l) in real for _, _, v, l in got if v is not None
+    ), "asof tie-dedup synthesized a (value, label) pair from two rows"
+
+    rp = str(tmp_path / "right.parquet")
+    lp = str(tmp_path / "left.parquet")
+    right.coalesce(1).write.mode("overwrite").parquet(rp)
+    left.coalesce(1).write.mode("overwrite").parquet(lp)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW r AS SELECT * FROM read_parquet('{rp}/*.parquet')")
+    con.execute(f"CREATE VIEW l AS SELECT * FROM read_parquet('{lp}/*.parquet')")
+    want = set(
+        tuple(row) for row in con.execute("""
+            WITH rd AS (
+              SELECT user_id, ts,
+                     max({'value': value, 'label': label}) AS w
+              FROM r GROUP BY 1, 2
+            )
+            SELECT l.event_id, rd.ts, rd.w.value, rd.w.label
+            FROM l ASOF LEFT JOIN rd
+              ON l.user_id = rd.user_id AND l.ts >= rd.ts
+        """).fetchall()
+    )
+    assert got == want
+
+
 @pytest.mark.parametrize("seed,within_days", [(11, 4), (12, 4), (13, 1), (14, 30)])
 def test_funnel_matches_python_oracle(spark, seed, within_days):
     from jassjr_spark.operators.events import funnel

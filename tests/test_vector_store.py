@@ -320,6 +320,25 @@ def test_append_vectors_lsh_equals_rebuild(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_append_vectors_pq_refuses_clearly(spark, tmp_path):
+    """PQ codebooks are corpus-trained, so appends must be refused with
+    a message naming the real reason — not 'unknown method', which
+    reads as store corruption."""
+    import pytest as _pytest
+
+    from jassjr_spark.sources.vector_store import (
+        append_vectors, write_pq_store,
+    )
+
+    rows, _ = _vectors(spark, n=60, dim=16)
+    old = spark.createDataFrame(rows[:50], "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(rows[50:], "vec_id long, embedding array<float>")
+    path = str(tmp_path / "pq_store")
+    write_pq_store(old, path, m=4, n_clusters=6, seed=42)
+    with _pytest.raises(ValueError, match="not supported for pq"):
+        append_vectors(spark, path, new)
+
+
 def test_append_vectors_ivf_exhaustive_probe_exact(spark, tmp_path):
     """IVF append assigns to nearest existing centroids; an exhaustive
     probe (nprobe == n_clusters) over the appended store equals brute

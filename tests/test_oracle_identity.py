@@ -276,6 +276,21 @@ def test_interactive_local_fast_path_zero_jobs_and_identical(spark):
     for _ in range(2):
         for ln in lines:
             assert it3.search_line(ln) == search_lines(idx, spark, [ln]), ln
-    it.close()
-    it2.close()
-    it3.close()
+
+    # warm-ahead (the default): construction prefetches the heaviest
+    # lists, so a FIRST-sighting query is already zero-job local and
+    # byte-identical to the batch path
+    it4 = InteractiveSearcher(idx)
+    assert it4.warmed_terms > 0
+    sc.setJobGroup("warm_first_sighting_probe", "zero-job on first query")
+    got = it4.search_line(lines[1])
+    jobs = tracker.getJobIdsForGroup("warm_first_sighting_probe") or []
+    sc.setJobGroup(None, None)
+    assert got == search_lines(idx, spark, [lines[1]])
+    assert it4.last_path == "local" and len(jobs) == 0, jobs
+    # warm-ahead disabled or unaffordable degrades gracefully
+    it5 = InteractiveSearcher(idx, warm_ahead=False)
+    it6 = InteractiveSearcher(idx, local_postings_budget=0)
+    assert it5.warmed_terms == 0 and it6.warmed_terms == 0
+    for s in (it, it2, it3, it4, it5, it6):
+        s.close()

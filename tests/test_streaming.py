@@ -1118,3 +1118,87 @@ def test_funnel_plan_single_pass(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     # events relation appears once, not once per step
     assert plan.count("Scan ExistingRDD[event_id") == 1
+
+
+def test_streaming_event_analytics_equals_batch(spark, tmp_path):
+    """foreachBatch recompute loop for the holistic event analytics
+    (funnel / retention / anomalies): after each trigger the persisted
+    reports equal the BATCH operators run over exactly the events landed
+    so far — the stream's cumulative output is the batch run on the
+    on-time subset (the same discipline the windowed-counts parity test
+    applies)."""
+    import datetime as dt
+    import glob
+    import random
+    import shutil
+
+    from jassjr_spark.operators.events import (
+        daily_anomalies, funnel, retention_cohorts,
+    )
+    from jassjr_spark.streaming.event_analytics import (
+        start_event_analytics_stream,
+    )
+
+    schema = ("event_id long, ts timestamp_ntz, user_id long,"
+              " event_type string, value double, props string")
+    types = ["signup", "view", "click", "purchase", "error"]
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk_rows(start_eid, n):
+        return [
+            (eid, base + dt.timedelta(minutes=rng.randrange(0, 40_000)),
+             rng.randrange(1, 15), rng.choice(types),
+             round(rng.uniform(0, 9), 2), "")
+            for eid in range(start_eid, start_eid + n)
+        ]
+
+    src = tmp_path / "easrc"
+    src.mkdir()
+
+    def land(rows, name):
+        stage = tmp_path / f"ea_stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{name}.parquet"))
+
+    b0, b1 = mk_rows(0, 250), mk_rows(250, 200)
+    land(b0, "f0")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    store = str(tmp_path / "ea_store")
+    out = str(tmp_path / "ea_out")
+    q = start_event_analytics_stream(
+        spark, stream, store, out,
+        checkpoint=str(tmp_path / "ea_ckpt"),
+        analytics_kwargs={"anomalies": {"z": 1.5}},
+        trigger_available_now=False,
+    )
+
+    def reports_equal_batch(rows_so_far):
+        ev = spark.createDataFrame(rows_so_far, schema)
+        for name, op in [
+            ("funnel", funnel),
+            ("retention", retention_cohorts),
+            ("anomalies", lambda e: daily_anomalies(e, z=1.5)),
+        ]:
+            got = {tuple(r) for r in spark.read.parquet(f"{out}/{name}").collect()}
+            want = {tuple(r) for r in op(ev).collect()}
+            assert got == want, (name, len(got), len(want))
+
+    try:
+        q.processAllAvailable()
+        reports_equal_batch(b0)
+        land(b1, "f1")
+        q.processAllAvailable()
+        reports_equal_batch(b0 + b1)
+    finally:
+        q.stop()
+    # a report the caller did not request is never written
+    assert sorted(
+        p.split("/")[-1] for p in glob.glob(f"{out}/*")
+    ) == ["anomalies", "funnel", "retention"]

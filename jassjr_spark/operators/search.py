@@ -1066,14 +1066,25 @@ class InteractiveSearcher:
             pruned_postings(self.index, missing)
             .select("term", "docid", "tf", "dl").toPandas()
         )
-        terms_col = pdf["term"].to_numpy()
         docid_col = pdf["docid"].to_numpy(np.int64)
         tf_col = pdf["tf"].to_numpy(np.float64)
         dl_col = pdf["dl"].to_numpy(np.float64)
+        # one hash pass over the frame, not a full-array mask per term —
+        # a per-term `terms_col == t` is O(terms * rows), which turns a
+        # warm-ahead prefetch (hundreds of terms, 10^7 rows) into minutes
+        # of single-threaded string compares; groupby indices preserve
+        # within-term row order, so scoring stays byte-identical
+        groups = pdf.groupby("term", sort=False).indices
+        empty = np.array([], np.int64)
         for t in missing:
-            m = terms_col == t
-            self._postings_cache[t] = (docid_col[m], tf_col[m], dl_col[m])
-            self._cached_entries += int(m.sum())
+            ix = groups.get(t)
+            if ix is None:  # no rows (e.g. masked-out): cache the absence
+                self._postings_cache[t] = (
+                    empty, empty.astype(np.float64), empty.astype(np.float64)
+                )
+                continue
+            self._postings_cache[t] = (docid_col[ix], tf_col[ix], dl_col[ix])
+            self._cached_entries += len(ix)
         return True
 
     def _search_local(self, qid: str, qrows: list, k: int) -> list[str] | None:

@@ -1,7 +1,8 @@
-"""Streaming event analytics: funnel, retention cohorts, and daily
-anomalies recomputed continuously from an event stream.
+"""Streaming event analytics: funnel, retention cohorts, daily
+anomalies, and as-of enrichment recomputed continuously from an event
+stream.
 
-These three analytics are HOLISTIC — a user's funnel completion, cohort
+These analytics are HOLISTIC — a user's funnel completion, cohort
 week, or per-user daily z-score can change retroactively as history
 grows, so unlike the windowed/session aggregates (streaming/stateful.py)
 they cannot be expressed as a watermarked streaming aggregation with
@@ -34,13 +35,19 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from jassjr_spark.operators.events import (
-    daily_anomalies, funnel, retention_cohorts,
+    asof_join, daily_anomalies, funnel, retention_cohorts,
 )
 
-ANALYTICS: dict[str, Callable[[DataFrame], DataFrame]] = {
+ANALYTICS: dict[str, Callable[..., DataFrame]] = {
     "funnel": funnel,
     "retention": retention_cohorts,
     "anomalies": daily_anomalies,
+    # as-of enrichment of the landed events against a REFERENCE table
+    # (dimension snapshots, prices, config history) passed as
+    # analytics_kwargs={"asof": {"right": <DataFrame>, ...}} — the right
+    # side is a driver-held handle, so it can itself be a lazily-read
+    # store that grows between triggers
+    "asof": asof_join,
 }
 
 
@@ -68,6 +75,11 @@ def start_event_analytics_stream(
         raise ValueError(f"unknown analytics {sorted(unknown)}; "
                          f"choose from {sorted(ANALYTICS)}")
     kw = analytics_kwargs or {}
+    if "asof" in analytics and "right" not in kw.get("asof", {}):
+        raise ValueError(
+            "the 'asof' analytic needs a reference table: pass "
+            "analytics_kwargs={'asof': {'right': <DataFrame>}}"
+        )
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         # idempotent landing: a replayed epoch rewrites ONLY its own

@@ -1133,7 +1133,7 @@ def test_streaming_event_analytics_equals_batch(spark, tmp_path):
     import shutil
 
     from jassjr_spark.operators.events import (
-        daily_anomalies, funnel, retention_cohorts,
+        asof_join, daily_anomalies, funnel, retention_cohorts,
     )
     from jassjr_spark.streaming.event_analytics import (
         start_event_analytics_stream,
@@ -1172,10 +1172,17 @@ def test_streaming_event_analytics_equals_batch(spark, tmp_path):
     ).parquet(str(src))
     store = str(tmp_path / "ea_store")
     out = str(tmp_path / "ea_out")
+    # as-of reference table: per-user config values effective over time
+    ref = spark.createDataFrame(
+        [(u, base + dt.timedelta(days=7 * i), float(u * 10 + i))
+         for u in range(1, 15) for i in range(4)],
+        "user_id long, ts timestamp_ntz, value double",
+    )
     q = start_event_analytics_stream(
         spark, stream, store, out,
         checkpoint=str(tmp_path / "ea_ckpt"),
-        analytics_kwargs={"anomalies": {"z": 1.5}},
+        analytics=("funnel", "retention", "anomalies", "asof"),
+        analytics_kwargs={"anomalies": {"z": 1.5}, "asof": {"right": ref}},
         trigger_available_now=False,
     )
 
@@ -1185,6 +1192,7 @@ def test_streaming_event_analytics_equals_batch(spark, tmp_path):
             ("funnel", funnel),
             ("retention", retention_cohorts),
             ("anomalies", lambda e: daily_anomalies(e, z=1.5)),
+            ("asof", lambda e: asof_join(e, ref)),
         ]:
             got = {tuple(r) for r in spark.read.parquet(f"{out}/{name}").collect()}
             want = {tuple(r) for r in op(ev).collect()}
@@ -1201,4 +1209,13 @@ def test_streaming_event_analytics_equals_batch(spark, tmp_path):
     # a report the caller did not request is never written
     assert sorted(
         p.split("/")[-1] for p in glob.glob(f"{out}/*")
-    ) == ["anomalies", "funnel", "retention"]
+    ) == ["anomalies", "asof", "funnel", "retention"]
+    # requesting asof without its reference table is refused up front
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reference table"):
+        start_event_analytics_stream(
+            spark, stream, store, out,
+            checkpoint=str(tmp_path / "ea_ckpt2"),
+            analytics=("asof",),
+        )

@@ -60,6 +60,37 @@ def test_lsh_candidates_find_near_dups(docs):
     assert (0, 3) in cands or (1, 3) in cands or (2, 3) in cands
 
 
+def test_lsh_fast_family_semantics(docs):
+    """The xxhash64 fast family (Spark-only, no DuckDB oracle) must keep
+    MinHash-LSH semantics: identical/normalized dups collide in EVERY
+    band, docs sharing no shingle collide in none (a collision needs an
+    xxhash64 collision, ~2^-64), near-dups at the designed probability
+    (bands=16, rows=1, J=0.4 -> ~0.9997; deterministic for fixed
+    content)."""
+    cands = {
+        (r.docid_a, r.docid_b)
+        for r in dedup.lsh_candidate_pairs(
+            docs, n=3, num_hashes=16, bands=16, hash_family="xxhash64"
+        ).collect()
+    }
+    assert (0, 1) in cands and (0, 2) in cands
+    assert (0, 3) in cands or (1, 3) in cands or (2, 3) in cands
+    assert not any(6 in pair for pair in cands)  # "zz" shares no shingle
+    # signatures are long registers (the 4x-smaller-shuffle claim), and
+    # identical docs have identical signatures under either family
+    sigs = {
+        r.docid: r.sig
+        for r in dedup.minhash_signatures(
+            docs, n=3, num_hashes=16, hash_family="xxhash64"
+        ).collect()
+    }
+    assert all(isinstance(v, int) for v in sigs[0])
+    assert sigs[0] == sigs[1] == sigs[2]
+    assert sigs[0] != sigs[4]
+    with pytest.raises(ValueError, match="hash_family"):
+        dedup.minhash_signatures(docs, hash_family="sha1")
+
+
 def test_simhash_close_for_near_dups(docs):
     sh = {r.docid: r.simhash for r in dedup.simhash(docs, bits=32).collect()}
     assert sh[0] == sh[1] == sh[2]  # identical token multisets... 0/1 exact, 2 normalized

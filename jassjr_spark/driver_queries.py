@@ -1265,6 +1265,22 @@ def corpus_blocks(spark: SparkSession, sf_dir: str, idx, s: dict) -> DataFrame:
     return _INDEX_MEMO[bkey]
 
 
+def corpus_block_stats(spark: SparkSession, sf_dir: str,
+                       blocks: DataFrame) -> dict:
+    """Per-process memo of the driver-resident per-term impact summary
+    (functions/compression.py:collect_block_stats) — index-time metadata
+    loaded once per corpus, like the reference loading vocab.bin at
+    startup, so the adaptive WAND gate runs zero Spark jobs per query."""
+    from jassjr_spark.functions.compression import (
+        build_block_stats, collect_block_stats,
+    )
+
+    skey = (spark.sparkContext.applicationId, sf_dir, "block_stats512")
+    if skey not in _INDEX_MEMO:
+        _INDEX_MEMO[skey] = collect_block_stats(build_block_stats(blocks))
+    return _INDEX_MEMO[skey]
+
+
 def _bm25_queries_df(spark: SparkSession) -> DataFrame:
     qrows = [
         (qid, pos, t) for qid, terms in BM25_QUERIES for pos, t in enumerate(terms)
@@ -1289,7 +1305,8 @@ def q_ft_bm25_wand_adaptive(
     s = idx.scalar_stats()
     blocks = corpus_blocks(spark, sf_dir, idx, s)
     return wand_search(idx, blocks, _bm25_queries_df(spark), k=k, stats=s,
-                       block_span=512)
+                       block_span=512,
+                       block_stats=corpus_block_stats(spark, sf_dir, blocks))
 
 
 def q_ft_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:

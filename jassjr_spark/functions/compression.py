@@ -241,3 +241,63 @@ def decode_blocks(
     return blocks.select("term", "block_id", "payload").mapInPandas(
         unpack, schema=DECODED_SCHEMA
     )
+
+
+# Quantile grid for the per-term block-impact summary (build_block_stats):
+# 17 evenly spaced CDF points reconstruct a term's impact distribution
+# accurately enough for the adaptive gate's plan choice (the choice never
+# affects results — operators/wand.py scores identically either way).
+BLOCK_STATS_FRACTIONS = tuple(i / 16 for i in range(17))
+
+
+def build_block_stats(blocks: DataFrame, min_blocks: int = 1) -> DataFrame:
+    """-> (term, n_blocks, avgdl0, imp_q): one tiny row per term
+    summarizing how that term's per-block impact bound (``max_impact``)
+    is distributed across its blocks.
+
+    This is the index-time metadata that lets the query-time adaptive
+    WAND gate (operators/wand.py) decide blocks-vs-postings on the
+    DRIVER — the same architecture as the reference, which loads its
+    entire vocabulary into a hash map at startup (JASSjr_search.py:65-75)
+    so per-query decisions never touch the index files.
+
+    Scale shape: the table is one row per term that appears in >=
+    ``min_blocks`` blocks. Under a Zipf vocabulary the terms with MANY
+    blocks (the only ones whose distribution matters to the gate — a
+    term in a handful of blocks contributes to a vanishing fraction of
+    any query's candidate blocks) are few, so a deployment at 10^12 docs
+    raises ``min_blocks`` to keep the driver-resident table bounded;
+    terms below the floor are modeled conservatively from their df
+    (wand.py:_missing_term_model)."""
+    agg = [
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.percentile_approx(
+            "max_impact", F.array(*[F.lit(f) for f in BLOCK_STATS_FRACTIONS]),
+            F.lit(10_000),
+        ).alias("imp_q"),
+    ]
+    if "avgdl0" in blocks.columns:
+        agg.append(F.first("avgdl0").alias("avgdl0"))
+    else:  # legacy store: batch-written with its own stats, undrifted
+        agg.append(F.lit(None).cast("double").alias("avgdl0"))
+    out = blocks.groupBy("term").agg(*agg).select(
+        "term", "n_blocks", "avgdl0", "imp_q"
+    )
+    if min_blocks > 1:
+        out = out.filter(F.col("n_blocks") >= min_blocks)
+    return out
+
+
+def collect_block_stats(stats_df: DataFrame) -> dict:
+    """Materialize a build_block_stats table into the driver-resident
+    form the gate consumes: {"avgdl0": float|None, "terms": {term:
+    (n_blocks, np.ndarray quantiles)}}. One Spark job, run once per
+    store at engine startup (mirrors the reference's vocab load)."""
+    terms: dict[str, tuple[int, np.ndarray]] = {}
+    avgdl0 = None
+    for r in stats_df.collect():
+        terms[r["term"]] = (int(r["n_blocks"]),
+                            np.asarray(r["imp_q"], dtype=np.float64))
+        if r["avgdl0"] is not None:
+            avgdl0 = float(r["avgdl0"])
+    return {"avgdl0": avgdl0, "terms": terms}

@@ -42,6 +42,7 @@ discrepancy is ~1 ulp; ε costs a negligible amount of extra scoring).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,6 +86,92 @@ SEED_BLOCKS_MAX = 32
 # (pushes into the Parquet scan / row-group stats); above it, a broadcast
 # semi-join (still before decode, but filtered post-scan).
 PUSHDOWN_MAX_BLOCK_IDS = 10_000
+# Driver-local gate (block_stats): estimates within this band of the
+# decision threshold defer to the exact Spark probe — the Monte-Carlo
+# model assumes per-block term independence, which is accurate enough to
+# call clear cases but not coin flips.
+GATE_BORDERLINE = 0.10
+# Monte-Carlo sample count for the driver-local gate: 8192 vectorized
+# draws estimate a fraction to ~±0.011 (1σ), an order tighter than the
+# borderline band, in ~100 µs of numpy.
+GATE_MC_SAMPLES = 8192
+# Fewer union-block samples than this and the estimate is noise — defer.
+GATE_MIN_UNION_SAMPLES = 64
+
+
+def _driver_frac_prunable(
+    qrows: list,
+    local_dict: dict,
+    block_stats: dict,
+    n_docs: int,
+    avgdl: float,
+    block_span: int,
+) -> float | None:
+    """Driver-local estimate of the Spark prunability probe: the fraction
+    of (query, candidate-block) pairs whose UB falls under half the
+    query's max UB. Returns None when the estimate can't be trusted
+    (drifted store, OOV-only queries, too few union samples) — the caller
+    then runs the exact probe. The estimate only picks a PHYSICAL PLAN;
+    both plans produce bit-identical output, so a wrong call here costs
+    time, never correctness.
+
+    Model: blocks are docid ranges shared across terms, so a random
+    corpus block contains term t with probability ≈ n_blocks(t) /
+    n_corpus_blocks, approximately independently across terms; t's
+    impact bound in a block where it appears is a draw from its
+    index-time quantile summary (functions/compression.py:
+    build_block_stats). Terms below the stats floor are modeled from
+    their df with the universal impact ceiling k1+1 (tf→∞ limit of the
+    BM25 tf-saturation factor)."""
+    import math
+
+    from collections import Counter, defaultdict
+
+    from jassjr_spark.constants import K1
+    from jassjr_spark.functions.compression import BLOCK_STATS_FRACTIONS
+
+    avgdl0 = block_stats.get("avgdl0")
+    if avgdl0 and abs(avgdl / avgdl0 - 1.0) > 0.10:
+        return None  # grown store: only the drift-safe Spark bound is fair
+    n_corpus_blocks = max(1, -(-n_docs // block_span))
+    term_stats = block_stats.get("terms", {})
+    per_q: dict = defaultdict(Counter)
+    for r in qrows:
+        per_q[r.query_id][r.term] += 1
+    rng = np.random.default_rng(0x3A55)  # fixed seed: deterministic plans
+    fracs = np.asarray(BLOCK_STATS_FRACTIONS, dtype=np.float64)
+    S = GATE_MC_SAMPLES
+    low = total = 0.0
+    for ctr in per_q.values():
+        contribs = []
+        for t, w in ctr.items():
+            df = local_dict.get(t)
+            if df is None or df >= n_docs:
+                continue  # OOV (inner-join drop) or idf==0 elision
+            c = w * math.log(n_docs / df)
+            if t in term_stats:
+                nb, quantiles = term_stats[t]
+                imp = np.interp(rng.random(S), fracs, quantiles)
+            else:
+                # below the stats floor: expected blocks hit by df docs
+                # spread over n_corpus_blocks ranges; impact ceiling k1+1
+                nb = n_corpus_blocks * (
+                    1.0 - (1.0 - 1.0 / n_corpus_blocks) ** df
+                )
+                imp = K1 + 1.0
+            present = rng.random(S) < min(1.0, nb / n_corpus_blocks)
+            contribs.append(c * imp * present)
+        if not contribs:
+            continue
+        ub = np.sum(contribs, axis=0)
+        union = ub[ub > 0]
+        if union.size < GATE_MIN_UNION_SAMPLES:
+            return None
+        low += float((union < 0.5 * union.max()).sum())
+        total += union.size
+    if total == 0:
+        return None
+    return low / total
 
 
 def impact_bound_expr(meta_columns: list[str], avgdl: float | None):
@@ -173,6 +260,7 @@ def wand_search(
     block_span: int = DEFAULT_BLOCK_SPAN,
     fallback_keep_frac: float = 0.5,
     path_out: list | None = None,
+    block_stats: dict | None = None,
 ) -> DataFrame:
     """-> (query_id, docno, rank, rsv), identical to search() output.
 
@@ -195,15 +283,48 @@ def wand_search(
     naive kernel) — both kernels are bit-identical, so the output never
     depends on the choice (tested). Set fallback_keep_frac=1.0 to force
     the blocks path.
+
+    ``block_stats``: the driver-resident per-term impact summary from
+    functions/compression.py:collect_block_stats. When present, the
+    prunability probe runs as vectorized numpy on the DRIVER (zero Spark
+    jobs before the physical choice — the same architecture as the
+    reference, which answers every per-query metadata question from its
+    startup-loaded vocab hash map, JASSjr_search.py:65-75); only
+    borderline estimates (within GATE_BORDERLINE of the threshold),
+    drifted stores, or low-coverage queries defer to the exact Spark
+    probe. The choice still never affects output.
     """
     s = stats or index.scalar_stats()
-    qterms = [r.term for r in queries.select("term").distinct().collect()]
+    qrows = queries.select("query_id", "term").collect()
+    qterms = sorted({r.term for r in qrows})
     if fallback_keep_frac < 1.0 and k > MAX_PRUNABLE_K:
         if path_out is not None:
             path_out.append("postings")
         scores = _postings_scores(index, queries, qterms, s)
         return resolve_docnos(index, top_k(scores, k), s["n_docs"])
-    q_idf = attach_idf(queries, index.dictionary, s["n_docs"], qterms=qterms)
+    # dictionary probe once, driver-side (attach_idf reuses it): both the
+    # idf join and the driver-local gate need (term -> df)
+    local_dict = {
+        r.term: r.df
+        for r in index.dictionary.filter(F.col("term").isin(qterms))
+        .select("term", "df").collect()
+    }
+    skip_spark_probe = False
+    if fallback_keep_frac < 1.0 and block_stats is not None:
+        est = _driver_frac_prunable(
+            qrows, local_dict, block_stats, s["n_docs"], s["avgdl"],
+            block_span,
+        )
+        threshold = 1.0 - fallback_keep_frac
+        if est is not None and est < threshold - GATE_BORDERLINE:
+            if path_out is not None:
+                path_out.append("postings")
+            scores = _postings_scores(index, queries, qterms, s)
+            return resolve_docnos(index, top_k(scores, k), s["n_docs"])
+        if est is not None and est > threshold + GATE_BORDERLINE:
+            skip_spark_probe = True  # clearly prunable: go straight to seeds
+    q_idf = attach_idf(queries, index.dictionary, s["n_docs"], qterms=qterms,
+                       local_dict=local_dict)
     blocks_q = pruned_blocks(index, blocks, qterms)
 
     # --- phase A: UB per (query, block) from metadata columns only (the
@@ -222,7 +343,7 @@ def wand_search(
     # with uniform tf; conjunctions of same-df terms), skip phase B's
     # decode entirely and score the term-pruned postings with the
     # identical JVM kernel — output is bit-identical either way (tested).
-    if fallback_keep_frac < 1.0:
+    if fallback_keep_frac < 1.0 and not skip_spark_probe:
         wq = Window.partitionBy("query_id")
         frac_prunable = (
             ub.withColumn("qmax", F.max("ub").over(wq))

@@ -222,6 +222,18 @@ def build_persisted_index(
 
     run_stage("blocks", write_blocks, blocks_metrics)
 
+    def write_block_stats() -> int:
+        from jassjr_spark.functions.compression import build_block_stats
+
+        stats_df = build_block_stats(spark.read.parquet(f"{path}/blocks"))
+        # one tiny row per term: coalesce so the startup load is one read
+        stats_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/block_stats"
+        )
+        return spark.read.parquet(f"{path}/block_stats").count()
+
+    run_stage("block_stats", write_block_stats)
+
     if include_impact:
         def write_impact() -> int:
             from jassjr_spark.operators.impact import build_impact_segments
@@ -279,3 +291,15 @@ def load_persisted(spark: SparkSession, path: str) -> tuple[Index, DataFrame]:
             "without --wand."
         )
     return read_index(spark, path), spark.read.parquet(f"{path}/blocks")
+
+
+def load_block_stats(spark: SparkSession, path: str) -> dict | None:
+    """Driver-resident per-term impact summary for the adaptive WAND
+    gate, from a persisted build's ``block_stats`` stage. None when the
+    store predates the stage (the gate then uses the exact Spark
+    probe)."""
+    from jassjr_spark.functions.compression import collect_block_stats
+
+    if not _exists(spark, f"{path}/block_stats"):
+        return None
+    return collect_block_stats(spark.read.parquet(f"{path}/block_stats"))

@@ -117,9 +117,12 @@ def main() -> None:
     if args.wand:
         from jassjr_spark.sources.index_store import read_meta
 
+        from jassjr_spark.plans.build_job import load_block_stats
+
         idx, blocks = load_persisted(spark, args.index)
         idx = idx.cache()
         stats = idx.scalar_stats()
+        block_stats = load_block_stats(spark, args.index)
         span = args.block_span or read_meta(spark, args.index)["block_span"] or 1024
         q = parse_queries(spark, lines)
         # --force-blocks disables the adaptive fallback; otherwise the
@@ -134,7 +137,7 @@ def main() -> None:
                             block_span=span,
                             fallback_keep_frac=(
                                 1.0 if args.force_blocks else 0.5),
-                            path_out=chosen)
+                            path_out=chosen, block_stats=block_stats)
             ),
             input_order_qids(lines),
         )

@@ -26,7 +26,8 @@ def test_crash_resume(spark, tmp_path):
         build_persisted_index(spark, docs, path, fail_after_stage="postings")
     report = build_persisted_index(spark, docs, path)
     assert set(report.skipped) == {"docids", "postings"}
-    assert report.executed == ["doc_lengths", "dictionary", "stats", "blocks"]
+    assert report.executed == ["doc_lengths", "dictionary", "stats", "blocks",
+                               "block_stats"]
 
     # the resumed index answers queries identically to an in-memory build
     idx = read_index(spark, path).cache()
@@ -37,11 +38,11 @@ def test_crash_resume(spark, tmp_path):
     # full re-run with unchanged input: everything skips
     report2 = build_persisted_index(spark, docs, path)
     assert report2.executed == []
-    assert len(report2.skipped) == 6
+    assert len(report2.skipped) == 7
 
     # lineage + metrics tables exist and carry per-bucket rows
     lineage = spark.read.parquet(f"{path}/_lineage")
-    assert lineage.filter("status = 'ok'").count() >= 6
+    assert lineage.filter("status = 'ok'").count() >= 7
     metrics = spark.read.parquet(f"{path}/_metrics")
     kinds = {r.stage for r in metrics.select("stage").distinct().collect()}
     assert {"postings", "postings_max_df", "blocks"} <= kinds
@@ -54,7 +55,7 @@ def test_fingerprint_invalidation(spark, tmp_path):
     changed = _docs_df(spark).limit(250)  # different corpus
     report = build_persisted_index(spark, changed, path)
     assert report.skipped == []
-    assert len(report.executed) == 6
+    assert len(report.executed) == 7
 
 
 def test_wand_over_persisted(spark, tmp_path):

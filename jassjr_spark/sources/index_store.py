@@ -686,4 +686,36 @@ def fsck_index(spark: SparkSession, path: str) -> list[dict]:
         report("tf_positive", n == 0, f"nonpositive_tf_rows={n}")
 
     guarded("tf_positive", _tf)
+
+    def _block_stats():
+        # optional table (plans/build_job.py block_stats stage): when
+        # present, the driver-local WAND gate trusts its per-term block
+        # counts and quantile TOPS — a stale table (blocks rebuilt, stats
+        # not) would silently mis-steer the physical-plan choice (never
+        # wrong answers, but quietly wrong plans, which fsck exists to
+        # catch before an index re-enters the serving path)
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/block_stats")
+        if not p.getFileSystem(conf).exists(p):
+            return  # stage never run: gate falls back to the exact probe
+        st = spark.read.parquet(f"{path}/block_stats")
+        blk = spark.read.parquet(f"{path}/blocks").groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("nb2"),
+            F.max("max_impact").alias("mx2"),
+        )
+        # terms absent from stats are fine (a deployment's min_blocks
+        # floor; the gate models them from df) — what must never happen
+        # is a stats row contradicting the blocks it summarizes
+        n = (
+            st.join(blk, "term", "left")
+            .filter(
+                F.col("nb2").isNull()
+                | (F.col("n_blocks") != F.col("nb2"))
+                | (F.abs(F.element_at("imp_q", -1) - F.col("mx2")) > 1e-9)
+            ).count()
+        )
+        report("block_stats", n == 0, f"stale_terms={n}")
+
+    guarded("block_stats", _block_stats)
     return out

@@ -244,3 +244,44 @@ def test_fsck_clean_index_passes_and_corruption_flags(spark, tmp_path):
     assert "term_mismatches=1" in rep3["dictionary"]["detail"] \
         or not rep3["stats"]["ok"]
     assert rep3["docids_dense"]["ok"]
+
+
+def test_fsck_block_stats_staleness(spark, tmp_path):
+    """The optional block_stats table: fsck passes a fresh build, flags a
+    stats row contradicting its blocks (the staleness that would silently
+    mis-steer the driver-local WAND gate), and tolerates a floored table
+    (terms missing from stats are a deployment choice, not corruption)."""
+    from pyspark.sql import functions as F
+
+    from jassjr_spark.sources.index_store import fsck_index
+
+    docs = _docs_df(spark, 200)
+    path = str(tmp_path / "fsck_bs")
+    build_persisted_index(spark, docs, path, n_buckets=4, block_span=64)
+
+    rep = {r["check"]: r for r in fsck_index(spark, path)}
+    assert rep["block_stats"]["ok"], rep["block_stats"]
+
+    # floored table: drop the most-blocked half of terms -> still ok
+    st = spark.read.parquet(f"{path}/block_stats").collect()
+    floor = sorted(r["n_blocks"] for r in st)[len(st) // 2]
+    kept = [r for r in st if r["n_blocks"] <= floor]
+    spark.createDataFrame(kept).write.mode("overwrite").parquet(
+        f"{path}/block_stats")
+    rep2 = {r["check"]: r for r in fsck_index(spark, path)}
+    assert rep2["block_stats"]["ok"], rep2["block_stats"]
+
+    # stale row: inflate one term's n_blocks -> flagged
+    bad = [dict(r.asDict(), n_blocks=r["n_blocks"] + 7) if i == 0
+           else r.asDict() for i, r in enumerate(kept)]
+    spark.createDataFrame(bad).write.mode("overwrite").parquet(
+        f"{path}/block_stats")
+    rep3 = {r["check"]: r for r in fsck_index(spark, path)}
+    assert not rep3["block_stats"]["ok"]
+    assert "stale_terms=1" in rep3["block_stats"]["detail"]
+
+    # absent table (pre-stage store): check simply doesn't appear
+    import shutil
+    shutil.rmtree(f"{path}/block_stats")
+    rep4 = {r["check"]: r for r in fsck_index(spark, path)}
+    assert "block_stats" not in rep4

@@ -126,7 +126,10 @@ def main() -> None:
     out["build_persist_s"] = round(time.perf_counter() - t0, 2)
     out["build_docs_per_sec"] = round(n_docs / out["build_persist_s"], 1)
 
+    from jassjr_spark.plans.build_job import load_block_stats
+
     idx, blocks = load_persisted(spark, args.index_dir)
+    bstats = load_block_stats(spark, args.index_dir)
     idx = idx.cache()
     s = idx.scalar_stats()
     idx.postings.count()  # warm the postings cache (both paths share it)
@@ -146,7 +149,18 @@ def main() -> None:
             idx, blocks, q, k=10, stats=s, block_span=args.block_span).count()),
         ("bm25_wand_top1000", lambda: wand_search(
             idx, blocks, q, k=1000, stats=s, block_span=args.block_span).count()),
+        # the driver-local gate: per-term impact summaries resident (one
+        # startup load, like the reference's vocab.bin) replace the Spark
+        # prunability-probe job with ~100 µs of numpy
+        ("bm25_wand_top10_gated", lambda: wand_search(
+            idx, blocks, q, k=10, stats=s, block_span=args.block_span,
+            block_stats=bstats).count()),
     )
+    gate_path: list = []
+    wand_search(idx, blocks, q, k=10, stats=s, block_span=args.block_span,
+                block_stats=bstats, path_out=gate_path).count()
+    out["gated_physical_path"] = gate_path[0] if gate_path else "unknown"
+    out["block_stats_terms"] = len(bstats["terms"]) if bstats else 0
     # interleave reps across cases and keep best-of-rounds: the host shows
     # 2-5x run-to-run drift, and interleaving exposes every case to the
     # same drift (BENCH/BASELINE.md methodology)

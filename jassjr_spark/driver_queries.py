@@ -1888,7 +1888,9 @@ def q_ft_bm25_maxscore(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFra
     s = idx.scalar_stats()
     blocks = corpus_blocks(spark, sf_dir, idx, s)
     queries = _bm25_queries_df(spark)
-    run = maxscore_search(idx, blocks, queries, k=100, stats=s)
+    run = maxscore_search(idx, blocks, queries, k=100, stats=s,
+                          block_stats=corpus_block_stats(spark, sf_dir,
+                                                         blocks))
     rounded = (
         run.withColumn("docid", F.col("docno").cast("long"))
         .withColumn("rsv", F.round("rsv", 4))

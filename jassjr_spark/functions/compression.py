@@ -275,13 +275,17 @@ def build_block_stats(blocks: DataFrame, min_blocks: int = 1) -> DataFrame:
             "max_impact", F.array(*[F.lit(f) for f in BLOCK_STATS_FRACTIONS]),
             F.lit(10_000),
         ).alias("imp_q"),
+        # exact max, separate from the sketch: MaxScore's term bound is a
+        # SAFETY bound (operators/maxscore.py), and a quantile sketch's
+        # p=1.0 point is not contractually the exact maximum
+        F.max("max_impact").alias("imp_max"),
     ]
     if "avgdl0" in blocks.columns:
         agg.append(F.first("avgdl0").alias("avgdl0"))
     else:  # legacy store: batch-written with its own stats, undrifted
         agg.append(F.lit(None).cast("double").alias("avgdl0"))
     out = blocks.groupBy("term").agg(*agg).select(
-        "term", "n_blocks", "avgdl0", "imp_q"
+        "term", "n_blocks", "avgdl0", "imp_q", "imp_max"
     )
     if min_blocks > 1:
         out = out.filter(F.col("n_blocks") >= min_blocks)
@@ -291,13 +295,20 @@ def build_block_stats(blocks: DataFrame, min_blocks: int = 1) -> DataFrame:
 def collect_block_stats(stats_df: DataFrame) -> dict:
     """Materialize a build_block_stats table into the driver-resident
     form the gate consumes: {"avgdl0": float|None, "terms": {term:
-    (n_blocks, np.ndarray quantiles)}}. One Spark job, run once per
-    store at engine startup (mirrors the reference's vocab load)."""
-    terms: dict[str, tuple[int, np.ndarray]] = {}
+    (n_blocks, np.ndarray quantiles, imp_max)}}. One Spark job, run once
+    per store at engine startup (mirrors the reference's vocab load)."""
+    terms: dict[str, tuple[int, np.ndarray, float]] = {}
     avgdl0 = None
+    has_max = "imp_max" in stats_df.columns
     for r in stats_df.collect():
-        terms[r["term"]] = (int(r["n_blocks"]),
-                            np.asarray(r["imp_q"], dtype=np.float64))
+        q = np.asarray(r["imp_q"], dtype=np.float64)
+        terms[r["term"]] = (
+            int(r["n_blocks"]), q,
+            float(r["imp_max"]) if has_max else float(q[-1]),
+        )
         if r["avgdl0"] is not None:
             avgdl0 = float(r["avgdl0"])
-    return {"avgdl0": avgdl0, "terms": terms}
+    # exact_max: whether imp_max came from an exact F.max (required for
+    # MaxScore's SAFETY bound; a pre-imp_max table's sketch top point is
+    # good enough for the WAND gate's plan choice but not for pruning)
+    return {"avgdl0": avgdl0, "terms": terms, "exact_max": has_max}

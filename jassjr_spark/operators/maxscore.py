@@ -87,6 +87,39 @@ def term_upper_bounds(index: Index, blocks: DataFrame, qterms: list[str],
     return {r.term: r.ub for r in rows}
 
 
+def term_upper_bounds_local(block_stats: dict, qterms: list[str],
+                            avgdl: float) -> dict[str, float] | None:
+    """Driver-resident replacement for term_upper_bounds — zero Spark
+    jobs — from collect_block_stats summaries. Unlike the WAND gate's
+    Monte-Carlo (a plan heuristic), these bounds feed MaxScore's SAFETY
+    partition, so every value must genuinely upper-bound the term's
+    per-posting impact under the CURRENT avgdl:
+
+    * stats term: baked exact max_impact (computed under avgdl0), scaled
+      by max(1, avgdl/avgdl0) — impact growth under a larger avgdl is
+      capped by the avgdl ratio (the same argument as wand.py's rescaled
+      baked bound); a smaller avgdl only shrinks impacts.
+    * floored-out term (a deployment's min_blocks floor): the universal
+      ceiling k1+1 (tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) < k1+1 for all
+      tf, dl — the denominator always exceeds tf). Looser ⇒ the term is
+      demoted less often ⇒ less pruning, never a wrong answer.
+
+    Returns None only when the table predates the exact imp_max column
+    (a sketch's top point is not contractually the max — caller then
+    runs the Spark bound scan)."""
+    from jassjr_spark.constants import K1
+
+    if not block_stats.get("exact_max"):
+        return None
+    avgdl0 = block_stats.get("avgdl0")
+    scale = max(1.0, avgdl / avgdl0) if avgdl0 else 1.0
+    terms = block_stats["terms"]
+    return {
+        t: (terms[t][2] * scale if t in terms else K1 + 1.0)
+        for t in qterms
+    }
+
+
 def _score_subset(index: Index, qrows, idf: dict, pairs: set,
                   qid_type, avgdl: float) -> DataFrame:
     """Score exactly the (query_id, term) occurrence rows in ``pairs``:
@@ -129,6 +162,7 @@ def maxscore_search(
     stats: dict | None = None,
     path_out: list | None = None,
     info_out: dict | None = None,
+    block_stats: dict | None = None,
 ) -> DataFrame:
     """-> (query_id, docno, rank, rsv), byte-identical to search().
 
@@ -136,6 +170,10 @@ def maxscore_search(
     ``path_out``/``info_out`` mirror wand_search's introspection: the
     physical path chosen and, per query, θ and the essential /
     non-essential term split (tests assert real pruning happened).
+    ``block_stats`` (collect_block_stats): when resident, the per-term
+    bound phase runs driver-side (term_upper_bounds_local) instead of
+    scanning blocks metadata — the bounds stay true upper bounds, so
+    output is still byte-identical (tested).
     """
     from jassjr_spark.operators.search import search as naive_search
 
@@ -161,7 +199,11 @@ def maxscore_search(
     ]
     idf = {t: math.log(n_docs / df) for t, df in pairs if df < n_docs}
 
-    ubs = term_upper_bounds(index, blocks, sorted(idf), s["avgdl"])
+    ubs = None
+    if block_stats is not None:
+        ubs = term_upper_bounds_local(block_stats, sorted(idf), s["avgdl"])
+    if ubs is None:
+        ubs = term_upper_bounds(index, blocks, sorted(idf), s["avgdl"])
 
     # per-query bag weights and weighted bounds, driver-side
     by_q: dict = {}

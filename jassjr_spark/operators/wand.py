@@ -150,7 +150,7 @@ def _driver_frac_prunable(
                 continue  # OOV (inner-join drop) or idf==0 elision
             c = w * math.log(n_docs / df)
             if t in term_stats:
-                nb, quantiles = term_stats[t]
+                nb, quantiles = term_stats[t][0], term_stats[t][1]
                 imp = np.interp(rng.random(S), fracs, quantiles)
             else:
                 # below the stats floor: expected blocks hit by df docs

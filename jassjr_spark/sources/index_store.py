@@ -707,12 +707,14 @@ def fsck_index(spark: SparkSession, path: str) -> list[dict]:
         # terms absent from stats are fine (a deployment's min_blocks
         # floor; the gate models them from df) — what must never happen
         # is a stats row contradicting the blocks it summarizes
+        imp_top = (F.col("imp_max") if "imp_max" in st.columns
+                   else F.element_at("imp_q", -1))
         n = (
             st.join(blk, "term", "left")
             .filter(
                 F.col("nb2").isNull()
                 | (F.col("n_blocks") != F.col("nb2"))
-                | (F.abs(F.element_at("imp_q", -1) - F.col("mx2")) > 1e-9)
+                | (F.abs(imp_top - F.col("mx2")) > 1e-9)
             ).count()
         )
         report("block_stats", n == 0, f"stale_terms={n}")

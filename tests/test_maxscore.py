@@ -121,3 +121,84 @@ def test_term_upper_bounds_bound_every_posting(spark):
     )
     for r in actual:
         assert ubs[r.term] >= r.m - 1e-12
+
+
+def test_maxscore_local_bounds_identity_and_safety(spark):
+    """With block_stats resident, the bound phase runs driver-side
+    (term_upper_bounds_local) — output must stay byte-identical, the
+    local bounds must dominate the Spark bounds (true upper bounds), and
+    pruning must still engage on the stopword query."""
+    from jassjr_spark.functions.compression import (
+        build_block_stats, collect_block_stats,
+    )
+    from jassjr_spark.operators.maxscore import term_upper_bounds_local
+
+    idx = _synth_index(spark, 800).cache()
+    s = idx.scalar_stats()
+    blocks = build_blocks(idx.postings, s["avgdl"], block_span=64).cache()
+    bstats = collect_block_stats(build_block_stats(blocks))
+    queries = parse_queries(spark, synth_queries(20))
+    naive = to_trec_lines(search(idx, queries, k=10, stats=s))
+    got = to_trec_lines(
+        maxscore_search(idx, blocks, queries, k=10, stats=s,
+                        block_stats=bstats))
+    assert got == naive
+
+    qterms = sorted({r.term for r in queries.select("term").distinct()
+                     .collect()} & set(bstats["terms"]))
+    spark_ubs = term_upper_bounds(idx, blocks, qterms, s["avgdl"])
+    local_ubs = term_upper_bounds_local(bstats, qterms, s["avgdl"])
+    for t in qterms:
+        assert local_ubs[t] >= spark_ubs[t] - 1e-12, t
+
+    # drifted avgdl: the scaled local bound still dominates the
+    # drift-safe Spark bound (rank safety under corpus growth)
+    grown = s["avgdl"] * 1.5
+    spark_d = term_upper_bounds(idx, blocks, qterms, grown)
+    local_d = term_upper_bounds_local(bstats, qterms, grown)
+    for t in qterms:
+        assert local_d[t] >= spark_d[t] - 1e-12, t
+
+    # floored term -> k1+1 ceiling, still an upper bound
+    from jassjr_spark.constants import K1
+    floored = {"avgdl0": bstats["avgdl0"], "exact_max": True,
+               "terms": {t: v for t, v in bstats["terms"].items()
+                         if t != qterms[0]}}
+    lf = term_upper_bounds_local(floored, qterms, s["avgdl"])
+    assert lf[qterms[0]] == K1 + 1.0
+    assert lf[qterms[0]] >= spark_ubs[qterms[0]]
+
+    # pre-imp_max table (sketch top only): refuse, caller uses Spark
+    legacy = dict(bstats, exact_max=False)
+    assert term_upper_bounds_local(legacy, qterms, s["avgdl"]) is None
+
+
+def test_maxscore_local_bounds_still_prune(spark):
+    """The stopword-demotion behavior survives the driver-side bound
+    phase: same split, same candidate cut, identical output."""
+    from jassjr_spark.functions.compression import (
+        build_block_stats, collect_block_stats,
+    )
+
+    docs = []
+    for i in range(400):
+        toks = ["common"] * 3 if i != 7 else ["filler"]
+        if i % 97 == 0:
+            toks += ["raregold"]
+        if i % 89 == 0:
+            toks += ["rareiron"]
+        toks += [f"pad{i % 13}"]
+        docs.append((i, f"D{i}", " ".join(toks)))
+    idx = build_index(_df(spark, docs)).cache()
+    s = idx.scalar_stats()
+    blocks = build_blocks(idx.postings, s["avgdl"], block_span=32).cache()
+    bstats = collect_block_stats(build_block_stats(blocks))
+    q = parse_queries(spark, ["51 raregold rareiron common"])
+    naive = to_trec_lines(search(idx, q, k=3, stats=s))
+    path, info = [], {}
+    got = to_trec_lines(
+        maxscore_search(idx, blocks, q, k=3, stats=s, path_out=path,
+                        info_out=info, block_stats=bstats))
+    assert got == naive
+    assert path == ["maxscore"]
+    assert info["51"]["non_essential"] >= 1

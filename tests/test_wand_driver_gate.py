@@ -208,9 +208,10 @@ def test_block_stats_persisted_roundtrip(spark, tmp_path):
     mem = collect_block_stats(
         build_block_stats(spark.read.parquet(f"{path}/blocks")))
     assert set(loaded["terms"]) == set(mem["terms"])
-    for t, (nb, qs) in mem["terms"].items():
-        lb, lqs = loaded["terms"][t]
-        assert lb == nb
+    assert loaded["exact_max"] and mem["exact_max"]
+    for t, (nb, qs, mx) in mem["terms"].items():
+        lb, lqs, lmx = loaded["terms"][t]
+        assert lb == nb and lmx == mx
         assert np.allclose(lqs, qs)
     # a store without the stage: loader returns None, gate stays exact
     assert load_block_stats(spark, str(tmp_path / "nope")) is None

@@ -133,7 +133,9 @@ def main() -> None:
             result[f"{metric}_speedup"] = round(sp, 3)
             result[f"{metric}_efficiency"] = round(sp / ratio, 3)
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, args.out), "w") as f:
+    # --out may be bare (lands in BENCH/) or carry its own directory.
+    out = args.out if os.path.dirname(args.out) else os.path.join(here, args.out)
+    with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 

@@ -118,6 +118,13 @@ def main() -> None:
         out[f"k{k}"] = {
             "single_p50_ms": round(pct(singles, 50) * 1000, 1),
             "single_p99_ms": round(pct(singles, 99) * 1000, 1),
+            # batch-amortized figure for the warm resident regime: the
+            # reference's own batch mode also answers queries serially
+            # from startup-loaded state (JASSjr_search.py reads the whole
+            # index before the first query; its reported per-query number
+            # excludes that load, as warm_build_s is excluded here)
+            "warm_batch_per_query_ms": round(
+                sum(warm) / len(warm) * 1000, 2),
             "interactive_p50_ms": round(pct(inter, 50) * 1000, 1),
             "interactive_p99_ms": round(pct(inter, 99) * 1000, 1),
             "interactive_warm_p50_ms": round(pct(warm, 50) * 1000, 2),

@@ -94,6 +94,10 @@ def main() -> None:
     ap.add_argument("--zipf", action="store_true",
                     help="use the 100k-term Zipf corpus + mixed-df queries")
     ap.add_argument("--docs", type=int, default=600_000)
+    ap.add_argument("--interactive-budget", type=int, default=64_000_000,
+                    help="driver postings budget for the interactive "
+                         "searcher (entries; 64M covers the whole 600k-doc "
+                         "index -> resident warm-all regime)")
     args = ap.parse_args()
     if args.zipf:
         args.corpus = f"/tmp/jassjr_bench_zipf_{args.docs}.parquet"
@@ -125,6 +129,10 @@ def main() -> None:
                           block_span=args.block_span)
     out["build_persist_s"] = round(time.perf_counter() - t0, 2)
     out["build_docs_per_sec"] = round(n_docs / out["build_persist_s"], 1)
+    out["index_bytes"] = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(args.index_dir) for f in fs
+    )
 
     from jassjr_spark.plans.build_job import load_block_stats
 
@@ -173,16 +181,30 @@ def main() -> None:
         out[name + "_s"] = round(best[name], 2)
         out[name + "_ms_per_query"] = round(best[name] / args.queries * 1000, 1)
 
-    it = InteractiveSearcher(idx, stats=s)
+    # resident-index interactive regime: at 600k docs the whole postings
+    # table fits a driver budget, so construction loads it all (one Arrow
+    # full scan — the reference's startup architecture) and EVERY query,
+    # rare terms included, is zero-job numpy. The default 5M budget would
+    # leave the Zipf tail un-cached and each first-sighting rare term
+    # would cost a full Spark job (~300 ms — measured in r5 pre-warm-all).
+    t0 = time.perf_counter()
+    it = InteractiveSearcher(idx, stats=s,
+                             local_postings_budget=args.interactive_budget)
+    out["interactive_warm_build_s"] = round(time.perf_counter() - t0, 2)
+    out["interactive_warmed_terms"] = it.warmed_terms
     it.search_line(lines[0], k=10)
-    ts = []
+    ts, n_local = [], 0
     for ln in lines:
         t0 = time.perf_counter()
         it.search_line(ln, k=10)
         ts.append(time.perf_counter() - t0)
+        n_local += it.last_path == "local"
+    out["interactive_local_fraction"] = round(n_local / len(lines), 3)
+    out["interactive_batch_per_query_ms"] = round(
+        sum(ts) / len(ts) * 1000, 2)
     ts.sort()
-    out["interactive_p50_ms"] = round(ts[len(ts) // 2] * 1000, 1)
-    out["interactive_p99_ms"] = round(ts[min(len(ts) - 1, int(len(ts) * 0.99))] * 1000, 1)
+    out["interactive_p50_ms"] = round(ts[len(ts) // 2] * 1000, 2)
+    out["interactive_p99_ms"] = round(ts[min(len(ts) - 1, int(len(ts) * 0.99))] * 1000, 2)
     print(json.dumps(out))
 
 

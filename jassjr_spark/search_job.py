@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--interactive", action="store_true",
                     help="true REPL: answer each line as it arrives "
                          "(sub-second p50; byte-identical output)")
+    ap.add_argument("--interactive-budget", type=int, default=5_000_000,
+                    help="driver postings budget (entries) for the REPL's "
+                         "local cache; when it covers the whole index, "
+                         "construction loads ALL postings resident (the "
+                         "reference's startup regime) and every query is "
+                         "zero-job")
     ap.add_argument("--as-of", type=int, default=None, dest="as_of",
                     help="time-travel: answer queries against the index "
                          "SNAPSHOT at this epoch (LSM epoch layout only; "
@@ -100,7 +106,8 @@ def main() -> None:
         # once, answer each stdin line as it arrives
         idx = _read(args.index).cache()
         idx.postings.count()  # warm
-        it = InteractiveSearcher(idx)
+        it = InteractiveSearcher(
+            idx, local_postings_budget=args.interactive_budget)
         source = open(args.queries) if args.queries else sys.stdin
         for ln in source:
             if not ln.strip():

@@ -294,3 +294,46 @@ def test_interactive_local_fast_path_zero_jobs_and_identical(spark):
     assert it5.warmed_terms == 0 and it6.warmed_terms == 0
     for s in (it, it2, it3, it4, it5, it6):
         s.close()
+
+
+def test_interactive_warm_all_resident_index(spark):
+    """Resident-index warm regime: when the WHOLE postings table fits the
+    budget, construction loads every term (full scan, no IN-list), so a
+    first-sighting query for a RARE term — one the greedy top-df prefetch
+    would skip — is zero-job local and byte-identical. Under-budget
+    stores degrade to the greedy fill (warmed_terms capped), and rare
+    terms then cost one fetch job — the regime the 600k zipf bench
+    measured at ~300 ms/query."""
+    from jassjr_spark.operators.search import InteractiveSearcher, search_lines
+
+    docs = _rows(300)
+    # plant a unique rare term: df=1, so descending-df greedy fill ranks
+    # it LAST among ~hundreds of terms
+    docs[137] = (docs[137][0], docs[137][1] + " zzyzxrare")
+    sdf = spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(docs)],
+        "docid long, docno string, content string",
+    )
+    idx = build_index(sdf).cache()
+    idx.postings.count()
+    n_vocab = idx.dictionary.count()
+
+    it = InteractiveSearcher(idx)  # default budget >> this index
+    assert it.warmed_terms == n_vocab
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("warm_all_rare_probe", "zero-job on rare first query")
+    got = it.search_line("zzyzxrare ten")
+    jobs = tracker.getJobIdsForGroup("warm_all_rare_probe") or []
+    sc.setJobGroup(None, None)
+    assert got == search_lines(idx, spark, ["zzyzxrare ten"])
+    assert it.last_path == "local" and len(jobs) == 0, jobs
+
+    # budget below the full index -> greedy fill, still correct
+    total = sum(r.df for r in idx.dictionary.select("df").collect())
+    it2 = InteractiveSearcher(idx, local_postings_budget=max(1, total // 2),
+                              warm_ahead_max_terms=16)
+    assert 0 < it2.warmed_terms <= 16
+    assert it2.search_line("zzyzxrare ten") == got
+    it.close()
+    it2.close()

@@ -94,6 +94,9 @@ def main() -> None:
     ap.add_argument("--zipf", action="store_true",
                     help="use the 100k-term Zipf corpus + mixed-df queries")
     ap.add_argument("--docs", type=int, default=600_000)
+    ap.add_argument("--skip-build", action="store_true",
+                    help="reuse the existing persisted index at "
+                         "--index-dir (skips the build timing rows)")
     ap.add_argument("--interactive-budget", type=int, default=64_000_000,
                     help="driver postings budget for the interactive "
                          "searcher (entries; 64M covers the whole 600k-doc "
@@ -123,12 +126,13 @@ def main() -> None:
            "cores": args.cores, "n_docs": n_docs, "n_queries": args.queries,
            "block_span": args.block_span}
 
-    shutil.rmtree(args.index_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    build_persisted_index(spark, docs, args.index_dir,
-                          block_span=args.block_span)
-    out["build_persist_s"] = round(time.perf_counter() - t0, 2)
-    out["build_docs_per_sec"] = round(n_docs / out["build_persist_s"], 1)
+    if not args.skip_build:
+        shutil.rmtree(args.index_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_persisted_index(spark, docs, args.index_dir,
+                              block_span=args.block_span)
+        out["build_persist_s"] = round(time.perf_counter() - t0, 2)
+        out["build_docs_per_sec"] = round(n_docs / out["build_persist_s"], 1)
     out["index_bytes"] = sum(
         os.path.getsize(os.path.join(d, f))
         for d, _, fs in os.walk(args.index_dir) for f in fs
@@ -193,18 +197,20 @@ def main() -> None:
     out["interactive_warm_build_s"] = round(time.perf_counter() - t0, 2)
     out["interactive_warmed_terms"] = it.warmed_terms
     it.search_line(lines[0], k=10)
-    ts, n_local = [], 0
-    for ln in lines:
-        t0 = time.perf_counter()
-        it.search_line(ln, k=10)
-        ts.append(time.perf_counter() - t0)
-        n_local += it.last_path == "local"
-    out["interactive_local_fraction"] = round(n_local / len(lines), 3)
-    out["interactive_batch_per_query_ms"] = round(
-        sum(ts) / len(ts) * 1000, 2)
-    ts.sort()
-    out["interactive_p50_ms"] = round(ts[len(ts) // 2] * 1000, 2)
-    out["interactive_p99_ms"] = round(ts[min(len(ts) - 1, int(len(ts) * 0.99))] * 1000, 2)
+    for k, tag in ((10, ""), (1000, "_k1000")):
+        ts, n_local = [], 0
+        for ln in lines:
+            t0 = time.perf_counter()
+            it.search_line(ln, k=k)
+            ts.append(time.perf_counter() - t0)
+            n_local += it.last_path == "local"
+        out[f"interactive_local_fraction{tag}"] = round(n_local / len(lines), 3)
+        out[f"interactive_batch_per_query_ms{tag}"] = round(
+            sum(ts) / len(ts) * 1000, 2)
+        ts.sort()
+        out[f"interactive_p50_ms{tag}"] = round(ts[len(ts) // 2] * 1000, 2)
+        out[f"interactive_p99_ms{tag}"] = round(
+            ts[min(len(ts) - 1, int(len(ts) * 0.99))] * 1000, 2)
     print(json.dumps(out))
 
 

@@ -261,6 +261,7 @@ def wand_search(
     fallback_keep_frac: float = 0.5,
     path_out: list | None = None,
     block_stats: dict | None = None,
+    blocks_min_postings: int = 250_000,
 ) -> DataFrame:
     """-> (query_id, docno, rank, rsv), identical to search() output.
 
@@ -293,6 +294,20 @@ def wand_search(
     borderline estimates (within GATE_BORDERLINE of the threshold),
     drifted stores, or low-coverage queries defer to the exact Spark
     probe. The choice still never affects output.
+
+    ``blocks_min_postings``: absolute per-query candidate-postings floor
+    (mean over the batch, from the driver dictionary probe — no job)
+    below which the naive single-scan kernel is chosen regardless of
+    prunability: pruning can save at most the candidate decode+score
+    work, while the block machinery costs extra distributed stages
+    whose scheduling latency does not shrink with the workload. The
+    default is the measured crossover on a 32-core single box (173k-doc
+    Zipf, ~140k postings/query: naive 114 ms/query vs blocks 202;
+    600k-doc, ~480k/query: blocks wins) — a first-order calibration
+    constant, not a law; on a real cluster per-stage latency is higher,
+    so if anything the default is too LOW there. Deployments recalibrate
+    via BENCH/suite600k_job.py. 0 disables (always consult the
+    prunability gate — what tiny-corpus tests do).
     """
     s = stats or index.scalar_stats()
     qrows = queries.select("query_id", "term").collect()
@@ -309,6 +324,31 @@ def wand_search(
         for r in index.dictionary.filter(F.col("term").isin(qterms))
         .select("term", "df").collect()
     }
+    if fallback_keep_frac < 1.0 and blocks_min_postings > 0:
+        # absolute workload floor, before any prunability question:
+        # block-max pruning can save AT MOST the decode+score of the
+        # query's candidate postings, and its machinery costs extra
+        # distributed stages (metadata UB join + per-query threshold
+        # window + pushdown decode) whose scheduling latency is a Spark
+        # universal, not a host artifact. Below ~10^5 candidate postings
+        # per query the single-scan kernel finishes in well under one
+        # task-second, so no amount of pruning can repay the extra
+        # stages — on THIS box or on a 1000-executor cluster. Measured:
+        # 173k-doc Zipf corpus, 50 mixed-df queries — naive 122 ms/query
+        # vs gated-blocks 223 ms/query despite a correct >60% prunable
+        # estimate (BENCH/suite_173k_zipf_r5_resident.json); at 600k
+        # docs (~250k postings/query) blocks wins and the floor passes.
+        per_q: dict[str, set] = {}
+        for r in qrows:
+            per_q.setdefault(r.query_id, set()).add(r.term)
+        loads = [
+            sum(local_dict.get(t, 0) for t in ts) for ts in per_q.values()
+        ]
+        if loads and sum(loads) / len(loads) < blocks_min_postings:
+            if path_out is not None:
+                path_out.append("postings")
+            scores = _postings_scores(index, queries, qterms, s)
+            return resolve_docnos(index, top_k(scores, k), s["n_docs"])
     skip_spark_probe = False
     if fallback_keep_frac < 1.0 and block_stats is not None:
         est = _driver_frac_prunable(

@@ -74,6 +74,9 @@ def test_gate_flat_corpus_chooses_postings_identically(spark):
 
 
 def test_gate_skewed_corpus_chooses_blocks_identically(spark):
+    # blocks_min_postings=0: this tiny corpus sits far under the
+    # absolute workload floor, and the test exercises the PRUNABILITY
+    # gate, not the floor (which has its own test below)
     idx = _skewed_index(spark).cache()
     s = idx.scalar_stats()
     blocks = build_blocks(idx.postings, s["avgdl"], block_span=64).cache()
@@ -82,14 +85,46 @@ def test_gate_skewed_corpus_chooses_blocks_identically(spark):
     p_with, p_wo = [], []
     with_stats = to_trec_lines(
         wand_search(idx, blocks, queries, k=5, stats=s, block_span=64,
-                    path_out=p_with, block_stats=bs))
+                    path_out=p_with, block_stats=bs,
+                    blocks_min_postings=0))
     without = to_trec_lines(
         wand_search(idx, blocks, queries, k=5, stats=s, block_span=64,
-                    path_out=p_wo))
+                    path_out=p_wo, blocks_min_postings=0))
     assert p_with == ["blocks"], p_with
     assert p_wo == ["blocks"], p_wo
     assert with_stats == without
     assert with_stats == to_trec_lines(search(idx, queries, k=5, stats=s))
+
+
+def test_workload_floor_routes_small_queries_to_postings(spark):
+    """The absolute workload floor (blocks_min_postings, the default
+    path): a prunable corpus whose per-query candidate postings sit
+    under the floor routes to the single-scan kernel BEFORE any
+    prunability probe — block machinery cannot repay its extra stages
+    on sub-10^5-posting queries (measured: 173k-doc Zipf, naive
+    122 ms/query vs gated-blocks 223 ms/query). Output identical on
+    every path, floor on or off."""
+    idx = _skewed_index(spark).cache()
+    s = idx.scalar_stats()
+    blocks = build_blocks(idx.postings, s["avgdl"], block_span=64).cache()
+    bs = _stats_dict(blocks)
+    queries = parse_queries(spark, ["1 rare common"])
+    naive = to_trec_lines(search(idx, queries, k=5, stats=s))
+    # default floor (100k) dwarfs this corpus: postings, no probe jobs
+    for kwargs in ({}, {"block_stats": bs}):
+        p: list = []
+        got = to_trec_lines(
+            wand_search(idx, blocks, queries, k=5, stats=s, block_span=64,
+                        path_out=p, **kwargs))
+        assert p == ["postings"], (p, kwargs)
+        assert got == naive
+    # an explicit tiny floor lets the prunability gate run again
+    p2: list = []
+    got2 = to_trec_lines(
+        wand_search(idx, blocks, queries, k=5, stats=s, block_span=64,
+                    path_out=p2, block_stats=bs, blocks_min_postings=1))
+    assert p2 == ["blocks"], p2
+    assert got2 == naive
 
 
 def test_gate_estimate_directions(spark):

@@ -943,6 +943,7 @@ class InteractiveSearcher:
         self._cached_entries = 0
         self.last_path: str | None = None  # "local" | "spark" (introspection)
         self.warmed_terms = 0
+        self.resident = False  # whole postings table driver-cached
         if warm_ahead:
             self.warmed_terms = self._warm_ahead(warm_ahead_max_terms)
 
@@ -975,7 +976,9 @@ class InteractiveSearcher:
             return 0
         total = sum(df for df in self.local_dict.values() if df > 0)
         if 0 < total <= self.local_postings_budget:
-            return self._warm_all()
+            warmed = self._warm_all()
+            self.resident = True
+            return warmed
         by_df = sorted(self.local_dict.items(),
                        key=lambda kv: (-kv[1], kv[0]))
         chosen, total = [], 0
@@ -1128,18 +1131,22 @@ class InteractiveSearcher:
         self._cache_frame(pdf, list(self.local_dict))
         return len(self._postings_cache)
 
-    def _search_local(self, qid: str, qrows: list, k: int) -> list[str] | None:
-        """Zero-Spark-job scoring over driver-cached posting lists
-        (VERDICT r4 Next #5): the reference's per-query regime is a
-        driver-local loop over in-memory lists (JASSjr_search.cpp:168-237)
-        with ~80 ms per query; Spark's job-scheduling floor alone is
-        several times that, so for indexes whose touched lists fit a
-        driver budget the searcher scores in numpy. Byte-identical to the
-        Spark path (same float64 op order: per-posting contribution
-        mirrors bm25_contrib, per-doc accumulation is the same
-        position-ordered left fold, ties docid-desc). Returns None when
-        the lists cannot fit — caller falls back to the Spark plan.
-        """
+    def _local_matches(self, qrows: list):
+        """The raw scoring fold of the driver-local fast path: -> (docids,
+        rsv) numpy arrays of EVERY positively-scored match (no top-k
+        selection), or None when the lists cannot be served locally
+        (budget refusal or non-dense docid space — caller falls back to
+        the Spark plan). float64 values are bit-identical to the Spark
+        kernel: the per-posting contribution mirrors ``bm25_contrib``'s
+        expression tree op-for-op, idf comes from the same CPython
+        ``math.log`` snapshot ``attach_idf`` uses, and per-doc
+        accumulation is the same position-ordered left fold as
+        ``accumulate``'s F.aggregate over sort_array(collect_list(...)) —
+        a dense rsv accumulator updated one query position at a time adds
+        each doc's contributions in exactly that order (docids are unique
+        within one posting list, so += is one sequential add per doc; the
+        0.0 seed is exact: 0.0 + c == c). NOT np.add.reduceat, whose
+        pairwise summation can differ in the last ulp."""
         import numpy as np
 
         terms = sorted({t for _, _, t, _ in qrows})
@@ -1152,13 +1159,6 @@ class InteractiveSearcher:
             if len(d) and int(d.max()) >= n_docs:
                 return None  # non-dense docid space: dense accumulator unsafe
         avgdl = float(self.stats["avgdl"])
-        # position-ordered left fold per doc == F.aggregate over
-        # sort_array(collect_list(struct(pos, contrib))): a dense rsv
-        # accumulator updated one query position at a time adds each
-        # doc's contributions in exactly that order (docids are unique
-        # within one posting list, so += is one sequential add per doc;
-        # the 0.0 seed is exact: 0.0 + c == c). NOT np.add.reduceat,
-        # whose pairwise summation can differ in the last ulp.
         rsv_vec = np.zeros(n_docs, np.float64)
         touched = np.zeros(n_docs, bool)
         hit = False
@@ -1175,11 +1175,71 @@ class InteractiveSearcher:
             touched[docids] = True
             hit = True
         if not hit:
-            return []
+            empty = np.array([], np.int64)
+            return empty, empty.astype(np.float64)
         uniq = np.flatnonzero(touched)  # O(n_docs) scan beats a sort-unique
         rsv = rsv_vec[uniq]
         pos_mask = rsv > 0.0
-        rsv, uniq = rsv[pos_mask], uniq[pos_mask]
+        return uniq[pos_mask], rsv[pos_mask]
+
+    def batch_matches(self, lines: list[str]) -> list[tuple] | None:
+        """Workload-floor batch scoring (the WAND ``blocks_min_postings``
+        principle applied to the plain BM25 batch): every (query, matched
+        doc, raw rsv) triple for a batch of query lines, computed entirely
+        on the driver-resident postings cache — zero Spark jobs. Returns
+        None unless the searcher is RESIDENT (the whole postings table
+        fit the driver budget at warm-up) and every line scores locally,
+        so the caller runs ONE physical path per batch: below the floor
+        the reference's own single-process architecture is the right
+        plan (Spark's per-job scheduling floor alone is several times the
+        total work); above it sum(df) exceeds any driver budget, this
+        returns None, and the caller takes the distributed plan. Raw
+        float64 scores are bit-identical to the Spark kernel (see
+        ``_local_matches``); ranking/rounding is left to the caller so
+        both paths share one post-processing plan."""
+        if self.idf is None or not self.resident:
+            return None
+        out: list[tuple] = []
+        for line in lines:
+            toks = line.split()
+            if not toks:
+                continue
+            qid = "0"
+            if toks[0].isnumeric():
+                qid, toks = toks[0], toks[1:]
+            qrows = [(qid, pos, t, self.idf[t])
+                     for pos, t in enumerate(toks) if t in self.idf]
+            if not qrows:
+                continue
+            matched = self._local_matches(qrows)
+            if matched is None:
+                return None
+            uniq, rsv = matched
+            out.extend(
+                (int(qid), int(d), float(s)) for d, s in zip(uniq, rsv)
+            )
+        return out
+
+    def _search_local(self, qid: str, qrows: list, k: int) -> list[str] | None:
+        """Zero-Spark-job scoring over driver-cached posting lists
+        (VERDICT r4 Next #5): the reference's per-query regime is a
+        driver-local loop over in-memory lists (JASSjr_search.cpp:168-237)
+        with ~80 ms per query; Spark's job-scheduling floor alone is
+        several times that, so for indexes whose touched lists fit a
+        driver budget the searcher scores in numpy. Byte-identical to the
+        Spark path (same float64 op order: per-posting contribution
+        mirrors bm25_contrib, per-doc accumulation is the same
+        position-ordered left fold, ties docid-desc). Returns None when
+        the lists cannot fit — caller falls back to the Spark plan.
+        """
+        import numpy as np
+
+        matched = self._local_matches(qrows)
+        if matched is None:
+            return None
+        uniq, rsv = matched
+        if len(rsv) == 0:
+            return []
         if len(rsv) > k:
             # select-then-sort: partition to the k-th largest rsv, keep
             # everything >= it (ties included — the docid-desc tiebreak

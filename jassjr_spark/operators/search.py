@@ -1182,21 +1182,21 @@ class InteractiveSearcher:
         pos_mask = rsv > 0.0
         return uniq[pos_mask], rsv[pos_mask]
 
-    def batch_matches(self, lines: list[str]) -> list[tuple] | None:
+    def batch_match_arrays(self, lines: list[str]) -> list[tuple] | None:
         """Workload-floor batch scoring (the WAND ``blocks_min_postings``
-        principle applied to the plain BM25 batch): every (query, matched
-        doc, raw rsv) triple for a batch of query lines, computed entirely
-        on the driver-resident postings cache — zero Spark jobs. Returns
-        None unless the searcher is RESIDENT (the whole postings table
-        fit the driver budget at warm-up) and every line scores locally,
-        so the caller runs ONE physical path per batch: below the floor
-        the reference's own single-process architecture is the right
-        plan (Spark's per-job scheduling floor alone is several times the
-        total work); above it sum(df) exceeds any driver budget, this
-        returns None, and the caller takes the distributed plan. Raw
-        float64 scores are bit-identical to the Spark kernel (see
-        ``_local_matches``); ranking/rounding is left to the caller so
-        both paths share one post-processing plan."""
+        principle applied to the plain BM25 batch): per query line, the
+        (qid, docids ndarray, raw-rsv ndarray) of every positively-scored
+        match, computed entirely on the driver-resident postings cache —
+        zero Spark jobs. Returns None unless the searcher is RESIDENT
+        (the whole postings table fit the driver budget at warm-up) and
+        every line scores locally, so the caller runs ONE physical path
+        per batch: below the floor the reference's own single-process
+        architecture is the right plan (Spark's per-job scheduling floor
+        alone is several times the total work); above it sum(df) exceeds
+        any driver budget, this returns None, and the caller takes the
+        distributed plan. Raw float64 scores are bit-identical to the
+        Spark kernel (see ``_local_matches``); ranking/rounding is left
+        to the caller."""
         if self.idf is None or not self.resident:
             return None
         out: list[tuple] = []
@@ -1215,10 +1215,20 @@ class InteractiveSearcher:
             if matched is None:
                 return None
             uniq, rsv = matched
-            out.extend(
-                (int(qid), int(d), float(s)) for d, s in zip(uniq, rsv)
-            )
+            out.append((int(qid), uniq, rsv))
         return out
+
+    def batch_matches(self, lines: list[str]) -> list[tuple] | None:
+        """``batch_match_arrays`` flattened to (qid, docid, rsv) Python
+        triples — the row-shaped face used by identity tests."""
+        arrays = self.batch_match_arrays(lines)
+        if arrays is None:
+            return None
+        return [
+            (qid, int(d), float(s))
+            for qid, uniq, rsv in arrays
+            for d, s in zip(uniq, rsv)
+        ]
 
     def _search_local(self, qid: str, qrows: list, k: int) -> list[str] | None:
         """Zero-Spark-job scoring over driver-cached posting lists

@@ -3,10 +3,13 @@
 The engine lives in ``jassjr_spark/`` (a PySpark-native inverted-index
 build + BM25 search engine with the capabilities of andrewtrotman/JASSjr,
 plus training-data pipeline operators: dedup, similarity search, text
-analysis, event-time windows/sessions). EVERY ``queries()`` entry has a
-DuckDB oracle in ``oracle_sql()`` — including SAAT (integer micro-unit
-quantization), LSH (md5-derived plane literals inlined into the SQL),
-SimHash, and the session windows (gap-island SQL).
+analysis, event-time windows/sessions). EVERY ``queries()`` entry except
+one has a DuckDB oracle in ``oracle_sql()`` — including SAAT (integer
+micro-unit quantization), LSH (md5-derived plane literals inlined into
+the SQL), SimHash, the session windows (gap-island SQL), and MMR (k-step
+unrolled greedy CTE). The one exception is ``text_bpe_merges`` (an
+iterative corpus-global argmax with no tractable SQL form — pytest-gated
+instead, see functions/bpe.py).
 """
 
 from __future__ import annotations

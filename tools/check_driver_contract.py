@@ -10,8 +10,17 @@ import numpy as np
 import __spark_entry__ as entrymod
 from jassjr_spark.session import get_spark
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+import argparse
+
+_ap = argparse.ArgumentParser(description=__doc__)
+_ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+_ap.add_argument("only", nargs="?", default=None,
+                 help="comma-separated entry names (default: all)")
+_args = _ap.parse_args()
+SF_DIR = _args.sf_dir
+ONLY = _args.only.split(",") if _args.only else None
+if not os.path.isdir(SF_DIR):
+    sys.exit(f"sf_dir does not exist: {SF_DIR!r}")
 
 spark = get_spark("contract_check", master="local[8]", shuffle_partitions=8)
 con = duckdb.connect()
@@ -22,10 +31,16 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+if ONLY:
+    unknown = [n for n in ONLY if n not in qs]
+    if unknown:
+        sys.exit(f"unknown entry names (not in queries()): {unknown}")
 fails = []
+checked = 0
 for name, fn in qs.items():
     if ONLY and name not in ONLY:
         continue
+    checked += 1
     try:
         sdf = fn(spark, SF_DIR).toPandas()
     except Exception as e:
@@ -72,6 +87,9 @@ for name, fn in qs.items():
         print(f"{name:24s} OK rows={len(sdf)}")
 
 print()
+print(f"checked {checked}/{len(qs)} entries")
+if checked == 0:
+    sys.exit("nothing checked — bad ONLY filter?")
 print("FAILURES:" if fails else "ALL MATCH")
 for n, s in fails:
     print(" ", n, "->", s)

@@ -103,6 +103,60 @@ def test_gated_entry_identical_to_flagship(spark, tmp_path):
     assert it.resident and it.batch_matches(["1 ten"]) is not None
 
 
+def test_round4_half_up_matches_spark_round(spark):
+    """_round4_half_up must equal Spark's round(double, 4) digit-for-digit
+    on adversarial values: exact .00005 decimal boundaries (where numpy's
+    half-to-even differs), short reprs, negatives, and BM25-magnitude
+    noise. This is the parity claim the gated path's driver-side rounding
+    rests on."""
+    from pyspark.sql import functions as F
+
+    from jassjr_spark.driver_queries import _round4_half_up
+
+    vals = [0.00005, 0.00015, 0.12345, 0.12355, 2.99995, 0.1, 0.10005,
+            13.999949999, 0.000049999, 7.0, 0.33333333, -0.12345,
+            1e-9, 123.45675, 0.99995]
+    import random
+
+    rng = random.Random(99)
+    vals += [rng.uniform(0, 20) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.y for r in df.select(F.round("x", 4).alias("y")).collect()]
+    want = [_round4_half_up(v) for v in vals]
+    assert got == want
+
+
+def test_gated_entry_randomized_identity(spark, tmp_path):
+    """Randomized corpora sweep: gated == flagship row-for-row at several
+    k, catching band-selection or rounding drift the engineered-tie test
+    might miss (duplicated docs guarantee some exact rounded ties)."""
+    import random
+
+    import pandas as pd
+
+    from jassjr_spark import driver_queries as dq
+
+    rng = random.Random(17)
+    vocab = [t for _, terms in dq.BM25_QUERIES for t in terms] + [
+        f"w{i}" for i in range(30)
+    ]
+    texts = []
+    for _ in range(90):
+        texts.append(" ".join(rng.choices(vocab, k=rng.randint(2, 12))))
+    texts += texts[:15]  # exact duplicates -> engineered rsv ties
+    pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "lang": ["en"] * len(texts),
+        "text": texts,
+    }).to_parquet(tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+
+    for k in (3, 10, 50):
+        a = dq.q_ft_bm25_top10(spark, sf, k=k)
+        b = dq.q_ft_bm25_gated_top10(spark, sf, k=k)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect())), k
+
+
 def test_gated_entry_ties_rank_by_rounded_score(spark, tmp_path):
     """Engineered rounded-score ties (duplicate documents): the gated
     path's Spark-side rounding + docid-desc window must order them

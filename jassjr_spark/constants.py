@@ -16,6 +16,11 @@ B: float = 0.4
 TOP_K: int = 1000
 RUN_NAME: str = "JASSjr"
 
+# Default driver-side postings budget (entries) for InteractiveSearcher's
+# LRU cache / resident warm-all — also the workload floor the gated batch
+# path consults BEFORE constructing a searcher (driver_queries).
+LOCAL_POSTINGS_BUDGET: int = 5_000_000
+
 # A term is a maximal ASCII alnum run optionally continued by alnum/hyphen.
 TOKEN_RE: str = "[a-zA-Z0-9][a-zA-Z0-9-]*"
 # Tokens are clipped to 255 chars so the reference can store the length in

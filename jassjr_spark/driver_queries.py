@@ -261,15 +261,32 @@ QUALIFY rank <= {k}
 def _resident_searcher(spark: SparkSession, sf_dir: str):
     """Per-process memo of a warm InteractiveSearcher over the corpus
     index — the engine's load-once query-serving state (the reference's
-    own startup architecture, JASSjr_search.py:16-52). Construction pays
-    one dictionary collect + one Arrow postings scan, memoized like
-    every other per-corpus store in this module."""
+    own startup architecture, JASSjr_search.py:16-52) — or None when the
+    corpus is ABOVE the workload floor. The floor is decided FIRST with
+    one tiny dictionary aggregate (sum(df) vs the driver budget), so an
+    over-budget corpus never pays the searcher's dictionary/docno
+    collects and warm-ahead prefetch just to learn it must fall back.
+    Below the floor, construction pays one dictionary collect + one
+    Arrow postings scan, memoized like every other per-corpus store."""
+    from jassjr_spark.constants import LOCAL_POSTINGS_BUDGET
     from jassjr_spark.operators.search import InteractiveSearcher
 
     key = (spark.sparkContext.applicationId, sf_dir, "resident_searcher")
     if key not in _INDEX_MEMO:
-        _INDEX_MEMO[key] = InteractiveSearcher(corpus_index(spark, sf_dir))
+        idx = corpus_index(spark, sf_dir)
+        total = idx.dictionary.agg(F.sum("df")).collect()[0][0]
+        _INDEX_MEMO[key] = (
+            InteractiveSearcher(idx)
+            if total is not None and 0 < total <= LOCAL_POSTINGS_BUDGET
+            else None
+        )
     return _INDEX_MEMO[key]
+
+
+from decimal import ROUND_HALF_UP as _ROUND_HALF_UP  # noqa: E402
+from decimal import Decimal as _Decimal  # noqa: E402
+
+_Q4 = _Decimal("0.0001")
 
 
 def _round4_half_up(x: float) -> float:
@@ -279,11 +296,7 @@ def _round4_half_up(x: float) -> float:
     repr, so quantizing Decimal(repr(x)) HALF_UP reproduces Spark's
     result digit-for-digit. (numpy.round / builtin round are
     half-to-EVEN and can differ at exact .00005 decimal boundaries.)"""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    return float(
-        Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
-    )
+    return float(_Decimal(repr(x)).quantize(_Q4, rounding=_ROUND_HALF_UP))
 
 
 def q_ft_bm25_gated_top10(
@@ -309,9 +322,11 @@ def q_ft_bm25_gated_top10(
     import pandas as pd
 
     searcher = _resident_searcher(spark, sf_dir)
+    if searcher is None:  # above the floor: the distributed plan IS the path
+        return q_ft_bm25_top10(spark, sf_dir, k)
     lines = [f"{qid} " + " ".join(terms) for qid, terms in BM25_QUERIES]
     arrays = searcher.batch_match_arrays(lines)
-    if arrays is None:  # above the floor: the distributed plan IS the path
+    if arrays is None:  # budget refusal mid-flight: same fallback
         return q_ft_bm25_top10(spark, sf_dir, k)
     # Below the floor the WHOLE query runs driver-local, reference-style:
     # round + rank + top-k over the raw matches on the driver with the
@@ -341,14 +356,19 @@ def q_ft_bm25_gated_top10(
         ]
         pairs.sort(key=lambda p: (-p[0], -p[1]))
         out.extend(
-            (qid, d, rank, r) for rank, (r, d) in enumerate(pairs[:k], 1)
+            (int(qid), d, rank, r) for rank, (r, d) in enumerate(pairs[:k], 1)
         )
     pdf = pd.DataFrame(out, columns=["query_id", "docid", "rank", "rsv"])
     pdf = pdf.astype(
         {"query_id": "int64", "docid": "int64", "rank": "int64",
          "rsv": "float64"}
     )
-    return spark.createDataFrame(pdf)
+    # explicit schema: a zero-row pandas frame cannot infer one on the
+    # non-Arrow createDataFrame path (all-OOV corpora must return an
+    # empty frame, exactly like the flagship)
+    return spark.createDataFrame(
+        pdf, schema="query_id long, docid long, rank long, rsv double"
+    )
 
 
 TUNED_K1, TUNED_B = 1.2, 0.75   # the Robertson-classic parametrization

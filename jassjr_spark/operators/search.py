@@ -38,7 +38,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jassjr_spark.constants import B, K1, RUN_NAME, TOP_K
+from jassjr_spark.constants import (
+    B, K1, LOCAL_POSTINGS_BUDGET, RUN_NAME, TOP_K,
+)
 from jassjr_spark.operators.index_build import Index
 
 # Above this corpus size the docids table stops being broadcast-able and
@@ -46,23 +48,32 @@ from jassjr_spark.operators.index_build import Index
 BROADCAST_DOCIDS_MAX = 5_000_000
 
 
+def peel_qid(toks: list[str]) -> tuple[str, list[str]]:
+    """The canonical whole-token numeric TREC-id peel, shared by EVERY
+    query parser in this module so all physical paths agree on which
+    token is the qid (reference S3, JASSjr_search.py:55-62; SURVEY.md
+    §1.4 item 9). The qid stays a STRING: str.isnumeric accepts
+    numerals int() rejects (e.g. '½', 'Ⅻ'), so converting here would
+    crash on lines the distributed parser serves fine."""
+    if toks and toks[0].isnumeric():
+        return toks[0], toks[1:]
+    return "0", toks
+
+
 def parse_queries(spark: SparkSession, lines: list[str]) -> DataFrame:
     """TREC query lines -> (query_id string, pos int, term string).
 
     Reference S3 (JASSjr_search.py:55-62): whitespace split; if the first
-    token is numeric it is the query id (whole-token test, canonical
-    behavior per SURVEY.md §1.4 item 9) and is not searched; id defaults
-    to "0". Terms are NOT lowercased (reference searches raw query bytes,
-    SURVEY.md §1.4 item 3).
+    token is numeric it is the query id (whole-token test via peel_qid)
+    and is not searched; id defaults to "0". Terms are NOT lowercased
+    (reference searches raw query bytes, SURVEY.md §1.4 item 3).
     """
     rows = []
     for line in lines:
         toks = line.split()
         if not toks:
             continue
-        qid = "0"
-        if toks[0].isnumeric():
-            qid, toks = toks[0], toks[1:]
+        qid, toks = peel_qid(toks)
         for pos, term in enumerate(toks):
             rows.append((qid, pos, term))
     return spark.createDataFrame(rows, "query_id string, pos int, term string")
@@ -71,14 +82,12 @@ def parse_queries(spark: SparkSession, lines: list[str]) -> DataFrame:
 def terms_of(lines: list[str]) -> list[str]:
     """Distinct search terms of a batch of query lines, sorted.
 
-    Applies the same whole-token numeric TREC-id peel as parse_queries
-    (SURVEY.md §1.4 item 9): the first token is excluded ONLY when it is
-    numeric. An id-less multi-term line keeps every token."""
+    Applies the shared peel_qid TREC-id peel (SURVEY.md §1.4 item 9):
+    the first token is excluded ONLY when it is numeric. An id-less
+    multi-term line keeps every token."""
     ts: set[str] = set()
     for line in lines:
-        toks = line.split()
-        if toks and toks[0].isnumeric():
-            toks = toks[1:]
+        _, toks = peel_qid(line.split())
         ts.update(toks)
     return sorted(ts)
 
@@ -881,7 +890,7 @@ class InteractiveSearcher:
 
     def __init__(self, index: Index, stats: dict | None = None,
                  max_docids: int = 10_000_000, shuffle_partitions: int = 8,
-                 local_postings_budget: int = 5_000_000,
+                 local_postings_budget: int = LOCAL_POSTINGS_BUDGET,
                  warm_ahead: bool = True,
                  warm_ahead_max_terms: int = 4096):
         # one query's accumulate shuffle holds <= matched-docs rows; a wide
@@ -1008,9 +1017,7 @@ class InteractiveSearcher:
         toks = line.split()
         if not toks:
             return []
-        qid = "0"
-        if toks[0].isnumeric():
-            qid, toks = toks[0], toks[1:]
+        qid, toks = peel_qid(toks)
         if not toks or self.idf is None or self.docnos is None:
             # web-scale fallback: the batch plan with its distributed joins
             if not toks:
@@ -1201,8 +1208,9 @@ class InteractiveSearcher:
     def batch_match_arrays(self, lines: list[str]) -> list[tuple] | None:
         """Workload-floor batch scoring (the WAND ``blocks_min_postings``
         principle applied to the plain BM25 batch): per query line, the
-        (qid, docids ndarray, raw-rsv ndarray) of every positively-scored
-        match, computed entirely on the driver-resident postings cache —
+        (qid STRING — see peel_qid, docids ndarray, raw-rsv ndarray) of
+        every positively-scored match, computed on the driver-resident
+        postings cache —
         zero Spark jobs. Returns None unless the searcher is RESIDENT
         (the whole postings table fit the driver budget at warm-up) and
         every line scores locally, so the caller runs ONE physical path
@@ -1222,9 +1230,7 @@ class InteractiveSearcher:
             toks = line.split()
             if not toks:
                 continue
-            qid = "0"
-            if toks[0].isnumeric():
-                qid, toks = toks[0], toks[1:]
+            qid, toks = peel_qid(toks)
             qrows = [(qid, pos, t, self.idf[t])
                      for pos, t in enumerate(toks) if t in self.idf]
             if not qrows:
@@ -1233,12 +1239,12 @@ class InteractiveSearcher:
             if matched is None:
                 return None
             uniq, rsv = matched
-            out.append((int(qid), uniq, rsv))
+            out.append((qid, uniq, rsv))
         return out
 
     def batch_matches(self, lines: list[str]) -> list[tuple] | None:
-        """``batch_match_arrays`` flattened to (qid, docid, rsv) Python
-        triples — the row-shaped face used by identity tests."""
+        """``batch_match_arrays`` flattened to (qid string, docid, rsv)
+        Python triples — the row-shaped face used by identity tests."""
         arrays = self.batch_match_arrays(lines)
         if arrays is None:
             return None
@@ -1312,11 +1318,7 @@ def to_trec_lines(run: DataFrame) -> list[str]:
 
 def input_order_qids(query_lines: list[str]) -> list[str]:
     """The qid of each input line (default '0'), in input order."""
-    ids = []
-    for line in query_lines:
-        toks = line.split()
-        ids.append(toks[0] if toks and toks[0].isnumeric() else "0")
-    return ids
+    return [peel_qid(line.split())[0] for line in query_lines]
 
 
 def regroup_lines(run_lines: list[str], ids: list[str]) -> list[str]:

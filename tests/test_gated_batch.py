@@ -34,7 +34,7 @@ def _distributed_matches(idx, spark, lines, s):
                             s["n_docs"], s["avgdl"])
     acc = accumulate(scored).filter("rsv > 0.0")
     return sorted(
-        (int(r.query_id), int(r.docid), float(r.rsv)) for r in acc.collect()
+        (str(r.query_id), int(r.docid), float(r.rsv)) for r in acc.collect()
     )
 
 
@@ -51,10 +51,12 @@ def test_batch_matches_bit_identical_to_distributed(spark):
     it = InteractiveSearcher(idx)
     assert it.resident, "300-doc index must fit the default driver budget"
 
-    lines = synth_queries(8) + ["7 ten ten", "8 zzzmissing ten", "9 a the"]
+    lines = synth_queries(8) + ["7 ten ten", "8 zzzmissing ten", "9 a the",
+                                "½ postings"]  # isnumeric-but-not-int qid
     got = it.batch_matches(lines)
     assert got is not None
     assert sorted(got) == _distributed_matches(idx, spark, lines, s)
+    assert any(q == "½" for q, _, _ in got)  # peeled as a STRING qid
     it.close()
 
 

@@ -7416,14 +7416,14 @@ def catalog() -> dict[str, tuple]:
     bounded correctness window covers the entries with the least
     official coverage first (see _WINDOW_ORDER)."""
     entries = _catalog_entries()
-    assert set(_WINDOW_ORDER) <= set(entries), (
-        sorted(set(_WINDOW_ORDER) - set(entries)))
+    missing = sorted(set(_WINDOW_ORDER) - set(entries))
+    if missing:  # a real raise: must survive python -O (cf. q_io_jsonl)
+        raise RuntimeError(f"_WINDOW_ORDER names unknown entries: {missing}")
     out = {name: entries[name] for name in _WINDOW_ORDER}
     out.update(
         (name, entry) for name, entry in entries.items()
         if name not in out
     )
-    assert len(out) == len(entries)
     return out
 
 

@@ -281,11 +281,30 @@ def build_block_stats(blocks: DataFrame, min_blocks: int = 1) -> DataFrame:
         F.max("max_impact").alias("imp_max"),
     ]
     if "avgdl0" in blocks.columns:
-        agg.append(F.first("avgdl0").alias("avgdl0"))
+        # a multi-epoch (LSM) store bakes each epoch's blocks under the
+        # avgdl of ITS refresh (streaming/incremental.py:refresh_blocks),
+        # so avgdl0 varies per block WITHIN a term. Keep the per-term
+        # range (lo/hi, for the gate's drift refusal) plus the one extra
+        # scalar that makes the driver-resident SAFETY bound exact for
+        # any query-time avgdl:
+        #   max_b[imp_b * max(1, avgdl/avgdl0_b)]
+        #     = max(max_b imp_b,  avgdl * max_b(imp_b / avgdl0_b))
+        # null-avgdl0 blocks (undrifted batch writes) contribute to
+        # imp_max only — the same scale-1.0 treatment the collect side
+        # has always given them.
+        agg.append(F.min("avgdl0").alias("avgdl0"))
+        agg.append(F.max("avgdl0").alias("avgdl0_hi"))
+        agg.append(
+            F.max(F.col("max_impact") / F.col("avgdl0"))
+            .alias("imp_per_avgdl0")
+        )
     else:  # legacy store: batch-written with its own stats, undrifted
         agg.append(F.lit(None).cast("double").alias("avgdl0"))
+        agg.append(F.lit(None).cast("double").alias("avgdl0_hi"))
+        agg.append(F.lit(None).cast("double").alias("imp_per_avgdl0"))
     out = blocks.groupBy("term").agg(*agg).select(
-        "term", "n_blocks", "avgdl0", "imp_q", "imp_max"
+        "term", "n_blocks", "avgdl0", "avgdl0_hi", "imp_q", "imp_max",
+        "imp_per_avgdl0",
     )
     if min_blocks > 1:
         out = out.filter(F.col("n_blocks") >= min_blocks)
@@ -294,21 +313,44 @@ def build_block_stats(blocks: DataFrame, min_blocks: int = 1) -> DataFrame:
 
 def collect_block_stats(stats_df: DataFrame) -> dict:
     """Materialize a build_block_stats table into the driver-resident
-    form the gate consumes: {"avgdl0": float|None, "terms": {term:
-    (n_blocks, np.ndarray quantiles, imp_max)}}. One Spark job, run once
-    per store at engine startup (mirrors the reference's vocab load)."""
-    terms: dict[str, tuple[int, np.ndarray, float]] = {}
-    avgdl0 = None
+    form the gate consumes: {"avgdl0": float|None, "avgdl0_range":
+    (lo, hi)|None, "terms": {term: (n_blocks, np.ndarray quantiles,
+    imp_max, imp_per_avgdl0|None)}}. One Spark job, run once per store
+    at engine startup (mirrors the reference's vocab load).
+
+    "avgdl0" is the store's single bake avgdl when it HAS one;
+    multi-epoch stores (distinct bake avgdls across blocks) surface as
+    avgdl0=None with a widened avgdl0_range, which makes both driver
+    consumers conservative: the WAND gate refuses its local estimate on
+    any drift against either end, and MaxScore's local bound falls back
+    to the Spark bound scan unless the exact per-term imp_per_avgdl0
+    scalar is present (operators/maxscore.py:term_upper_bounds_local)."""
+    terms: dict[str, tuple[int, np.ndarray, float, float | None]] = {}
+    lo = hi = None
     has_max = "imp_max" in stats_df.columns
+    has_hi = "avgdl0_hi" in stats_df.columns
+    has_ratio = "imp_per_avgdl0" in stats_df.columns
     for r in stats_df.collect():
         q = np.asarray(r["imp_q"], dtype=np.float64)
+        ratio = (float(r["imp_per_avgdl0"])
+                 if has_ratio and r["imp_per_avgdl0"] is not None else None)
         terms[r["term"]] = (
             int(r["n_blocks"]), q,
             float(r["imp_max"]) if has_max else float(q[-1]),
+            ratio,
         )
         if r["avgdl0"] is not None:
-            avgdl0 = float(r["avgdl0"])
+            a = float(r["avgdl0"])
+            b = (float(r["avgdl0_hi"])
+                 if has_hi and r["avgdl0_hi"] is not None else a)
+            lo = a if lo is None else min(lo, a)
+            hi = b if hi is None else max(hi, b)
     # exact_max: whether imp_max came from an exact F.max (required for
     # MaxScore's SAFETY bound; a pre-imp_max table's sketch top point is
     # good enough for the WAND gate's plan choice but not for pruning)
-    return {"avgdl0": avgdl0, "terms": terms, "exact_max": has_max}
+    return {
+        "avgdl0": lo if lo == hi else None,
+        "avgdl0_range": (lo, hi) if lo is not None else None,
+        "terms": terms,
+        "exact_max": has_max,
+    }

@@ -86,22 +86,22 @@ def main() -> None:
             T.StructField("docno", T.StringType()),
             T.StructField("content", T.StringType()),
         ])
-        docs, bad = read_jsonl_docs(spark, args.input_jsonl, schema=schema)
+        parsed, bad = read_jsonl_docs(spark, args.input_jsonl, schema=schema)
         # a well-formed JSON object can still be missing docno/content
         # ({} or wrong keys parses to an all-NULL row); those must not
         # reach the build as NULL-docno documents — count and drop them
-        # under the same skipped-lines contract as unparseable lines
+        # under the same skipped-lines contract as unparseable lines.
+        # The build makes several passes over docs (count, docid staging,
+        # postings); caching the PARSED rows (pre-filter) means the JSONL
+        # text is scanned and JSON-parsed exactly once for all of them
+        # AND for the incomplete-row count — no second text scan. The
+        # quarantine count is one additional text scan, unavoidable
+        # without materializing rejects.
         incomplete = F.col("docno").isNull() | F.col("content").isNull()
-        # the build makes several passes over docs (count, docid staging,
-        # postings); cache the parsed rows so the JSONL text is scanned
-        # and parsed once for ALL of them. The quarantine count is one
-        # additional text scan, unavoidable without materializing rejects
-        docs = docs.filter(~incomplete).cache()
+        parsed = parsed.cache()
+        docs = parsed.filter(~incomplete)
         n_bad = bad.count()
-        n_incomplete = (
-            read_jsonl_docs(spark, args.input_jsonl, schema=schema)[0]
-            .filter(incomplete).count()
-        )
+        n_incomplete = parsed.filter(incomplete).count()
         if n_bad or n_incomplete:
             print(f"{n_bad} malformed lines skipped; "
                   f"{n_incomplete} parsed lines missing docno/content "

@@ -104,20 +104,41 @@ def term_upper_bounds_local(block_stats: dict, qterms: list[str],
       tf, dl — the denominator always exceeds tf). Looser ⇒ the term is
       demoted less often ⇒ less pruning, never a wrong answer.
 
-    Returns None only when the table predates the exact imp_max column
-    (a sketch's top point is not contractually the max — caller then
-    runs the Spark bound scan)."""
+    * multi-epoch (LSM) store — blocks baked under DIFFERENT avgdl0s
+      (streaming/incremental.py:refresh_blocks): the per-block scaling
+      collapses exactly to two per-term scalars,
+      max_b[imp_b·max(1, avgdl/avgdl0_b)] = max(imp_max, avgdl·ratio)
+      with ratio = max_b(imp_b/avgdl0_b) baked by build_block_stats.
+
+    Returns None when the table predates the exact imp_max column (a
+    sketch's top point is not contractually the max) or when the store
+    is multi-epoch and the table predates the imp_per_avgdl0 column
+    (a single collapsed avgdl0 cannot soundly scale bounds baked under
+    several) — the caller then runs the Spark bound scan, whose
+    per-block impact_bound_expr is drift-safe by construction."""
     from jassjr_spark.constants import K1
 
     if not block_stats.get("exact_max"):
         return None
     avgdl0 = block_stats.get("avgdl0")
-    scale = max(1.0, avgdl / avgdl0) if avgdl0 else 1.0
+    rng = block_stats.get("avgdl0_range")
+    mixed = rng is not None and rng[0] != rng[1]
     terms = block_stats["terms"]
-    return {
-        t: (terms[t][2] * scale if t in terms else K1 + 1.0)
-        for t in qterms
-    }
+    scale = max(1.0, avgdl / avgdl0) if avgdl0 else 1.0
+    out: dict[str, float] = {}
+    for t in qterms:
+        entry = terms.get(t)
+        if entry is None:
+            out[t] = K1 + 1.0
+            continue
+        ratio = entry[3] if len(entry) > 3 else None
+        if ratio is not None:
+            out[t] = max(entry[2], avgdl * ratio)
+        elif mixed:
+            return None  # legacy table over a multi-epoch store
+        else:
+            out[t] = entry[2] * scale
+    return out
 
 
 def _score_subset(index: Index, qrows, idf: dict, pairs: set,

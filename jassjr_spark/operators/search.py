@@ -1109,12 +1109,20 @@ class InteractiveSearcher:
         prefetch (hundreds of terms, 10^7 rows) into minutes of
         single-threaded string compares; groupby indices preserve
         within-term row order, so scoring stays byte-identical."""
+        docid_col = pdf["docid"].to_numpy("int64")
+        tf_col = pdf["tf"].to_numpy("float64")
+        dl_col = pdf["dl"].to_numpy("float64")
+        groups = pdf.groupby("term", sort=False).indices
+        self._cache_groups(docid_col, tf_col, dl_col, groups, terms)
+
+    def _cache_groups(self, docid_col, tf_col, dl_col, groups,
+                      terms: list[str]) -> None:
+        """Insert per-term slices of fetched column arrays into the LRU
+        cache. ``groups`` maps term -> ascending row-index array (so
+        within-term row order — and therefore the scoring fold order —
+        is preserved byte-identically)."""
         import numpy as np
 
-        docid_col = pdf["docid"].to_numpy(np.int64)
-        tf_col = pdf["tf"].to_numpy(np.float64)
-        dl_col = pdf["dl"].to_numpy(np.float64)
-        groups = pdf.groupby("term", sort=False).indices
         empty = np.array([], np.int64)
         for t in terms:
             ix = groups.get(t)
@@ -1136,15 +1144,45 @@ class InteractiveSearcher:
         the greedy path enforces (<= budget entries), and eviction can
         never trigger, so every subsequent query is zero-job. At web
         scale sum(df) exceeds any driver budget and the caller degrades
-        to the greedy top-df prefetch — the budget IS the refusal."""
-        pdf = (
+        to the greedy top-df prefetch — the budget IS the refusal.
+
+        The transfer stays Arrow end-to-end (toArrow, not toPandas): a
+        pandas frame would hold one PYTHON STRING per row for the term
+        column — ~50-80 B/entry of transient heap the entries-count
+        budget does not model, several GB at a 10^7-entry budget —
+        while Arrow keeps terms as offset+bytes buffers and the
+        dictionary-encoded codes give the same stable per-term row
+        grouping as the pandas hash groupby."""
+        import numpy as np
+        import pyarrow as pa
+
+        tbl = (
             self.index.postings
-            .select("term", "docid", "tf", "dl").toPandas()
-        )
+            .select("term", "docid", "tf", "dl").toArrow()
+        ).combine_chunks()
+        docid_col = tbl.column("docid").to_numpy().astype(np.int64,
+                                                          copy=False)
+        tf_col = tbl.column("tf").to_numpy().astype(np.float64, copy=False)
+        dl_col = tbl.column("dl").to_numpy().astype(np.float64, copy=False)
+        groups: dict[str, np.ndarray] = {}
+        if len(tbl):
+            enc = pa.compute.dictionary_encode(tbl.column("term"))
+            enc = enc.chunk(0) if isinstance(enc, pa.ChunkedArray) else enc
+            codes = enc.indices.to_numpy()
+            uniq = enc.dictionary.to_pylist()
+            del tbl, enc  # free the Arrow buffers before slicing
+            order = np.argsort(codes, kind="stable")  # stable: keeps
+            # ascending original positions within each term's group
+            bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+            groups = {
+                t: order[bounds[i]:bounds[i + 1]]
+                for i, t in enumerate(uniq)
+            }
         # terms in the dictionary snapshot but absent from the fetched
         # frame (e.g. fully masked by tombstones) cache as empty lists,
         # exactly like the per-query fetch path
-        self._cache_frame(pdf, list(self.local_dict))
+        self._cache_groups(docid_col, tf_col, dl_col, groups,
+                           list(self.local_dict))
         return len(self._postings_cache)
 
     def _local_matches(self, qrows: list):

@@ -60,15 +60,19 @@ from jassjr_spark.operators.search import (
 
 
 def _postings_scores(index: Index, queries: DataFrame, qterms: list[str],
-                     s: dict) -> DataFrame:
+                     s: dict, local_dict: dict | None = None) -> DataFrame:
     """The naive JVM kernel over term-pruned postings — the fallback when
-    block pruning cannot pay; bit-identical scores to the blocks path."""
+    block pruning cannot pay; bit-identical scores to the blocks path.
+    ``local_dict`` forwards an already-collected (term -> df) probe so a
+    fallback taken AFTER the driver dictionary probe never re-runs the
+    filtered dictionary collect as a second Spark job."""
     from jassjr_spark.sources.index_store import pruned_postings
 
     postings = pruned_postings(index, qterms)
     return accumulate(
         score_postings(queries, postings, index.dictionary,
-                       s["n_docs"], s["avgdl"], qterms=qterms)
+                       s["n_docs"], s["avgdl"], qterms=qterms,
+                       local_dict=local_dict)
     )
 
 EPSILON = 1e-9
@@ -130,9 +134,12 @@ def _driver_frac_prunable(
     from jassjr_spark.constants import K1
     from jassjr_spark.functions.compression import BLOCK_STATS_FRACTIONS
 
-    avgdl0 = block_stats.get("avgdl0")
-    if avgdl0 and abs(avgdl / avgdl0 - 1.0) > 0.10:
-        return None  # grown store: only the drift-safe Spark bound is fair
+    rng_a = block_stats.get("avgdl0_range")
+    for a in (rng_a if rng_a else (block_stats.get("avgdl0"),)):
+        # multi-epoch stores bake blocks under several avgdl0s: refuse
+        # if EITHER end of the range has drifted from the current avgdl
+        if a and abs(avgdl / a - 1.0) > 0.10:
+            return None  # grown store: only the drift-safe Spark bound is fair
     n_corpus_blocks = max(1, -(-n_docs // block_span))
     term_stats = block_stats.get("terms", {})
     per_q: dict = defaultdict(Counter)
@@ -310,8 +317,17 @@ def wand_search(
     prunability gate — what tiny-corpus tests do).
     """
     s = stats or index.scalar_stats()
-    qrows = queries.select("query_id", "term").collect()
-    qterms = sorted({r.term for r in qrows})
+    if fallback_keep_frac < 1.0:
+        qrows = queries.select("query_id", "term").collect()
+        qterms = sorted({r.term for r in qrows})
+    else:
+        # forced-blocks callers never consult the floor or the gate, so
+        # only the distinct-terms set (bounded by the vocab intersect)
+        # crosses to the driver — not Q×T per-occurrence rows
+        qrows = None
+        qterms = sorted(
+            r.term for r in queries.select("term").distinct().collect()
+        )
     if fallback_keep_frac < 1.0 and k > MAX_PRUNABLE_K:
         if path_out is not None:
             path_out.append("postings")
@@ -347,7 +363,8 @@ def wand_search(
         if loads and sum(loads) / len(loads) < blocks_min_postings:
             if path_out is not None:
                 path_out.append("postings")
-            scores = _postings_scores(index, queries, qterms, s)
+            scores = _postings_scores(index, queries, qterms, s,
+                                      local_dict=local_dict)
             return resolve_docnos(index, top_k(scores, k), s["n_docs"])
     skip_spark_probe = False
     if fallback_keep_frac < 1.0 and block_stats is not None:
@@ -359,7 +376,8 @@ def wand_search(
         if est is not None and est < threshold - GATE_BORDERLINE:
             if path_out is not None:
                 path_out.append("postings")
-            scores = _postings_scores(index, queries, qterms, s)
+            scores = _postings_scores(index, queries, qterms, s,
+                                      local_dict=local_dict)
             return resolve_docnos(index, top_k(scores, k), s["n_docs"])
         if est is not None and est > threshold + GATE_BORDERLINE:
             skip_spark_probe = True  # clearly prunable: go straight to seeds
@@ -394,7 +412,8 @@ def wand_search(
             ub.unpersist()  # nothing downstream references it
             if path_out is not None:
                 path_out.append("postings")
-            scores = _postings_scores(index, queries, qterms, s)
+            scores = _postings_scores(index, queries, qterms, s,
+                                      local_dict=local_dict)
             return resolve_docnos(index, top_k(scores, k), s["n_docs"])
 
     # seed blocks: highest UB until >= k candidate docs AND at least

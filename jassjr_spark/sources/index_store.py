@@ -707,16 +707,18 @@ def fsck_index(spark: SparkSession, path: str) -> list[dict]:
         # terms absent from stats are fine (a deployment's min_blocks
         # floor; the gate models them from df) — what must never happen
         # is a stats row contradicting the blocks it summarizes
-        imp_top = (F.col("imp_max") if "imp_max" in st.columns
-                   else F.element_at("imp_q", -1))
-        n = (
-            st.join(blk, "term", "left")
-            .filter(
-                F.col("nb2").isNull()
-                | (F.col("n_blocks") != F.col("nb2"))
-                | (F.abs(imp_top - F.col("mx2")) > 1e-9)
-            ).count()
+        staleness = (
+            F.col("nb2").isNull() | (F.col("n_blocks") != F.col("nb2"))
         )
+        if "imp_max" in st.columns:
+            # only the exact-max column is contractually comparable: a
+            # quantile sketch's p=1.0 point is NOT the exact maximum
+            # (the same contract build_block_stats states), so a table
+            # without imp_max is checked on block counts alone
+            staleness = staleness | (
+                F.abs(F.col("imp_max") - F.col("mx2")) > 1e-9
+            )
+        n = st.join(blk, "term", "left").filter(staleness).count()
         report("block_stats", n == 0, f"stale_terms={n}")
 
     guarded("block_stats", _block_stats)

@@ -202,3 +202,55 @@ def test_maxscore_local_bounds_still_prune(spark):
     assert got == naive
     assert path == ["maxscore"]
     assert info["51"]["non_essential"] >= 1
+
+
+def test_maxscore_local_bounds_multi_epoch_store(spark):
+    """Blocks baked under DIFFERENT avgdl0s (an LSM store whose epochs
+    were refreshed at different corpus sizes): the driver-resident bound
+    must equal the exact per-block maximum max_b[imp_b*max(1,a/a0_b)]
+    (never the single-collapsed-avgdl0 scaling, which can undershoot),
+    and a legacy stats table lacking imp_per_avgdl0 over such a store
+    must refuse so the caller uses the drift-safe Spark scan."""
+    from jassjr_spark.functions.compression import (
+        build_block_stats, collect_block_stats,
+    )
+    from jassjr_spark.operators.maxscore import term_upper_bounds_local
+
+    idx = _synth_index(spark, 600).cache()
+    s = idx.scalar_stats()
+    # epoch 1: first half of the docid space baked under a SMALL avgdl0;
+    # epoch 2: second half baked under the current avgdl — exactly what
+    # streaming/incremental.py:refresh_blocks produces across refreshes
+    half = s["n_docs"] // 2
+    a_old = s["avgdl"] / 2.0
+    blocks = build_blocks(
+        idx.postings.filter(F.col("docid") < half), a_old, block_span=64,
+    ).unionByName(build_blocks(
+        idx.postings.filter(F.col("docid") >= half), s["avgdl"],
+        block_span=64,
+    )).cache()
+    bstats = collect_block_stats(build_block_stats(blocks))
+    assert bstats["avgdl0"] is None          # mixed: no single bake avgdl
+    lo, hi = bstats["avgdl0_range"]
+    assert lo == pytest.approx(a_old) and hi == pytest.approx(s["avgdl"])
+
+    qterms = sorted(bstats["terms"])[:25]
+    for avgdl_now in (s["avgdl"], s["avgdl"] * 1.4):
+        local = term_upper_bounds_local(bstats, qterms, avgdl_now)
+        exact = {
+            r["term"]: r["ub"]
+            for r in blocks.groupBy("term").agg(F.max(
+                F.col("max_impact")
+                * F.greatest(F.lit(1.0), F.lit(avgdl_now) / F.col("avgdl0"))
+            ).alias("ub")).collect()
+        }
+        for t in qterms:
+            assert local[t] == pytest.approx(exact[t], rel=1e-12), (
+                t, avgdl_now)
+
+    # legacy stats shape (no per-term ratio) over the same mixed store:
+    # scaling by any ONE avgdl0 could undershoot an epoch-1 block, so
+    # the local path must hand back None
+    legacy_terms = {t: v[:3] + (None,) for t, v in bstats["terms"].items()}
+    legacy = dict(bstats, terms=legacy_terms)
+    assert term_upper_bounds_local(legacy, qterms, s["avgdl"]) is None

@@ -166,8 +166,14 @@ def test_gate_defers_on_avgdl_drift(spark):
     terms = sorted({r.term for r in qrows})
     ld = {r.term: r.df for r in idx.dictionary
           .filter(F.col("term").isin(terms)).collect()}
-    drifted = dict(bs, avgdl0=s["avgdl"] / 1.2)
+    a0 = s["avgdl"] / 1.2
+    drifted = dict(bs, avgdl0=a0, avgdl0_range=(a0, a0))
     assert _driver_frac_prunable(qrows, ld, drifted, s["n_docs"],
+                                 s["avgdl"], 64) is None
+    # multi-epoch store where only ONE epoch's bake avgdl drifted: the
+    # range check must refuse on either end
+    mixed = dict(bs, avgdl0=None, avgdl0_range=(a0, s["avgdl"]))
+    assert _driver_frac_prunable(qrows, ld, mixed, s["n_docs"],
                                  s["avgdl"], 64) is None
     # undrifted: decides
     assert _driver_frac_prunable(qrows, ld, bs, s["n_docs"],

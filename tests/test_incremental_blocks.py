@@ -111,3 +111,49 @@ def test_wand_over_live_incremental_index(spark, tmp_path):
         spark, f"{path}/postings"
     )
     _wand_equals_naive(spark, path)
+
+
+def test_maxscore_local_bounds_over_live_multi_epoch_store(spark, tmp_path):
+    """Driver-resident MaxScore bounds over a REAL multi-epoch LSM store:
+    epochs appended at different corpus sizes bake their blocks under
+    different avgdl0s (the refresh_blocks contract), so collect_block_
+    stats must surface a widened avgdl0_range and the exact per-term
+    imp_per_avgdl0 scalars — and maxscore_search with those resident
+    stats must stay byte-identical to the naive engine."""
+    from jassjr_spark.functions.compression import (
+        build_block_stats, collect_block_stats,
+    )
+    from jassjr_spark.operators.maxscore import maxscore_search
+
+    rows = _rows(150)
+    path = str(tmp_path / "inc_ms")
+    write_meta(spark, path, n_buckets=4)
+    _append(spark, rows[:50], path, epoch=0)
+    refresh_derived(spark, path)
+    assert refresh_blocks(spark, path, block_span=SPAN) == 1
+
+    # second epoch of much longer docs: avgdl moves, so its blocks bake
+    # under a different avgdl0 than epoch 0's
+    rng = random.Random(17)
+    vocab = [t for _, c in rows[:5] for t in c.split()][:40] or ["filler"]
+    _append(spark, [
+        (f"zlong-{i:04d}", " ".join(rng.choice(vocab) for _ in range(300)))
+        for i in range(40)
+    ], path, epoch=1)
+    refresh_derived(spark, path)
+    assert refresh_blocks(spark, path) == 1
+
+    idx, blocks = load_persisted(spark, path)
+    s = idx.scalar_stats()
+    bstats = collect_block_stats(build_block_stats(blocks))
+    lo, hi = bstats["avgdl0_range"]
+    assert lo < hi, "two epochs at different corpus shapes must differ"
+    assert bstats["avgdl0"] is None
+    assert all(v[3] is not None for v in bstats["terms"].values())
+
+    q = parse_queries(spark, synth_queries(8))
+    naive = to_trec_lines(search(idx, q, k=10, stats=s))
+    got = to_trec_lines(
+        maxscore_search(idx, blocks, q, k=10, stats=s, block_stats=bstats)
+    )
+    assert got == naive

@@ -297,7 +297,14 @@ def load_block_stats(spark: SparkSession, path: str) -> dict | None:
     """Driver-resident per-term impact summary for the adaptive WAND
     gate, from a persisted build's ``block_stats`` stage. None when the
     store predates the stage (the gate then uses the exact Spark
-    probe)."""
+    probe).
+
+    Freshness contract: the WAND gate tolerates stale stats (a wrong
+    PLAN, never a wrong answer), but handing these to maxscore_search's
+    ``block_stats`` makes imp_max a pruning SAFETY bound — if blocks
+    were appended/rebuilt after the stats stage ran, re-run the stage
+    (or verify with ``index_job --fsck``, whose block_stats audit
+    catches exactly this) before serving MaxScore from them."""
     from jassjr_spark.functions.compression import collect_block_stats
 
     if not _exists(spark, f"{path}/block_stats"):

@@ -690,10 +690,13 @@ def fsck_index(spark: SparkSession, path: str) -> list[dict]:
     def _block_stats():
         # optional table (plans/build_job.py block_stats stage): when
         # present, the driver-local WAND gate trusts its per-term block
-        # counts and quantile TOPS — a stale table (blocks rebuilt, stats
-        # not) would silently mis-steer the physical-plan choice (never
-        # wrong answers, but quietly wrong plans, which fsck exists to
-        # catch before an index re-enters the serving path)
+        # counts and quantile tops (stale => quietly wrong PLANS), and —
+        # higher stakes — MaxScore's term-bound phase trusts imp_max as
+        # a SAFETY bound (operators/maxscore.py:term_upper_bounds_local):
+        # a stale imp_max that under-bounds an epoch appended after the
+        # stats were built could prune a genuine top-k document. fsck is
+        # the gate that catches both before an index re-enters the
+        # serving path.
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/block_stats")

@@ -250,9 +250,11 @@ def test_block_stats_persisted_roundtrip(spark, tmp_path):
         build_block_stats(spark.read.parquet(f"{path}/blocks")))
     assert set(loaded["terms"]) == set(mem["terms"])
     assert loaded["exact_max"] and mem["exact_max"]
-    for t, (nb, qs, mx) in mem["terms"].items():
-        lb, lqs, lmx = loaded["terms"][t]
-        assert lb == nb and lmx == mx
+    assert loaded["avgdl0_range"] == mem["avgdl0_range"]
+    for t, (nb, qs, mx, ratio) in mem["terms"].items():
+        lb, lqs, lmx, lratio = loaded["terms"][t]
+        assert lb == nb and lmx == mx and lratio == ratio
+        assert ratio is not None  # freshly-built stores bake the scalar
         assert np.allclose(lqs, qs)
     # a store without the stage: loader returns None, gate stays exact
     assert load_block_stats(spark, str(tmp_path / "nope")) is None

@@ -103,9 +103,19 @@ def main() -> None:
                          "index -> resident warm-all regime)")
     args = ap.parse_args()
     if args.zipf:
+        # only fill in the zipf defaults where the caller didn't choose:
+        # silently clobbering an explicit --index-dir pairs one corpus
+        # with another corpus's index and yields a mislabeled artifact
         args.corpus = f"/tmp/jassjr_bench_zipf_{args.docs}.parquet"
-        args.index_dir = "/tmp/jassjr_suite600k_zipf_index"
+        if args.index_dir == ap.get_default("index_dir"):
+            args.index_dir = (
+                "/tmp/jassjr_suite600k_zipf_index"  # the existing artifact
+                if args.docs == 600_000
+                else f"/tmp/jassjr_suite{args.docs}_zipf_index"
+            )
         ensure_zipf_corpus(args.corpus, args.docs)
+    if args.skip_build and not os.path.isdir(f"{args.index_dir}/postings"):
+        ap.error(f"--skip-build but no index at {args.index_dir}")
 
     from jassjr_spark.fixtures import synth_queries
     from jassjr_spark.operators.search import (

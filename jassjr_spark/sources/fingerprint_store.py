@@ -135,6 +135,7 @@ def dedup_against_store(
     path: str,
     *,
     est_threshold: float = 0.5,
+    include_batch_pairs: bool = False,
 ) -> DataFrame:
     """Check a new crawl batch against the persisted corpus fingerprints.
 
@@ -144,46 +145,43 @@ def dedup_against_store(
     Jaccard (agreeing signature positions / num_hashes, rounded 4dp)
     >= ``est_threshold``.
 
+    ``include_batch_pairs=True`` additionally reports WITHIN-batch
+    pairs (same sha / band-colliding + verified, oriented docid >
+    match_docid so min-docid wins under the streaming admission rule) —
+    without it, two identical novel docs arriving in one micro-batch
+    both look novel (the store has neither) and both get admitted.
+    Reuses the batch signatures already computed for the store probe.
+
+    The sha short-circuit runs INDEPENDENTLY of the banded path, so a
+    batch whose docs have no tokens (empty shingle set -> no signatures)
+    is still checked for byte-identical copies. Self-pairs (docid ==
+    match_docid — possible only when a foreachBatch replay probes a
+    store that already absorbed this batch) are filtered, making the
+    probe idempotent under replay.
+
     Store I/O is pruned to the batch's own partition keys: the distinct
     (band, bh_bucket) / sha_bucket values of the BATCH are collected
     driver-side (bounded by bands × batch rows) and applied as partition
-    filters before the joins.
+    filters before the joins. Batch signatures are materialized once via
+    an eager localCheckpoint — unlike cache(), checkpointed blocks are
+    released by the ContextCleaner when the frame is GC'd, so a
+    long-running per-batch caller leaks nothing.
     """
     meta = read_fp_meta(spark, path)
     n, num_hashes = meta["n"], meta["num_hashes"]
     bands, n_buckets = meta["bands"], meta["n_buckets"]
 
-    sigs_new = minhash_signatures(new_docs, n=n, num_hashes=num_hashes)
-    # batch-sized; cached for the probe-key collect + the candidate join
-    banded_new = _banded(sigs_new, num_hashes, bands, n_buckets).cache()
+    sigs_new = minhash_signatures(
+        new_docs, n=n, num_hashes=num_hashes
+    ).localCheckpoint(eager=True)
+    # cheap posexplode over the checkpointed signatures; re-derived per use
+    banded_new = _banded(sigs_new, num_hashes, bands, n_buckets)
     probe_buckets = [
         r["bh_bucket"]
         for r in banded_new.select("bh_bucket").distinct().collect()
     ]
-    if not probe_buckets:
-        banded_new.unpersist()
-        return spark.createDataFrame(
-            [],
-            "docid long, match_docid long, n_bands long, est_jaccard double,"
-            " exact boolean",
-        )
 
-    # simple-predicate isin keeps the filter partition-prunable; the value
-    # set is bounded by n_buckets regardless of batch size
-    store_bands = spark.read.parquet(f"{path}/bands").filter(
-        F.col("bh_bucket").isin(probe_buckets)
-    )
-    cand = (
-        banded_new.alias("q")
-        .join(store_bands.alias("s"), ["band", "bh"])
-        .groupBy(
-            F.col("q.docid").alias("docid"),
-            F.col("s.docid").alias("match_docid"),
-        )
-        .agg(F.count("*").cast("long").alias("n_bands"))
-    )
     # verify: estimated jaccard = agreeing positions / num_hashes
-    store_sigs = spark.read.parquet(f"{path}/sigs")
     est = F.round(
         F.size(
             F.filter(
@@ -194,27 +192,69 @@ def dedup_against_store(
         / F.lit(float(num_hashes)),
         4,
     )
-    verified = (
-        cand.join(sigs_new.withColumnRenamed("sig", "q_sig"), "docid")
-        .join(
-            store_sigs.select(
-                F.col("docid").alias("match_docid"),
-                F.col("sig").alias("s_sig"),
-            ),
-            "match_docid",
-        )
-        .select("docid", "match_docid", "n_bands", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= est_threshold)
-    )
 
-    # exact short-circuit: sha equality, pruned the same way
-    shas_new = _shas(new_docs, n_buckets)
+    def _verify(cand: DataFrame, s_sigs: DataFrame) -> DataFrame:
+        return (
+            cand.join(sigs_new.withColumnRenamed("sig", "q_sig"), "docid")
+            .join(
+                s_sigs.select(
+                    F.col("docid").alias("match_docid"),
+                    F.col("sig").alias("s_sig"),
+                ),
+                "match_docid",
+            )
+            .select("docid", "match_docid", "n_bands",
+                    est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= est_threshold)
+        )
+
+    verified = spark.createDataFrame(
+        [],
+        "docid long, match_docid long, n_bands long, est_jaccard double",
+    )
+    if probe_buckets:
+        # simple-predicate isin keeps the filter partition-prunable; the
+        # value set is bounded by n_buckets regardless of batch size
+        store_bands = spark.read.parquet(f"{path}/bands").filter(
+            F.col("bh_bucket").isin(probe_buckets)
+        )
+        cand = (
+            banded_new.alias("q")
+            .join(store_bands.alias("s"), ["band", "bh"])
+            .groupBy(
+                F.col("q.docid").alias("docid"),
+                F.col("s.docid").alias("match_docid"),
+            )
+            .agg(F.count("*").cast("long").alias("n_bands"))
+        )
+        verified = _verify(cand, spark.read.parquet(f"{path}/sigs"))
+    if include_batch_pairs:
+        cand_b = (
+            banded_new.alias("q")
+            .join(banded_new.alias("s"), ["band", "bh"])
+            .filter(F.col("q.docid") > F.col("s.docid"))
+            .groupBy(
+                F.col("q.docid").alias("docid"),
+                F.col("s.docid").alias("match_docid"),
+            )
+            .agg(F.count("*").cast("long").alias("n_bands"))
+        )
+        verified = verified.unionByName(_verify(cand_b, sigs_new))
+
+    # exact short-circuit: sha equality, pruned the same way — and never
+    # skipped: token-less docs have no signatures but do have a sha
+    shas_new = _shas(new_docs, n_buckets).localCheckpoint(eager=True)
     sha_keys = [
         r["sha_bucket"]
         for r in shas_new.select("sha_bucket").distinct().collect()
-    ]
+    ] or [-1]  # zero-row batch: a never-hashable key keeps isin well-formed
     store_shas = spark.read.parquet(f"{path}/shas").filter(
         F.col("sha_bucket").isin(sha_keys)
+    )
+    exact_shape = (
+        F.lit(int(bands)).cast("long").alias("n_bands"),
+        F.lit(1.0).alias("est_jaccard"),
+        F.lit(True).alias("exact"),
     )
     exact = (
         shas_new.alias("q")
@@ -222,11 +262,20 @@ def dedup_against_store(
         .select(
             F.col("q.docid").alias("docid"),
             F.col("s.docid").alias("match_docid"),
-            F.lit(int(bands)).cast("long").alias("n_bands"),
-            F.lit(1.0).alias("est_jaccard"),
-            F.lit(True).alias("exact"),
+            *exact_shape,
         )
     )
+    if include_batch_pairs:
+        exact = exact.unionByName(
+            shas_new.alias("q")
+            .join(shas_new.alias("s"), "sha")
+            .filter(F.col("q.docid") > F.col("s.docid"))
+            .select(
+                F.col("q.docid").alias("docid"),
+                F.col("s.docid").alias("match_docid"),
+                *exact_shape,
+            )
+        )
     out = (
         verified.join(
             exact.select("docid", "match_docid", F.lit(True).alias("is_exact")),
@@ -240,6 +289,7 @@ def dedup_against_store(
         )
         .unionByName(exact)
     )
-    # banded_new stays cached (batch-sized) — the returned plan still
-    # references it; the session cache releases it with the frame
-    return out
+    # self-pairs arise only when a replay probes a store that already
+    # absorbed this batch (docids are caller-unique); dropping them makes
+    # the probe idempotent — a replayed batch reports nothing new
+    return out.filter(F.col("docid") != F.col("match_docid"))

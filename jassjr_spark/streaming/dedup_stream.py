@@ -47,6 +47,15 @@ def start_dedup_stream(
     exact) to ``report_path``; novel docs are appended to the store
     (``grow_store``) and, if ``survivors_path`` is given, their
     (docid, content) rows are appended there — the deduped output feed.
+
+    The probe runs with ``include_batch_pairs=True``, so duplicates that
+    arrive TOGETHER in one micro-batch are caught too (the store alone
+    can't see them — it contains neither yet): within-batch pairs are
+    oriented docid > match_docid, so the anti-join admits only the
+    min-docid member of each duplicated group (for a near-dup chain
+    A<B<C every non-minimal member carries at least one report row, so
+    only A is admitted — conservative, matching the streaming exact
+    dedup's min-docid-wins rule).
     """
     # bind the store's own parameters once; appends then always match
     meta = read_fp_meta(spark, store_path)
@@ -58,7 +67,8 @@ def start_dedup_stream(
         # batch-sized; reused by the report write and the novelty anti-join
         b = b.localCheckpoint(eager=True)
         hits = dedup_against_store(
-            b, spark, store_path, est_threshold=est_threshold
+            b, spark, store_path, est_threshold=est_threshold,
+            include_batch_pairs=True,
         ).localCheckpoint(eager=True)
         hits.write.mode("append").parquet(report_path)
         if grow_store or survivors_path:

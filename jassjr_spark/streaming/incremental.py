@@ -308,11 +308,29 @@ def refresh_derived(spark: SparkSession, path: str,
     scan; the delta is proportional to what arrived. Falls back to the
     full recompute when there is no epoch column or no prior dictionary.
     Stats stay a full pass over doc_lengths (one small int per doc).
-    A no-op on an index with no appended segments yet."""
+    A no-op on an index with no appended segments yet.
+
+    Crash safety: only epochs at or below the APPLIED watermark are
+    aggregated and the refresh marker never advances past it — a
+    partially-written epoch (crash mid-append; the watermark is written
+    last) will be overwritten by the foreachBatch replay, so counting it
+    now and marking it refreshed would skip the recount forever
+    (permanent df/cf undercount). Residual window: a crash between the
+    dictionary overwrite and the marker write double-counts the delta on
+    the next incremental refresh — recover with
+    ``refresh_derived(path, incremental=False)`` (the full recompute is
+    idempotent and re-seats the marker); ``index_job --fsck`` detects
+    the drift either way."""
     if not _exists(spark, f"{path}/postings"):
         return
     postings = spark.read.parquet(f"{path}/postings")
     dl = spark.read.parquet(f"{path}/doc_lengths")
+
+    _, applied = _read_watermark(spark, path)
+    if "epoch" in postings.columns and applied is not None:
+        postings = postings.filter(F.col("epoch") <= applied)
+        if "epoch" in dl.columns:
+            dl = dl.filter(F.col("epoch") <= applied)
 
     last = _read_refresh_marker(spark, path)
     can_increment = (
@@ -343,6 +361,7 @@ def refresh_derived(spark: SparkSession, path: str,
         spark.read.parquet(f"{path}/dictionary_next").write.mode(
             "overwrite"
         ).parquet(f"{path}/dictionary")
+        _rm_dir(spark, f"{path}/dictionary_next")  # staging, not layout
     else:
         dictionary = postings.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("cf")
@@ -351,6 +370,9 @@ def refresh_derived(spark: SparkSession, path: str,
         # atomic enough here because readers re-list files per query
         dictionary.write.mode("overwrite").parquet(f"{path}/dictionary")
     if "epoch" in postings.columns:
+        # postings is already capped at the applied watermark above, so
+        # the marker can never advance past an epoch whose replay is
+        # still owed
         hi = postings.agg(F.max("epoch")).first()[0]
         if hi is not None:
             _write_refresh_marker(spark, path, int(hi))
@@ -410,6 +432,13 @@ def refresh_blocks(
         )
     avgdl = float(spark.read.parquet(f"{path}/stats").first().avgdl)
     post_epochs = set(_epoch_dirs(spark, f"{path}/postings"))
+    _, applied = _read_watermark(spark, path)
+    if applied is not None:
+        # same crash-safety cap as refresh_derived: an epoch past the
+        # applied watermark is a partial segment awaiting replay —
+        # baking blocks from it now would leave them stale (and never
+        # rebuilt) after the replay overwrites the postings
+        post_epochs = {e for e in post_epochs if e <= applied}
     blk_epochs = set(_epoch_dirs(spark, f"{path}/blocks"))
     for e in sorted(blk_epochs - post_epochs):  # superseded by compaction
         _rm_dir(spark, f"{path}/blocks/epoch={e}")
@@ -489,7 +518,7 @@ def start_indexing_stream(
     path: str,
     checkpoint: str,
     prepend_docno: bool = True,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
     trigger_available_now: bool = True,
     compact_every: int = 0,
     size_ratio: float = 4.0,
@@ -523,8 +552,28 @@ def start_indexing_stream(
     the live index (live_positions); compaction merges and purges it
     with the other segment tables. Must be set from the stream's FIRST
     epoch (append_documents refuses epoch holes).
+
+    ``n_buckets``: only consulted when the store has no ``_meta`` yet
+    (a NEW index; default DEFAULT_BUCKETS). Attaching/restarting over
+    an EXISTING store adopts its layout — _meta is the on-disk contract
+    (a reader hashing terms with a different modulus prunes the wrong
+    bucket dirs and silently drops postings; rewriting it would also
+    zero block_span, hiding persisted WAND blocks) — and an explicit
+    mismatching n_buckets raises instead of mixing moduli.
     """
-    write_meta(spark, path, n_buckets)
+    meta_buckets = read_meta(spark, path)["n_buckets"]
+    if meta_buckets:
+        if n_buckets is not None and n_buckets != meta_buckets:
+            raise ValueError(
+                f"index at {path!r} is bucketed mod {meta_buckets}; "
+                f"restarting the stream with n_buckets={n_buckets} would "
+                "mix moduli across segments — omit n_buckets (the store's "
+                "layout is adopted) or rebuild"
+            )
+        n_buckets = meta_buckets
+    else:
+        n_buckets = n_buckets or DEFAULT_BUCKETS
+        write_meta(spark, path, n_buckets)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         n = append_documents(
@@ -963,9 +1012,15 @@ def export_snapshot(
         snap = Index(postings=p, dictionary=dictionary,
                      doc_lengths=snap.doc_lengths, docids=snap.docids,
                      stats=stats, n_buckets=0)
-    # drop the epoch partition column if the postings still carry it
-    if "epoch" in snap.postings.columns:
-        snap.postings = snap.postings.drop("epoch")
-    if "bucket" in snap.postings.columns:
-        snap.postings = snap.postings.drop("bucket")
+    # drop the LSM partition columns from EVERY segment table the live
+    # view may still carry them on (not just postings): an export with
+    # an epoch column on doc_lengths/docids breaks the "carries no
+    # epochs" contract and fails merge_indexes' unionByName against
+    # batch-built shards
+    for tbl in ("postings", "doc_lengths", "docids"):
+        df = getattr(snap, tbl)
+        for col in ("epoch", "bucket"):
+            if col in df.columns:
+                df = df.drop(col)
+        setattr(snap, tbl, df)
     write_index(snap, dst, n_buckets=n_buckets)

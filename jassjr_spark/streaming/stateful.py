@@ -55,14 +55,17 @@ def start_windowed_counts_stream(
     stream = stream.withWatermark("ts", watermark)
     agg = windowed_event_counts(stream, window=window)
     if sink == "memory":
-        return (
+        writer = (
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(output_path)  # memory sink table name
             .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=trigger_available_now)
-            .start()
         )
+        # same guard as the parquet branch: trigger(availableNow=False)
+        # raises in PySpark — omit the call for a continuous trigger
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
     writer = (
         agg.writeStream.outputMode("append")
         .format("parquet")
@@ -105,6 +108,14 @@ def _make_dedup_fn(ttl_ms: int | None):
         if state.exists:
             (_, expires_at) = state.get
             if expires_at == 0 or now < expires_at:
+                if expires_at:
+                    # the engine CLEARS a key's pending timeout on every
+                    # invocation (GroupStateImpl starts each call with
+                    # NO_TIMESTAMP), so a suppressed sighting must re-arm
+                    # it or the key is never garbage-collected once data
+                    # stops. Re-arm with the REMAINING time: sightings do
+                    # not extend the deadline (documented TTL semantics).
+                    state.setTimeoutDuration(max(1, expires_at - now))
                 return iter(())
             # deadline passed but the timeout had not fired before this
             # data arrived: re-admit (documented TTL semantics)

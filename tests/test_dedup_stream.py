@@ -102,3 +102,85 @@ def test_dedup_stream_report_only_mode(spark, tmp_path):
         spark, store,
     )
     assert again.count() == 0
+
+
+def test_dedup_stream_within_batch_duplicates(spark, tmp_path):
+    """Duplicates arriving TOGETHER in one micro-batch are caught even
+    though the store contains neither yet: only the min-docid member is
+    admitted, the other is reported with the in-batch winner as its
+    match."""
+    store = str(tmp_path / "store")
+    write_fingerprint_store(
+        spark.createDataFrame([(0, SEED)], "docid long, content string"),
+        store,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(40, NOVEL1), (41, NOVEL1), (42, NOVEL3)],
+        "docid long, content string",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("docid long, content string")
+        .parquet(str(src) + "/*")
+    )
+    report = str(tmp_path / "report")
+    survivors = str(tmp_path / "survivors")
+    q = start_dedup_stream(
+        spark, stream, store, report, str(tmp_path / "ckpt"),
+        survivors_path=survivors,
+    )
+    q.awaitTermination(180)
+
+    hits = {(r.docid, r.match_docid): r
+            for r in spark.read.parquet(report).collect()}
+    assert (41, 40) in hits and hits[(41, 40)].exact
+    assert all(d != 40 for d, _ in hits)  # the winner is not a loser
+    surv = {r.docid for r in spark.read.parquet(survivors).collect()}
+    assert surv == {40, 42}
+    # the store admitted exactly one copy: a later probe of the same
+    # content matches only docid 40
+    out = dedup_against_store(
+        spark.createDataFrame([(50, NOVEL1)], "docid long, content string"),
+        spark, store,
+    ).collect()
+    assert {(r.docid, r.match_docid) for r in out} == {(50, 40)}
+
+
+def test_probe_exact_path_runs_for_tokenless_docs(spark, tmp_path):
+    """A batch whose docs have no TOKEN_RE tokens produces no minhash
+    signatures, but the sha short-circuit must still fire: byte-identical
+    copies of a stored token-less doc are exact duplicates."""
+    store = str(tmp_path / "store")
+    tokenless = "!!! ??? ... ---"
+    write_fingerprint_store(
+        spark.createDataFrame(
+            [(0, SEED), (1, tokenless)], "docid long, content string"
+        ),
+        store,
+    )
+    out = dedup_against_store(
+        spark.createDataFrame(
+            [(10, tokenless)], "docid long, content string"
+        ),
+        spark, store,
+    ).collect()
+    assert {(r.docid, r.match_docid, r.exact) for r in out} == {(10, 1, True)}
+
+
+def test_probe_is_idempotent_under_replay(spark, tmp_path):
+    """Probing a store that already absorbed the batch (a foreachBatch
+    replay after the store append committed) reports no self-pairs."""
+    store = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [(0, SEED), (1, NOVEL1), (2, NOVEL2)], "docid long, content string"
+    )
+    write_fingerprint_store(batch, store)
+    out = dedup_against_store(batch, spark, store).collect()
+    assert out == []
+    # within-batch mode too: the replayed batch's docs match only their
+    # own store copies, all self-pairs, all filtered
+    out2 = dedup_against_store(
+        batch, spark, store, include_batch_pairs=True
+    ).collect()
+    assert out2 == []

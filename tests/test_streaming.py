@@ -1219,3 +1219,170 @@ def test_streaming_event_analytics_equals_batch(spark, tmp_path):
             checkpoint=str(tmp_path / "ea_ckpt2"),
             analytics=("asof",),
         )
+
+
+def test_refresh_ignores_partial_epoch_beyond_watermark(spark, tmp_path):
+    """A segment whose epoch is past the APPLIED watermark is a crashed
+    append awaiting foreachBatch replay: refresh_derived must neither
+    count it nor advance the marker over it, so the replay's overwrite
+    is recounted in full."""
+    import shutil
+
+    from jassjr_spark.sources.index_store import write_meta
+    from jassjr_spark.streaming.incremental import (
+        _read_refresh_marker, _read_watermark,
+    )
+
+    rows = _rows(60)
+    path = str(tmp_path / "partial_idx")
+    write_meta(spark, path, n_buckets=4)
+    append_documents(
+        spark, spark.createDataFrame(rows[:30], "docno string, content string"),
+        path, n_buckets=4, epoch_id=0)
+    refresh_derived(spark, path)
+    append_documents(
+        spark, spark.createDataFrame(rows[30:45], "docno string, content string"),
+        path, n_buckets=4, epoch_id=1)
+    refresh_derived(spark, path)
+    good_dict = {
+        (r.term, r.df, r.cf)
+        for r in spark.read.parquet(f"{path}/dictionary").collect()
+    }
+    base, applied = _read_watermark(spark, path)
+    assert applied == 1
+
+    # crash simulation: epoch 2's segment lands but the watermark write
+    # (always last) never happened — snapshot the watermark dir before
+    # the append and restore it after (the watermark table is
+    # append-only, so a compensating row cannot rewind it)
+    shutil.copytree(f"{path}/_watermark", f"{path}/_watermark.pre")
+    append_documents(
+        spark, spark.createDataFrame(rows[45:], "docno string, content string"),
+        path, n_buckets=4, epoch_id=2)
+    shutil.rmtree(f"{path}/_watermark")
+    shutil.move(f"{path}/_watermark.pre", f"{path}/_watermark")
+    spark.catalog.refreshByPath(f"{path}/_watermark")
+    assert _read_watermark(spark, path) == (base, 1)
+
+    refresh_derived(spark, path)
+    assert _read_refresh_marker(spark, path) == 1  # never past the watermark
+    partial_dict = {
+        (r.term, r.df, r.cf)
+        for r in spark.read.parquet(f"{path}/dictionary").collect()
+    }
+    assert partial_dict == good_dict  # the partial epoch was not counted
+    # stats must also exclude the partial epoch's doc_lengths
+    assert int(spark.read.parquet(f"{path}/stats").first().n_docs) == 45
+
+    # replay: the stream re-runs epoch 2 (not in the applied set), which
+    # overwrites the segment and advances the watermark; the next refresh
+    # counts it exactly once
+    append_documents(
+        spark, spark.createDataFrame(rows[45:], "docno string, content string"),
+        path, n_buckets=4, epoch_id=2)
+    refresh_derived(spark, path)
+    final_dict = {
+        (r.term, r.df, r.cf)
+        for r in spark.read.parquet(f"{path}/dictionary").collect()
+    }
+    full = {
+        (r.term, r.df, r.cf)
+        for r in spark.read.parquet(f"{path}/postings")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"),
+             F.sum("tf").cast("long").alias("cf"))
+        .collect()
+    }
+    assert final_dict == full
+    # staging dir is cleaned after the incremental swap
+    import os
+    assert not os.path.exists(f"{path}/dictionary_next")
+
+
+def test_stream_attach_adopts_existing_meta(spark, tmp_path):
+    """Attaching/restarting an indexing stream over an EXISTING store
+    must adopt its _meta (bucket modulus AND block_span) rather than
+    overwrite it, and an explicit mismatching n_buckets must raise."""
+    import pytest as _pytest
+
+    from jassjr_spark.sources.index_store import read_meta, write_meta
+    from jassjr_spark.streaming.incremental import (
+        refresh_blocks, start_indexing_stream,
+    )
+
+    rows = _rows(60)
+    path = str(tmp_path / "attach_idx")
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema("docno string, content string")
+            .parquet(str(src) + "/*")
+        )
+
+    # first run creates the store: meta n_buckets=4, then blocks bake
+    # block_span=64 into meta
+    spark.createDataFrame(
+        rows[:30], "docno string, content string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    q = start_indexing_stream(spark, _stream(), path, checkpoint=ckpt,
+                              n_buckets=4)
+    q.awaitTermination(180)
+    refresh_derived(spark, path)
+    refresh_blocks(spark, path, block_span=64)
+    before = read_meta(spark, path)
+    assert before["n_buckets"] == 4 and before["block_span"] == 64
+
+    with _pytest.raises(ValueError, match="bucketed mod 4"):
+        start_indexing_stream(
+            spark, None, path, checkpoint=str(tmp_path / "ckpt0"),
+            n_buckets=8)
+
+    # restart over the same checkpoint with NO n_buckets: the store's
+    # layout must be adopted and _meta must survive untouched
+    spark.createDataFrame(
+        rows[30:], "docno string, content string"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q = start_indexing_stream(spark, _stream(), path, checkpoint=ckpt)
+    q.awaitTermination(180)
+    assert read_meta(spark, path) == before  # layout contract untouched
+    # and the appended epoch really used the store's modulus: the index
+    # still answers searches identically to a batch build of all rows
+    refresh_derived(spark, path)
+    inc = read_index(spark, path).cache()
+    ref = build_index(spark.createDataFrame(
+        [(i, d, c) for i, (d, c) in enumerate(rows)],
+        "docid long, docno string, content string",
+    )).cache()
+    qs = synth_queries(6)
+    assert search_lines(inc, spark, qs) == search_lines(ref, spark, qs)
+
+
+def test_memory_sink_continuous_trigger_starts(spark, tmp_path):
+    """sink="memory" with trigger_available_now=False must start a
+    continuous-trigger query instead of crashing on
+    trigger(availableNow=False) (which PySpark rejects)."""
+    import datetime as dt
+
+    from jassjr_spark.streaming.stateful import start_windowed_counts_stream
+
+    base = dt.datetime(2024, 1, 1)
+    src = tmp_path / "evsrc_cont"
+    src.mkdir()
+    spark.createDataFrame(
+        [(0, base, "view", 1.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(str(src / "b0"))
+    q = start_windowed_counts_stream(
+        stream, "wc_cont_sink", checkpoint=str(tmp_path / "ckpt"),
+        sink="memory", trigger_available_now=False,
+    )
+    try:
+        assert q.isActive  # the start itself is the regression
+    finally:
+        q.stop()

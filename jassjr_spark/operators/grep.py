@@ -74,6 +74,22 @@ def needle_grams(needle: str) -> list[str]:
     return list(seen)
 
 
+def select_grams(needle: str, max_grams: int,
+                 gram_dfs: dict[str, int] | None) -> list[str]:
+    """The ONE rarest-first gram selection, shared by the candidate-join
+    side (grep_candidates / grep_many) and the store-pruning side
+    (sources/trigram_store.grep_persisted / grep_many_persisted). The
+    pruned index must contain exactly the grams the candidate join will
+    count (_hit must be able to reach _need) — if the two sides ever
+    re-derived the selection with different tie-breaks, grep would
+    return silent false negatives, so there is deliberately only one
+    implementation. Stable sort: equal-df grams keep needle order."""
+    grams = needle_grams(needle)
+    if gram_dfs is not None:
+        grams = sorted(grams, key=lambda g: gram_dfs.get(g, 0))
+    return grams[:max_grams]
+
+
 def grep_candidates(
     index: DataFrame, needle: str, max_grams: int = 8,
     gram_dfs: dict[str, int] | None = None,
@@ -88,12 +104,9 @@ def grep_candidates(
     have df 0: no document contains them, and they sort first so the
     intersection correctly empties.
     """
-    grams = needle_grams(needle)
+    grams = select_grams(needle, max_grams, gram_dfs)
     if not grams:
         raise ValueError("needle must be >= 3 chars to use the trigram index")
-    if gram_dfs is not None:
-        grams = sorted(grams, key=lambda g: gram_dfs.get(g, 0))
-    grams = grams[:max_grams]
     return (
         index.filter(F.col("gram").isin(grams))
         .groupBy("docid")
@@ -173,11 +186,9 @@ def grep_many(
     if long_needles:
         pairs = []  # (gram, needle) for each SELECTED gram
         for n in long_needles:
-            grams = needle_grams(n)
-            if gram_dfs is not None:
-                grams = sorted(grams, key=lambda g: gram_dfs.get(g, 0))
-            for g in grams[:max_grams]:
-                pairs.append((g, n, len(grams[:max_grams])))
+            chosen = select_grams(n, max_grams, gram_dfs)
+            for g in chosen:
+                pairs.append((g, n, len(chosen)))
         gmap = spark.createDataFrame(
             pairs, "gram string, needle string, need int"
         )

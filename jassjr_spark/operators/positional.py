@@ -311,7 +311,11 @@ def phrase_search(
             continue  # unmatched, or idf == 0 elision (df == N)
         runs.append(
             scored.select(
-                F.lit(qid).alias("query_id"), "docid",
+                # cast: a small-int literal infers IntegerType, but the
+                # empty-result branch below declares query_id LONG — the
+                # output schema must not depend on whether anything
+                # matched (phrase_contribs casts the same way)
+                F.lit(qid).cast("long").alias("query_id"), "docid",
                 F.col("contrib").alias("rsv"),
             )
         )

@@ -211,7 +211,14 @@ def rescore_by_vector(
     n x #queries rows, never the corpus — the candidate set broadcasts
     into the vectors table so the cosine join is shuffle-free, and at
     10^12 docs phase 2's cost is unchanged (phase 1's WAND/MaxScore
-    variants bound the lexical pass)."""
+    variants bound the lexical pass).
+
+    Determinism note: this operator ranks on the RAW cosine (and raw
+    rsv phase-1 cut), unlike the other ANN surfaces' round-to-6dp
+    ranking — ulp-level summation differences can reorder exact ties
+    cross-engine. The oracled variant (driver_queries.
+    q_sim_rescore_top10, its documented "rounded twin") rounds both
+    phases; use that shape where cross-engine rank identity matters."""
     from jassjr_spark.operators.search import (
         BROADCAST_DOCIDS_MAX, accumulate, score_postings, top_k,
     )
@@ -284,6 +291,11 @@ def mmr_rerank(
             dot += float(x) * float(y)
             na += float(x) * float(x)
             nb += float(y) * float(y)
+        if na == 0.0 or nb == 0.0:
+            # the Column kernel yields null for a zero-norm vector; the
+            # driver fold degrades to 0.0 ("orthogonal") instead of
+            # raising ZeroDivisionError mid-rerank
+            return 0.0
         return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
 
     rel = {vid: cos(v, qvec) for vid, v in candidates}

@@ -120,10 +120,13 @@ def grep_persisted(
     selection -> bucket/gram-pruned candidate scan -> exact verify over
     ``docs``. Answer identical to the unindexed scan (asserted in tests);
     only the plan changes."""
+    from jassjr_spark.operators.grep import select_grams
+
     dfs = probe_gram_dfs(store, needle)
-    grams = needle_grams(needle)
-    if grams:
-        chosen = sorted(grams, key=lambda g: dfs.get(g, 0))[:max_grams]
+    # the SAME selection helper the candidate join applies — the pruned
+    # index must contain exactly the grams grep will count
+    chosen = select_grams(needle, max_grams, dfs)
+    if chosen:
         index = pruned_grams(store, chosen)
     else:
         index = None  # needle < 3 chars: full-scan fallback inside grep
@@ -159,11 +162,13 @@ def grep_many_persisted(
         .filter(F.col("gram").isin(all_grams))
         .collect()
     )
+    from jassjr_spark.operators.grep import select_grams
+
     dfs = {r.gram: r.df for r in rows}
+    # union of the per-needle selections, via the SAME helper grep_many
+    # applies per needle
     selected = sorted({
-        g
-        for n in needles
-        for g in sorted(needle_grams(n), key=lambda g: dfs.get(g, 0))[:max_grams]
+        g for n in needles for g in select_grams(n, max_grams, dfs)
     })
     return grep_many(
         docs, needles, index=pruned_grams(store, selected),

@@ -58,6 +58,23 @@ def planes_for(n_planes: int, seed: int, dim: int) -> list[list[float]]:
     return [_plane(seed, j, dim) for j in range(n_planes)]
 
 
+def _invalidate_meta(spark: SparkSession, path: str) -> None:
+    """Delete ``_vec_meta`` BEFORE a writer overwrites the store tables.
+
+    A rebuild crash mid-write would otherwise leave the OLD meta (old
+    seed/planes/codebooks pointer) over NEW-layout tables: every read
+    still succeeds — the bucket/cluster namespaces are identical — and
+    queries silently return wrong neighbors. With the meta gone first, a
+    torn store fails loudly at read_vec_meta until the rebuild reruns
+    (meta is rewritten LAST, so presence == complete store)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_vec_meta")
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def write_vec_meta(spark: SparkSession, path: str, **kv) -> None:
     row = {
         "method": kv.get("method", ""),
@@ -92,6 +109,7 @@ def write_lsh_store(
 ) -> None:
     """vectors(vec_id, embedding) -> bucket-partitioned store. The corpus
     is hashed ONCE here; queries never rehash it."""
+    _invalidate_meta(vectors.sparkSession, path)
     vb = lsh_bucket(vectors, n_planes=n_planes, seed=seed, dim=dim)
     (
         vb.repartition("bucket")
@@ -181,6 +199,24 @@ def lsh_topk_persisted(
 # ------------------------------------------------------------------- IVF
 
 
+def _with_sq8_cols(df: DataFrame) -> DataFrame:
+    """Add the (scale, code) SQ8 columns to an (..., embedding) frame —
+    the ONE encode kernel shared by write_ivf_store and append_vectors,
+    so appended codes are bit-identical to build-time codes by
+    construction (the append == rebuild identity tests rely on it)."""
+    return df.withColumn(
+        "scale",
+        (
+            F.array_max(
+                F.transform(F.col("embedding"),
+                            lambda x: F.abs(x.cast("double")))
+            ) / F.lit(127.0)
+        ).cast("float"),
+    ).withColumn(
+        "code", _sq8_encode_col()(F.col("embedding"), F.col("scale"))
+    )
+
+
 def _sq8_encode_col():
     """embedding array<float> + scale float -> int8 codes as binary.
     Arrow-batched; rint-to-nearest, clipped to [-127, 127]."""
@@ -238,19 +274,10 @@ def write_ivf_store(
     float embedding column on disk) and the phase-2 rerank fetches full
     precision for only the top-C candidates via vec_id pushdown into the
     row-group stats the sort created — see ivf_topk_persisted(rerank=)."""
+    _invalidate_meta(vectors.sparkSession, path)
     assigned, centroids = ivf_index(vectors, n_clusters=n_clusters, seed=seed)
     if quantize:
-        assigned = assigned.withColumn(
-            "scale",
-            (
-                F.array_max(
-                    F.transform(F.col("embedding"),
-                                lambda x: F.abs(x.cast("double")))
-                ) / F.lit(127.0)
-            ).cast("float"),
-        ).withColumn(
-            "code", _sq8_encode_col()(F.col("embedding"), F.col("scale"))
-        )
+        assigned = _with_sq8_cols(assigned)
     (
         assigned.repartition("cluster")
         .sortWithinPartitions("vec_id")
@@ -310,6 +337,9 @@ def ivf_topk_persisted(
                 f"ivf store at {path!r} has no int8 codes; rewrite with "
                 "write_ivf_store(..., quantize=True) or probe with rerank=0"
             )
+        if rerank < k:  # same guard as pq_topk_persisted: phase 2 can
+            # return at most rerank rows/query — silently fewer than k
+            raise ValueError(f"rerank={rerank} must be >= k={k}")
         from pyspark.sql import Window
 
         codes = (
@@ -458,6 +488,8 @@ def write_pq_store(
     (BENCH/ann_600k_sq8.json + the pq_sim study). ``fit_fraction``
     samples the coarse KMeans fit exactly as write_ivf_store."""
     import numpy as np
+
+    _invalidate_meta(vectors.sparkSession, path)
 
     spark = vectors.sparkSession
     assigned, centroids = ivf_index(vectors, n_clusters=n_clusters,
@@ -681,6 +713,9 @@ def append_vectors(spark: SparkSession, path: str, vectors: DataFrame) -> int:
             )
         vb = lsh_bucket(vectors, n_planes=meta["n_planes"],
                         seed=meta["seed"], dim=meta["dim"])
+        # one materialization serves both the count and the write (an
+        # uncached count would re-run the whole hashing job)
+        vb = vb.localCheckpoint(eager=True)
         n = vb.count()
         (
             vb.repartition("bucket")
@@ -715,31 +750,31 @@ def append_vectors(spark: SparkSession, path: str, vectors: DataFrame) -> int:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    best = F.min_by(
+        F.struct("_d2", "cluster", "embedding"),
+        F.struct("_d2", "cluster"),
+    )
     assigned = (
         vectors.crossJoin(F.broadcast(cents))
         .withColumn("_d2", d2)
         .groupBy("vec_id")
-        .agg(
-            # ties (equidistant centroids) break on cluster id for
-            # determinism; embedding is constant per vec_id
-            F.min_by(F.struct("_d2", "cluster"), F.struct("_d2", "cluster"))
-            .getField("cluster").alias("cluster"),
-            F.first("embedding").alias("embedding"),
+        .agg(best.alias("_best"))
+        .select(
+            "vec_id",
+            # cluster AND embedding come from the SAME min_by row, so a
+            # batch carrying duplicate vec_id rows (e.g. a replayed
+            # update) can never persist a (cluster, embedding) pair mixed
+            # across rows; the group collapses to one deterministic row
+            # per vec_id (ties break on cluster id)
+            F.col("_best.embedding").alias("embedding"),
+            F.col("_best.cluster").alias("cluster"),
         )
-        .select("vec_id", "embedding", "cluster")
     )
     if meta.get("sq8"):
-        assigned = assigned.withColumn(
-            "scale",
-            (
-                F.array_max(
-                    F.transform(F.col("embedding"),
-                                lambda x: F.abs(x.cast("double")))
-                ) / F.lit(127.0)
-            ).cast("float"),
-        ).withColumn(
-            "code", _sq8_encode_col()(F.col("embedding"), F.col("scale"))
-        )
+        assigned = _with_sq8_cols(assigned)
+    # one materialization serves both the count and the write (an
+    # uncached count would re-run the crossJoin-argmin assignment)
+    assigned = assigned.localCheckpoint(eager=True)
     n = assigned.count()
     (
         assigned.repartition("cluster")

@@ -199,10 +199,14 @@ def test_export_snapshot_standalone(spark, tmp_path):
     assert src_live.scalar_stats()["n_docs"] == 100
     # "carries no epochs" holds for EVERY segment table (a stray epoch
     # column on doc_lengths/docids breaks merge_indexes' unionByName
-    # against batch-built shards)
+    # against batch-built shards). `bucket` on postings is fine — that
+    # is the term-bucketed BATCH layout write_index itself creates —
+    # but must not leak onto the other tables.
     for exp in (exp1, exp2):
         for tbl in (exp.postings, exp.doc_lengths, exp.docids):
-            assert "epoch" not in tbl.columns and "bucket" not in tbl.columns
+            assert "epoch" not in tbl.columns
+        for tbl in (exp.doc_lengths, exp.docids):
+            assert "bucket" not in tbl.columns
 
 
 def test_as_of_property_random_histories(spark, tmp_path):

@@ -55,12 +55,16 @@ def tokenize_series(content: pd.Series, docno: pd.Series | None = None) -> pd.Se
     """Series of document strings -> Series of lists of normalized tokens.
 
     If ``docno`` is given, its lowercased value is prepended to each list
-    (reference indexes the primary key, SURVEY.md §1.4 item 1).
+    (reference indexes the primary key, SURVEY.md §1.4 item 1). An EMPTY
+    docno prepends nothing: the reference indexes no primary-key token
+    for a document without one (JASSjr_index.py:43-47 — push_next never
+    fires), and '' is a term the lexer can never emit.
     """
     lists = content.fillna("").map(_LEXER.findall)
     if docno is not None:
         lists = pd.Series(
-            [[d] + toks for d, toks in zip(docno.astype(str), lists)],
+            [([d] + toks) if d else toks
+             for d, toks in zip(docno.astype(str), lists)],
             index=lists.index,
         )
     return lists
@@ -101,7 +105,14 @@ def _batch_to_postings(pdf: pd.DataFrame, prepend_docno: bool) -> pd.DataFrame:
         # non-ascii results would double-copy exactly those rows)
         content = raw.copy()
         content[ascii_mask] = raw[ascii_mask].str.lower()
-    docno = pdf["docno"].astype(str).str.lower() if prepend_docno else None
+    # lower then 255-truncate, the same order as every word token (the
+    # reference's length-byte cap applies to the primary-key term too);
+    # astype(str) maps a NULL docno to 'None' -> 'none', which the jvm
+    # path mirrors via coalesce
+    docno = (
+        pdf["docno"].astype(str).str.lower().str.slice(0, MAX_TOKEN_LEN)
+        if prepend_docno else None
+    )
     toks = tokenize_series(content, docno)
     if not ascii_mask.all():
         nonascii = np.flatnonzero(~ascii_mask)
@@ -207,13 +218,29 @@ def doc_term_frequencies(
         # reference's operation order (JASSjr_index.py:23,53,56); lowering
         # first would fuse tokens around Unicode chars whose lowercase is
         # ASCII (KELVIN SIGN -> 'k')
+        # NULL handling must MATCH the arrow kernel (the identical-output
+        # contract below): content NULL lexes as '' (the doc still exists
+        # and, with prepend_docno, still carries its docno posting — raw
+        # NULL would null-propagate through transform/concat and explode
+        # would drop the doc entirely); docno NULL stringifies to 'none'
+        # exactly like pandas astype(str) + lower.
         word_tokens = F.transform(
-            F.regexp_extract_all(F.col("content"), F.lit(TOKEN_RE), 0),
+            F.regexp_extract_all(
+                F.coalesce(F.col("content"), F.lit("")),
+                F.lit(TOKEN_RE), 0,
+            ),
             lambda t: F.substring(F.lower(t), 1, MAX_TOKEN_LEN),
+        )
+        docno_tok = F.substring(
+            F.lower(F.coalesce(F.col("docno").cast("string"),
+                               F.lit("None"))),
+            1, MAX_TOKEN_LEN,
         )
         tokens = (
             F.concat(
-                F.array(F.substring(F.lower("docno"), 1, MAX_TOKEN_LEN)),
+                # an EMPTY docno prepends nothing (same as the arrow
+                # kernel: no primary-key token for a docno-less doc)
+                F.filter(F.array(docno_tok), lambda t: t != F.lit("")),
                 word_tokens,
             )
             if prepend_docno

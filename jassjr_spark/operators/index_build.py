@@ -268,9 +268,16 @@ def stopworded_index(index: Index, stopwords: list[str]) -> Index:
         .join(dl2, "docid", "left")
         .select("docid", F.coalesce("len", F.lit(0)).alias("len"))
     )
+    # keep the bucket column when the source is a persisted store:
+    # filtering rows never moves a term between buckets, so the derived
+    # index stays bucket-prunable (dropping it would force every
+    # stopworded query to scan all bucket dirs)
+    cols = ["term", "docid", "tf", "dl"] + (
+        ["bucket"] if "bucket" in index.postings.columns else []
+    )
     p = p0.drop("dl").join(
         dl2.withColumnRenamed("len", "dl"), "docid"
-    ).select("term", "docid", "tf", "dl")
+    ).select(*cols)
     d = p.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
@@ -281,4 +288,5 @@ def stopworded_index(index: Index, stopwords: list[str]) -> Index:
         F.sum("len").cast("long").alias("total_terms"),
     ).crossJoin(d.agg(F.count(F.lit(1)).cast("long").alias("vocab_size")))
     return Index(postings=p, dictionary=d, doc_lengths=doc_lengths,
-                 docids=index.docids, stats=stats, n_buckets=0)
+                 docids=index.docids, stats=stats,
+                 n_buckets=index.n_buckets)

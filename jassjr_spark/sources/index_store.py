@@ -116,10 +116,19 @@ def check_blocks_format(meta: dict, path: str = "") -> None:
 
 
 def write_index(index: Index, path: str, n_buckets: int = DEFAULT_BUCKETS) -> None:
-    # _meta first: a crash mid-write leaves a meta whose modulus matches
-    # whatever postings eventually land; a reader of a half-written index
-    # may see missing rows but never wrong-bucket pruning.
-    write_meta(index.postings.sparkSession, path, n_buckets)
+    # Crash ordering for IN-PLACE rewrites: delete any existing _meta
+    # first and write the new one LAST, so meta presence certifies a
+    # complete store. (Meta-first was only safe for a FRESH path — on a
+    # rebuild with a different n_buckets, a crash mid-write would leave
+    # the NEW modulus over the OLD bucket layout and pruned_postings
+    # would silently prune the wrong directories. With meta absent,
+    # read_meta degrades to n_buckets=0 = no bucket pruning, which is
+    # always correct.) Stale delete tombstones from a previous LSM life
+    # of the path are removed too: read_index applies any _tombstones it
+    # finds by docno, which would silently mask freshly written docs.
+    spark = index.postings.sparkSession
+    _rm_store_dir(spark, f"{path}/_meta")
+    _rm_store_dir(spark, f"{path}/_tombstones")
     (
         index.postings
         .withColumn("bucket", term_bucket_col(F.col("term"), n_buckets))
@@ -133,6 +142,16 @@ def write_index(index: Index, path: str, n_buckets: int = DEFAULT_BUCKETS) -> No
     index.doc_lengths.write.mode("overwrite").parquet(f"{path}/doc_lengths")
     index.docids.write.mode("overwrite").parquet(f"{path}/docids")
     index.stats.write.mode("overwrite").parquet(f"{path}/stats")
+    write_meta(spark, path, n_buckets)  # last: certifies a complete store
+
+
+def _rm_store_dir(spark: SparkSession, p: str) -> None:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(p)
+    fs = jpath.getFileSystem(conf)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
 
 
 def tombstones_df(spark: SparkSession, path: str) -> DataFrame | None:
@@ -344,9 +363,19 @@ def merge_indexes(
     ``srcs`` is a list of shard paths in concatenation order (the legacy
     2-ary form ``merge_indexes(spark, a, b, dst)`` still works).
 
-    * docids: shard i's are offset by the total n_docs of shards 0..i-1,
-      so the merged docid space is the shard concatenation. Callers own
-      docno uniqueness across shards (as with any sharded build);
+    * docids: shard i's are offset by the total docid SPAN
+      (max docid + 1) of shards 0..i-1, so the merged docid space is
+      the shard concatenation. Span, not n_docs: a shard that was
+      itself produced by a purging merge keeps its surviving docids
+      (holes; max docid + 1 > n_docs), and an n_docs offset would
+      overlap the next shard's range — duplicate docids across
+      different documents, silent corruption no docno check can see.
+      For dense shards span == n_docs and the two are identical. A
+      purged-merge output therefore has docid holes: every join and
+      scorer works on docid VALUES so results stay correct; the
+      strict 0..N-1 ordinal is only restored by a rebuild, and fsck's
+      docids_dense check reports the holes honestly. Callers own docno
+      uniqueness across shards (as with any sharded build);
       ``check_docnos=True`` verifies it with one distinct-count over the
       merged docids table and raises on a collision.
     * postings/doc_lengths/docids: k-way union + map (the offset),
@@ -382,12 +411,23 @@ def merge_indexes(
             "interleave terms into wrong bucket directories"
         )
     n_buckets = metas[0]["n_buckets"]
+    # a reused dst may carry a previous life's meta/tombstones: clear
+    # them up front so a crash mid-merge can never leave an old meta
+    # "certifying" a half-written merge, or stale tombstones masking
+    # merged docs
+    _rm_store_dir(spark, f"{dst}/_meta")
+    _rm_store_dir(spark, f"{dst}/_tombstones")
     shards = [read_index(spark, p) for p in srcs]
     stats_rows = [s.stats.first() for s in shards]
+    spans = [
+        int(s.docids.agg(F.max("docid")).first()[0] or 0) + 1
+        if int(r.n_docs) else 0
+        for s, r in zip(shards, stats_rows)
+    ]
     offsets, acc = [], 0
-    for r in stats_rows:
+    for sp in spans:
         offsets.append(acc)
-        acc += int(r.n_docs)
+        acc += sp
 
     (
         merged_postings(shards, offsets=offsets)
@@ -423,7 +463,7 @@ def merge_indexes(
         (
             spark.read.parquet(f"{dst}/postings")
             .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("int").alias("df"),
+            .agg(F.count(F.lit(1)).cast("long").alias("df"),
                  F.sum("tf").cast("long").alias("cf"))
             .write.mode("overwrite").parquet(f"{dst}/dictionary")
         )
@@ -445,7 +485,10 @@ def merge_indexes(
             dicts = dicts.unionByName(s.dictionary)
         (
             dicts.groupBy("term")
-            .agg(F.sum("df").cast("int").alias("df"),
+            # long, matching build_index's persisted df schema — an int
+            # cast would both drift the on-disk schema and silently wrap
+            # for df >= 2^31 at the shard scale this module advertises
+            .agg(F.sum("df").cast("long").alias("df"),
                  F.sum("cf").cast("long").alias("cf"))
             .write.mode("overwrite").parquet(f"{dst}/dictionary")
         )
@@ -507,10 +550,18 @@ def pruned_positions(
     term pushdown — the positional twin of pruned_postings. Falls back
     to the (always-correct) term filter alone when _meta is unreadable
     (n_buckets=0: a guessed modulus would prune the WRONG directories
-    and silently drop phrase matches)."""
+    and silently drop phrase matches).
+
+    Term contract: unlike pruned_postings (which filters on terms
+    EXACTLY as given), this normalizes each term with the indexer's
+    lowercase + MAX_TOKEN_LEN truncation — phrase callers pass raw
+    query words, and a positional row can only ever exist under the
+    normalized form."""
+    from jassjr_spark.constants import MAX_TOKEN_LEN
+
     meta = read_meta(spark, path)
     p = read_positions(spark, path)
-    norm = sorted({t.lower()[:255] for t in terms})
+    norm = sorted({t.lower()[:MAX_TOKEN_LEN] for t in terms})
     if meta["n_buckets"] > 0:
         buckets = sorted({term_bucket_py(t, meta["n_buckets"]) for t in norm})
         p = p.filter(F.col("bucket").isin(buckets))

@@ -364,3 +364,59 @@ def test_random_delete_interleavings_hold_invariants(spark, tmp_path):
         got = {r.docno for r in idx.docids.collect()}
         assert got == set(live), f"seed {seed}: live set diverged"
         _dict_matches_raw(spark, path)
+
+
+def test_remerge_of_purged_merge_has_no_docid_collisions(spark, tmp_path):
+    """A purged merge keeps surviving docids (holes: max docid+1 >
+    n_docs). Re-merging that output with another shard must offset by
+    the docid SPAN, never n_docs — an n_docs offset would overlap the
+    ranges and silently mix two documents' rows under one docid."""
+    from jassjr_spark.sources.index_store import merge_indexes
+
+    rows = _rows(120)
+    a_rows, b_rows, c_rows = rows[:40], rows[40:80], rows[80:]
+    pa, pb, pc = (str(tmp_path / n) for n in ("sha", "shb", "shc"))
+    write_index(build_index(_batch_df(spark, a_rows)), pa, n_buckets=8)
+    write_index(build_index(_batch_df(spark, b_rows)), pb, n_buckets=8)
+    write_index(build_index(_batch_df(spark, c_rows)), pc, n_buckets=8)
+    # tombstone 5 docs in the MIDDLE of shard b, so the purged merge's
+    # docid space has interior holes and its max docid exceeds n_docs-1
+    victims = [d for d, _ in b_rows[10:15]]
+    delete_documents(spark, pb, victims)
+    m1 = str(tmp_path / "m1")
+    merge_indexes(spark, [pa, pb], m1)
+    n1 = read_index(spark, m1).scalar_stats()["n_docs"]
+    assert n1 == 75  # purged
+    max1 = spark.read.parquet(f"{m1}/docids").agg(F.max("docid")).first()[0]
+    assert max1 == 79  # holes: surviving ids keep their values
+
+    m2 = str(tmp_path / "m2")
+    merge_indexes(spark, [m1, pc], m2)
+    ids = spark.read.parquet(f"{m2}/docids")
+    assert ids.count() == ids.select("docid").distinct().count() == 115
+    # merged dictionary df stays LONG (no int drift/wraparound)
+    assert dict(spark.read.parquet(f"{m2}/dictionary").dtypes)["df"] == \
+        "bigint"
+    merged = read_index(spark, m2)
+    ref = build_index(
+        _batch_df(spark, a_rows + b_rows[:10] + b_rows[15:] + c_rows))
+    qs = synth_queries(10)
+    assert search_lines(merged, spark, qs) == search_lines(ref, spark, qs)
+    assert merged.scalar_stats() == ref.scalar_stats()
+
+
+def test_write_index_clears_stale_tombstones(spark, tmp_path):
+    """Rebuilding a store in place with write_index must not let a
+    previous life's _tombstones silently mask freshly written docs."""
+    rows = _rows(30)
+    path = str(tmp_path / "rebuilt")
+    write_index(build_index(_batch_df(spark, rows)), path, n_buckets=4)
+    victim = rows[0][0]
+    delete_documents(spark, path, [victim])
+    assert read_index(spark, path).docids.filter(
+        F.col("docno") == victim).count() == 0
+    # in-place rebuild: the full corpus returns, including the victim
+    write_index(build_index(_batch_df(spark, rows)), path, n_buckets=4)
+    assert masked_docid_set(spark, path) is None
+    assert read_index(spark, path).docids.filter(
+        F.col("docno") == victim).count() == 1

@@ -337,3 +337,38 @@ def test_interactive_warm_all_resident_index(spark):
     assert it2.search_line("zzyzxrare ten") == got
     it.close()
     it2.close()
+
+
+def test_tokenizer_modes_identical_on_degenerate_rows(spark):
+    """NULL content, NULL docno, EMPTY docno and an over-255-char docno:
+    the jvm and arrow kernels must still emit identical rows, a NULL
+    content doc must still exist (its docno posting survives), '' must
+    never appear as a term (the lexer cannot emit it, and the reference
+    indexes no primary-key token for a docno-less doc), and the docno
+    term must be 255-truncated like every other token."""
+    from jassjr_spark.constants import MAX_TOKEN_LEN
+    from jassjr_spark.functions.tokenize import doc_term_frequencies
+
+    long_docno = "Z" * 300
+    sdf = spark.createDataFrame(
+        [
+            (0, "D0", None),            # NULL content
+            (1, None, "alpha beta"),    # NULL docno -> 'none'
+            (2, "", "gamma delta"),     # EMPTY docno -> nothing prepended
+            (3, long_docno, "epsilon"),  # docno truncates at 255
+            (4, "D4", "zeta zeta"),
+        ],
+        "docid long, docno string, content string",
+    )
+    outs = {}
+    for mode in ("jvm", "arrow"):
+        rows = {tuple(r) for r in
+                doc_term_frequencies(sdf, mode=mode).collect()}
+        outs[mode] = rows
+        terms = {t for t, _, _, _ in rows}
+        assert "" not in terms, mode
+        assert ("d0", 0, 1, 1) in rows, mode       # null content: docno only
+        assert ("none", 1, 1, 3) in rows, mode     # null docno stringified
+        assert {t for t, d, _, _ in rows if d == 2} == {"gamma", "delta"}
+        assert ("z" * MAX_TOKEN_LEN, 3, 1, 2) in rows, mode
+    assert outs["jvm"] == outs["arrow"]

@@ -73,3 +73,29 @@ def test_top_df_stopwords_deterministic(spark):
     assert top == ["the", "merge"]
     # empty stop list is the identity
     assert stopworded_index(full, []) is full
+
+
+def test_stopworded_persisted_keeps_bucket_pruning(spark, tmp_path):
+    """Deriving the stopworded index from a PERSISTED store must keep
+    the bucket column and modulus: filtering rows never moves a term
+    between buckets, so the derived index stays bucket-prunable instead
+    of scanning every bucket dir per query."""
+    from jassjr_spark.sources.index_store import (
+        pruned_postings, read_index, write_index,
+    )
+
+    full = _idx(spark, DOCS)
+    path = str(tmp_path / "idx")
+    write_index(full, path, n_buckets=4)
+    loaded = read_index(spark, path)
+    derived = stopworded_index(loaded, STOP)
+    assert derived.n_buckets == loaded.n_buckets == 4
+    assert "bucket" in derived.postings.columns
+    plan = pruned_postings(derived, ["spark"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "bucket" in plan  # the bucket IN predicate survived
+    # and the derived index still answers identically to the in-memory
+    # derivation
+    q = parse_queries(spark, ["1 spark merge"])
+    assert to_trec_lines(search(derived, q, k=10)) == \
+        to_trec_lines(search(stopworded_index(full, STOP), q, k=10))

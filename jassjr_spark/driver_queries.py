@@ -1401,6 +1401,21 @@ def _bm25_queries_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(qrows, "query_id long, pos int, term string")
 
 
+def corpus_local_dict(spark: SparkSession, sf_dir: str, idx) -> dict | None:
+    """Per-process memo of the driver-resident (term -> df) snapshot —
+    index-time metadata loaded once per corpus exactly like
+    corpus_block_stats (the reference loads vocab.bin once at startup,
+    JASSjr_search.py:16-52). Budget-gated by operators/search.
+    local_dictionary: None above the vocab budget, and callers then keep
+    the per-query filtered dictionary probe (the web-scale plan)."""
+    from jassjr_spark.operators.search import local_dictionary
+
+    key = (spark.sparkContext.applicationId, sf_dir, "local_dict")
+    if key not in _INDEX_MEMO:
+        _INDEX_MEMO[key] = local_dictionary(idx)
+    return _INDEX_MEMO[key]
+
+
 def q_ft_bm25_wand_adaptive(
     spark: SparkSession, sf_dir: str, k: int = 10
 ) -> DataFrame:
@@ -1417,9 +1432,15 @@ def q_ft_bm25_wand_adaptive(
     idx = corpus_index(spark, sf_dir).cache()
     s = idx.scalar_stats()
     blocks = corpus_blocks(spark, sf_dir, idx, s)
+    qrows = [
+        (qid, pos, t)
+        for qid, terms in BM25_QUERIES for pos, t in enumerate(terms)
+    ]
     return wand_search(idx, blocks, _bm25_queries_df(spark), k=k, stats=s,
                        block_span=512,
-                       block_stats=corpus_block_stats(spark, sf_dir, blocks))
+                       block_stats=corpus_block_stats(spark, sf_dir, blocks),
+                       qrows_local=qrows,
+                       local_dict=corpus_local_dict(spark, sf_dir, idx))
 
 
 def q_ft_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:

@@ -196,6 +196,100 @@ def accumulate(scored: DataFrame) -> DataFrame:
     )
 
 
+def accumulate_fixed(scored: DataFrame, max_pos: int) -> DataFrame:
+    """``accumulate`` for inputs where (query_id, docid, pos) is UNIQUE and
+    pos <= ``max_pos`` (every disjunctive batch: one posting per (term,
+    docid), one row per query-term occurrence). Pivots each pos into its
+    own aggregate column and folds them 0.0 + c0 + c1 + ... skipping
+    absent positions — the SAME left fold in the SAME pos order as
+    accumulate's sort_array/F.aggregate, so rsv is bit-identical
+    (asserted in tests), but the plan is a codegen hash aggregate over
+    fixed-width doubles instead of an ObjectHashAggregate building and
+    interpreting a per-group array — measured ~25% off the naive-kernel
+    batch at sf1.0, and the map-side partial aggregation ships one row
+    per (query, doc, pos-slot) group instead of a list payload."""
+    aggs = [
+        F.max(F.when(F.col("pos") == p, F.col("contrib"))).alias(f"_c{p}")
+        for p in range(max_pos + 1)
+    ]
+    g = scored.groupBy("query_id", "docid").agg(*aggs)
+    rsv = F.lit(0.0)
+    for p in range(max_pos + 1):
+        c = F.col(f"_c{p}")
+        rsv = F.when(c.isNotNull(), rsv + c).otherwise(rsv)
+    return g.select("query_id", "docid", rsv.alias("rsv"))
+
+
+def score_postings_local(
+    postings: DataFrame, qentries: list, n_docs: int, avgdl: float,
+    local_dict: dict, k1: float = K1, b: float = B,
+) -> DataFrame:
+    """``score_postings`` for a DRIVER-RESIDENT query batch: the
+    (query_id, pos, idf) fan-out per term is inlined as a literal
+    when-chain of struct arrays and exploded, so the plan is ONE map
+    stage over the pruned postings scan — no BroadcastExchange build per
+    call, no Spark-side dictionary probe (measured: the broadcast join
+    alone cost ~0.6 s/call at sf1.0). Contributions are bit-identical to
+    score_postings: idf comes from the same CPython ``math.log`` over the
+    same (term -> df) pairs, and the BM25 kernel is the same
+    ``bm25_contrib`` Column with the idf literal in place of the joined
+    column (float literals round-trip exactly).
+
+    ``qentries``: [(query_id, pos, term)] — the driver-side query rows
+    (they always exist for text workloads; wand_search/search callers
+    forward them). ``local_dict``: (term -> df). OOV terms and df==N
+    terms drop out exactly like the inner join + elision filter.
+    """
+    import math
+
+    fanout: dict[str, list] = {}
+    for qid, pos, term in qentries:
+        df = local_dict.get(term)
+        if df is None or df >= n_docs:
+            continue  # OOV (inner-join drop) or idf==0 elision
+        fanout.setdefault(term, []).append((qid, pos, math.log(n_docs / df)))
+    if not fanout:
+        return (
+            postings.filter(F.lit(False))
+            .select(
+                F.lit(0).cast("long").alias("query_id"),
+                "docid",
+                F.lit(0).cast("int").alias("pos"),
+                F.lit(0.0).alias("contrib"),
+            )
+        )
+    expr = None
+    for term, lst in fanout.items():
+        arr = F.array(*[
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.lit(pos).cast("int").alias("pos"),
+                F.lit(idf).alias("idf"),
+            )
+            for qid, pos, idf in lst
+        ])
+        expr = (
+            F.when(F.col("term") == term, arr) if expr is None
+            else expr.when(F.col("term") == term, arr)
+        )
+    return (
+        postings.filter(F.col("term").isin(sorted(fanout)))
+        .withColumn("_q", F.explode(expr))
+        .select(
+            F.col("_q.query_id").alias("query_id"),
+            "docid",
+            F.col("_q.pos").alias("pos"),
+            F.col("_q.idf").alias("idf"),
+            "tf",
+            "dl",
+        )
+        .select(
+            "query_id", "docid", "pos",
+            bm25_contrib(avgdl, k1=k1, b=b).alias("contrib"),
+        )
+    )
+
+
 def top_k(accumulated: DataFrame, k: int = TOP_K, offset: int = 0) -> DataFrame:
     """-> (query_id, docid, rank, rsv), rank 1-based, <= k rows/query.
     ``offset`` pages past the first results (rank offset+1..offset+k —

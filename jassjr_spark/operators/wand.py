@@ -60,15 +60,29 @@ from jassjr_spark.operators.search import (
 
 
 def _postings_scores(index: Index, queries: DataFrame, qterms: list[str],
-                     s: dict, local_dict: dict | None = None) -> DataFrame:
+                     s: dict, local_dict: dict | None = None,
+                     qentries: list | None = None) -> DataFrame:
     """The naive JVM kernel over term-pruned postings — the fallback when
     block pruning cannot pay; bit-identical scores to the blocks path.
     ``local_dict`` forwards an already-collected (term -> df) probe so a
     fallback taken AFTER the driver dictionary probe never re-runs the
-    filtered dictionary collect as a second Spark job."""
+    filtered dictionary collect as a second Spark job. ``qentries``
+    additionally forwards the driver-side (query_id, pos, term) rows;
+    with both present the scoring runs the join-free literal kernel +
+    fixed-width accumulate (score_postings_local/accumulate_fixed — one
+    map stage, no broadcast build, codegen aggregate; bit-identical rsv)."""
+    from jassjr_spark.operators.search import (
+        accumulate_fixed, score_postings_local,
+    )
     from jassjr_spark.sources.index_store import pruned_postings
 
     postings = pruned_postings(index, qterms)
+    if qentries is not None and local_dict is not None:
+        scored = score_postings_local(
+            postings, qentries, s["n_docs"], s["avgdl"], local_dict
+        )
+        max_pos = max((p for _, p, _ in qentries), default=0)
+        return accumulate_fixed(scored, max_pos)
     return accumulate(
         score_postings(queries, postings, index.dictionary,
                        s["n_docs"], s["avgdl"], qterms=qterms,
@@ -269,6 +283,8 @@ def wand_search(
     path_out: list | None = None,
     block_stats: dict | None = None,
     blocks_min_postings: int = 250_000,
+    qrows_local: list | None = None,
+    local_dict: dict | None = None,
 ) -> DataFrame:
     """-> (query_id, docno, rank, rsv), identical to search() output.
 
@@ -302,6 +318,15 @@ def wand_search(
     drifted stores, or low-coverage queries defer to the exact Spark
     probe. The choice still never affects output.
 
+    ``qrows_local``: the driver-side (query_id, pos, term) rows, when the
+    caller already holds them (text workloads always do — the queries DF
+    is built FROM them); skips the per-call queries collect AND routes
+    the postings fallback through the join-free literal kernel
+    (score_postings_local), bit-identical output. ``local_dict``: an
+    already-resident (term -> df) snapshot (operators/search.
+    local_dictionary, the reference's startup-loaded vocab) — skips the
+    per-call dictionary probe job.
+
     ``blocks_min_postings``: absolute per-query candidate-postings floor
     (mean over the batch, from the driver dictionary probe — no job)
     below which the naive single-scan kernel is chosen regardless of
@@ -316,9 +341,15 @@ def wand_search(
     via BENCH/suite600k_job.py. 0 disables (always consult the
     prunability gate — what tiny-corpus tests do).
     """
+    from collections import namedtuple
+
     s = stats or index.scalar_stats()
-    if fallback_keep_frac < 1.0:
-        qrows = queries.select("query_id", "term").collect()
+    _QRow = namedtuple("_QRow", ["query_id", "pos", "term"])
+    if qrows_local is not None:
+        qrows = [_QRow(q, p, t) for q, p, t in qrows_local]
+        qterms = sorted({r.term for r in qrows})
+    elif fallback_keep_frac < 1.0:
+        qrows = queries.select("query_id", "pos", "term").collect()
         qterms = sorted({r.term for r in qrows})
     else:
         # forced-blocks callers never consult the floor or the gate, so
@@ -328,18 +359,25 @@ def wand_search(
         qterms = sorted(
             r.term for r in queries.select("term").distinct().collect()
         )
+    qentries = (
+        [(r.query_id, r.pos, r.term) for r in qrows]
+        if qrows is not None else None
+    )
     if fallback_keep_frac < 1.0 and k > MAX_PRUNABLE_K:
         if path_out is not None:
             path_out.append("postings")
-        scores = _postings_scores(index, queries, qterms, s)
+        scores = _postings_scores(index, queries, qterms, s,
+                                  local_dict=local_dict, qentries=qentries)
         return resolve_docnos(index, top_k(scores, k), s["n_docs"])
     # dictionary probe once, driver-side (attach_idf reuses it): both the
-    # idf join and the driver-local gate need (term -> df)
-    local_dict = {
-        r.term: r.df
-        for r in index.dictionary.filter(F.col("term").isin(qterms))
-        .select("term", "df").collect()
-    }
+    # idf join and the driver-local gate need (term -> df); a caller-
+    # resident snapshot (local_dict) makes this a no-op
+    if local_dict is None:
+        local_dict = {
+            r.term: r.df
+            for r in index.dictionary.filter(F.col("term").isin(qterms))
+            .select("term", "df").collect()
+        }
     if fallback_keep_frac < 1.0 and blocks_min_postings > 0:
         # absolute workload floor, before any prunability question:
         # block-max pruning can save AT MOST the decode+score of the
@@ -364,7 +402,8 @@ def wand_search(
             if path_out is not None:
                 path_out.append("postings")
             scores = _postings_scores(index, queries, qterms, s,
-                                      local_dict=local_dict)
+                                      local_dict=local_dict,
+                                      qentries=qentries)
             return resolve_docnos(index, top_k(scores, k), s["n_docs"])
     skip_spark_probe = False
     if fallback_keep_frac < 1.0 and block_stats is not None:
@@ -377,7 +416,8 @@ def wand_search(
             if path_out is not None:
                 path_out.append("postings")
             scores = _postings_scores(index, queries, qterms, s,
-                                      local_dict=local_dict)
+                                      local_dict=local_dict,
+                                      qentries=qentries)
             return resolve_docnos(index, top_k(scores, k), s["n_docs"])
         if est is not None and est > threshold + GATE_BORDERLINE:
             skip_spark_probe = True  # clearly prunable: go straight to seeds
@@ -413,7 +453,8 @@ def wand_search(
             if path_out is not None:
                 path_out.append("postings")
             scores = _postings_scores(index, queries, qterms, s,
-                                      local_dict=local_dict)
+                                      local_dict=local_dict,
+                                      qentries=qentries)
             return resolve_docnos(index, top_k(scores, k), s["n_docs"])
 
     # seed blocks: highest UB until >= k candidate docs AND at least
@@ -476,7 +517,9 @@ def wand_search(
         ub.unpersist()
         if path_out is not None:
             path_out.append("postings")
-        final_scores = _postings_scores(index, queries, qterms, s)
+        final_scores = _postings_scores(index, queries, qterms, s,
+                                        local_dict=local_dict,
+                                        qentries=qentries)
     else:
         if path_out is not None:
             path_out.append("blocks")

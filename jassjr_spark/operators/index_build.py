@@ -202,20 +202,14 @@ def build_index(
     if order_cols is not None:
         docs = assign_docids(docs, order_cols)
 
-    # Scale-adaptive scan spreading (guide §2.5 "input skew" / §6): a
-    # small corpus often arrives as one unsplittable parquet row group,
-    # serializing the tokenizer — and every downstream cached artifact —
-    # on 1-2 cores regardless of cluster size. Round-robin the docs over
-    # the default parallelism ONLY when the source has fewer partitions
-    # than cores (at real scale the scan already has >> cores partitions
-    # and this is a no-op, so nothing here is tuned to local mode). The
-    # repartition is deterministic (sort-before-repartition is on by
-    # default) and every downstream artifact is an order-independent
-    # aggregation, so output is unchanged (tests assert identity).
-    sc = docs.sparkSession.sparkContext
-    n_parts = docs.rdd.getNumPartitions()
-    if 0 < n_parts < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    # Scale-adaptive scan spreading: an unsplittable single-row-group
+    # parquet source serializes the tokenizer — and every downstream
+    # cached artifact — on 1-2 cores; see functions/spread.py. Every
+    # index artifact is an order-independent aggregation, so output is
+    # unchanged (tests assert identity).
+    from jassjr_spark.functions.spread import spread
+
+    docs = spread(docs)
 
     postings = doc_term_frequencies(
         docs, prepend_docno=prepend_docno, mode=tokenizer_mode

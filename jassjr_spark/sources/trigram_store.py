@@ -92,6 +92,22 @@ def pruned_grams(store: TrigramStore, grams: list[str]) -> DataFrame:
     return p.filter(F.col("gram").isin(list(grams)))
 
 
+def local_gram_dfs(
+    store: TrigramStore, max_grams: int = 2_000_000
+) -> dict[str, int] | None:
+    """Driver-resident (gram -> df) snapshot of the store's dictionary —
+    the grep analogue of operators/search.local_dictionary (the
+    reference-style startup-loaded vocab). Removes the per-needle df
+    probe JOB entirely for repeated queries over one store. Budget-gated:
+    None above ``max_grams`` distinct trigrams (at web scale the
+    per-needle filtered probe over the sorted gram_df table is the right
+    plan and this snapshot must not be attempted)."""
+    df = store.spark.read.parquet(f"{store.path}/gram_df")
+    if df.count() > max_grams:
+        return None
+    return {r.gram: r.df for r in df.collect()}
+
+
 def probe_gram_dfs(store: TrigramStore, needle: str) -> dict[str, int]:
     """(gram -> df) for the needle's grams only — a tiny driver-side
     lookup against the persisted gram_df table. Grams absent from the
@@ -115,14 +131,20 @@ def grep_persisted(
     max_grams: int = 8,
     id_col: str = "docid",
     content_col: str = "content",
+    gram_dfs: dict[str, int] | None = None,
 ) -> DataFrame:
     """grep against the persisted store: df probe -> rarest-first gram
     selection -> bucket/gram-pruned candidate scan -> exact verify over
     ``docs``. Answer identical to the unindexed scan (asserted in tests);
-    only the plan changes."""
+    only the plan changes.
+
+    ``gram_dfs``: an already-resident (gram -> df) snapshot (from
+    local_gram_dfs) — skips the per-needle probe job; the rarest-first
+    selection reads the same df values either way, so the plan and the
+    answer are unchanged."""
     from jassjr_spark.operators.grep import select_grams
 
-    dfs = probe_gram_dfs(store, needle)
+    dfs = gram_dfs if gram_dfs is not None else probe_gram_dfs(store, needle)
     # the SAME selection helper the candidate join applies — the pruned
     # index must contain exactly the grams grep will count
     chosen = select_grams(needle, max_grams, dfs)
@@ -143,6 +165,7 @@ def grep_many_persisted(
     max_grams: int = 8,
     id_col: str = "docid",
     content_col: str = "content",
+    gram_dfs: dict[str, int] | None = None,
 ) -> DataFrame:
     """Batched grep over the persisted store: N needles cost ONE
     gram_df probe (union of every needle's grams), ONE bucket/gram-
@@ -157,14 +180,16 @@ def grep_many_persisted(
     if not all_grams:
         return grep_many(docs, needles, index=None,
                          id_col=id_col, content_col=content_col)
-    rows = (
-        store.spark.read.parquet(f"{store.path}/gram_df")
-        .filter(F.col("gram").isin(all_grams))
-        .collect()
-    )
+    if gram_dfs is not None:
+        dfs = gram_dfs  # resident snapshot: same df values, no probe job
+    else:
+        rows = (
+            store.spark.read.parquet(f"{store.path}/gram_df")
+            .filter(F.col("gram").isin(all_grams))
+            .collect()
+        )
+        dfs = {r.gram: r.df for r in rows}
     from jassjr_spark.operators.grep import select_grams
-
-    dfs = {r.gram: r.df for r in rows}
     # union of the per-needle selections, via the SAME helper grep_many
     # applies per needle
     selected = sorted({

@@ -33,6 +33,11 @@ def main() -> None:
     ap.add_argument("--mode",
                     choices=["index", "search", "both", "grep", "percolate"],
                     default="both")
+    ap.add_argument("--master", default=None,
+                    help="override the master URL (e.g. "
+                         "local-cluster[4,4,8192] for multi-JVM executors "
+                         "— VERDICT r5 Next #5; --cores must still name "
+                         "the TOTAL core count for repartition sizing)")
     args = ap.parse_args()
 
     from jassjr_spark.fixtures import synth_queries
@@ -40,10 +45,36 @@ def main() -> None:
     from jassjr_spark.operators.search import parse_queries, search
     from jassjr_spark.session import get_spark
 
-    spark = get_spark(
-        f"scaling_{args.cores}", master=f"local[{args.cores}]",
-        shuffle_partitions=args.cores,
-    )
+    if args.master and args.master.startswith("local-cluster"):
+        # multi-JVM executors: real serde + shuffle transport + per-
+        # executor memory limits. Worker memory rides in the master
+        # string; executor Python workers need the repo on their path.
+        from pyspark.sql import SparkSession
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        mem_mb = args.master.rstrip("]").rsplit(",", 1)[-1]
+        spark = (
+            SparkSession.builder.appName(f"scaling_lc_{args.cores}")
+            .master(args.master)
+            .config("spark.executor.memory", f"{mem_mb}m")
+            .config("spark.executorEnv.PYTHONPATH", repo)
+            .config("spark.sql.shuffle.partitions", str(args.cores))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_DRIVER_MEM", "24g"))
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark(
+            f"scaling_{args.cores}",
+            master=args.master or f"local[{args.cores}]",
+            shuffle_partitions=args.cores,
+        )
     # A ~100 MB corpus coalesces into very few scan partitions
     # (spark.sql.files.maxPartitionBytes), which would starve 32 cores and
     # corrupt the scaling measurement; 2 partitions/core is the standard

@@ -214,10 +214,32 @@ def q_ft_bm25_top10(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     qrows = [
         (qid, pos, t) for qid, terms in BM25_QUERIES for pos, t in enumerate(terms)
     ]
-    queries = spark.createDataFrame(qrows, "query_id long, pos int, term string")
-    scored = score_postings(queries, idx.postings, idx.dictionary,
-                            s["n_docs"], s["avgdl"])
-    acc = accumulate(scored).withColumn("rsv", F.round("rsv", 4))
+    local_dict = corpus_local_dict(spark, sf_dir, idx)
+    if local_dict is not None:
+        # join-free literal kernel + fixed-width accumulate (bit-identical
+        # rsv, see operators/search.score_postings_local) — removes the
+        # per-call BroadcastExchange build and the interpreted fold; the
+        # web-scale fallback below keeps the broadcast-join shape when the
+        # vocabulary exceeds the driver snapshot budget.
+        from jassjr_spark.operators.search import (
+            accumulate_fixed, score_postings_local,
+        )
+        from jassjr_spark.sources.index_store import pruned_postings
+
+        qterms = sorted({t for _, _, t in qrows})
+        scored = score_postings_local(
+            pruned_postings(idx, qterms), qrows, s["n_docs"], s["avgdl"],
+            local_dict,
+        )
+        acc = accumulate_fixed(scored, max(p for _, p, _ in qrows))
+    else:
+        queries = spark.createDataFrame(
+            qrows, "query_id long, pos int, term string"
+        )
+        scored = score_postings(queries, idx.postings, idx.dictionary,
+                                s["n_docs"], s["avgdl"])
+        acc = accumulate(scored)
+    acc = acc.withColumn("rsv", F.round("rsv", 4))
     w = Window.partitionBy("query_id").orderBy(
         F.col("rsv").desc(), F.col("docid").desc()
     )
@@ -295,7 +317,14 @@ def _round4_half_up(x: float) -> float:
     double — HALF_UP to 4 dp. Python's ``repr`` is the same shortest
     repr, so quantizing Decimal(repr(x)) HALF_UP reproduces Spark's
     result digit-for-digit. (numpy.round / builtin round are
-    half-to-EVEN and can differ at exact .00005 decimal boundaries.)"""
+    half-to-EVEN and can differ at exact .00005 decimal boundaries.)
+
+    JDK caveat (ADVICE r5): the repr == Double.toString equivalence
+    assumes shortest-repr Double.toString, i.e. JDK >= 19 OR values
+    where the pre-JDK-19 algorithm already emits the shortest repr
+    (JDK-4511638). This runtime is pinned by the identity suite
+    (tests/test_gated_batch.py) which would catch a divergent JDK —
+    digit parity is test-gated, not assumed."""
     return float(_Decimal(repr(x)).quantize(_Q4, rounding=_ROUND_HALF_UP))
 
 
@@ -344,6 +373,11 @@ def q_ft_bm25_gated_top10(
     # over-covers all entrants and every boundary tie; the >= k docs
     # with raw >= t are all selected, so candidates always suffice.
     out = []
+    # int(qid) below is safe ONLY because `lines` is built from the
+    # hard-coded integer BM25_QUERIES ids; peel_qid keeps qids as
+    # STRINGS in general (str.isnumeric accepts tokens int() rejects,
+    # e.g. '½'). A future caller feeding free-form TREC lines must keep
+    # the string qid and cast in the DataFrame instead (ADVICE r5).
     for qid, docids, rsv in arrays:
         if len(rsv) > k:
             t = np.partition(rsv, len(rsv) - k)[len(rsv) - k]

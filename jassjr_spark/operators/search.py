@@ -35,6 +35,8 @@ time — the engine's unit of work is the workload):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -45,7 +47,15 @@ from jassjr_spark.operators.index_build import Index
 
 # Above this corpus size the docids table stops being broadcast-able and
 # the ranked run becomes the broadcast side of the docno join.
-BROADCAST_DOCIDS_MAX = 5_000_000
+# Env-tunable (scale knob, guide §3.1): in MULTI-JVM deployments the
+# docids broadcast is replicated once per executor JVM, so the crossover
+# where broadcasting the <=k-rows-per-query ranked run wins instead falls
+# well below 5M rows (measured: local-cluster[4,4,8g] at 600k docs — see
+# BENCH/scaling_local_cluster_600k.json and OPTIMIZATION_r06.md). The
+# default keeps the single-JVM-measured crossover.
+BROADCAST_DOCIDS_MAX = int(
+    os.environ.get("JASSJR_BROADCAST_DOCIDS_MAX", "5000000")
+)
 
 
 def peel_qid(toks: list[str]) -> tuple[str, list[str]]:

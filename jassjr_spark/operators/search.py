@@ -47,12 +47,14 @@ from jassjr_spark.operators.index_build import Index
 
 # Above this corpus size the docids table stops being broadcast-able and
 # the ranked run becomes the broadcast side of the docno join.
-# Env-tunable (scale knob, guide §3.1): in MULTI-JVM deployments the
-# docids broadcast is replicated once per executor JVM, so the crossover
-# where broadcasting the <=k-rows-per-query ranked run wins instead falls
-# well below 5M rows (measured: local-cluster[4,4,8g] at 600k docs — see
-# BENCH/scaling_local_cluster_600k.json and OPTIMIZATION_r06.md). The
-# default keeps the single-JVM-measured crossover.
+# Env-tunable (scale knob, guide §3.1). Measured A/B in multi-JVM
+# local-cluster[4,4,8g] mode at 600k docs on an idle host
+# (BENCH/scaling_lc_broadcast_ab.json): the DEFAULT side wins there too
+# (flipping at 600k is 1.34x slower — the per-executor replication of
+# the docids broadcast is cheaper than forcing the ranked run through a
+# driver collect-and-broadcast), so the crossover is a driver-memory
+# bound for corpora whose docids can no longer be broadcast at all, not
+# a multi-JVM tune.
 BROADCAST_DOCIDS_MAX = int(
     os.environ.get("JASSJR_BROADCAST_DOCIDS_MAX", "5000000")
 )
